@@ -1,0 +1,149 @@
+"""Per-document extraction dispatch: engine factory + preprocessor chain +
+error-as-value, as one pure function the Arrow batch kernel maps over.
+
+Reference parity:
+- Engine factory/dispatch (/root/reference/ocr_engine.go:22-30, default-mock
+  on unknown at :58-60) → resolve_engine + the engine branch below.
+- Chain router (/root/reference/ocr_request.go:21-31): stages execute in
+  REVERSE list order (pop-from-end); the terminal hop is always the engine
+  ("decode-ocr", rabbit_config.go:25).
+- Identity preprocessor (/root/reference/preprocessor.go:11-16): no-op.
+- Error-as-value (/root/reference/ocr_rpc_worker.go:163-190): a failing
+  document NEVER fails the job; the reference embeds "Error ..." in the
+  text and still replies — we do better per SURVEY §2.A17: clean
+  ``status``/``error`` columns, text left empty.
+- Lang gate: the reference passes ``-l lang`` through to tesseract
+  (tesseract_engine.go:65-75,93-95); unsupported languages fail there. We
+  gate on the apiary enum (apiary.apib:78-111) up front.
+
+Structured-output mode (hOCR recast, tesseract_engine.go:194-262): when
+engine_args.config_vars["tessedit_create_hocr"]=="1", the extracted text is
+wrapped into a deterministic span-per-paragraph JSON structure instead of
+plain text.
+"""
+
+from __future__ import annotations
+
+import json
+
+from open_ocr_spark.kernels.html_extract import extract_main_text
+from open_ocr_spark.kernels.mock import MOCK_ENGINE_RESPONSE
+from open_ocr_spark.kernels.options import (
+    ENGINE_GO_TESSERACT,
+    ENGINE_MOCK,
+    ENGINE_TESSERACT,
+    KNOWN_PREPROCESSORS,
+    PREPROCESSOR_CONVERT_PDF,
+    PREPROCESSOR_IDENTITY,
+    PREPROCESSOR_STROKE_WIDTH,
+    SUPPORTED_LANGS,
+    execution_order,
+    parse_engine_args,
+    resolve_engine,
+    swt_aggressive,
+)
+from open_ocr_spark.kernels.pdf_text import extract_pdf_text, is_pdf
+
+STATUS_OK = "ok"
+
+# Default chain when none is given: PDF payloads are still handled, because
+# the engine itself routes by magic bytes (the reference's tesseract would
+# fail on a PDF; our flagship pipeline always detects).
+_DEFAULT_CHAIN = (PREPROCESSOR_CONVERT_PDF, PREPROCESSOR_STROKE_WIDTH)
+
+
+def _spans_json(text: str) -> str:
+    """hOCR-recast structured output: one span per paragraph with
+    deterministic char offsets into the plain-text form."""
+    spans = []
+    offset = 0
+    for i, para in enumerate(text.split("\n\n")) if text else []:
+        spans.append(
+            {"id": i, "start": offset, "end": offset + len(para), "text": para}
+        )
+        offset += len(para) + 2
+    return json.dumps({"spans": spans}, ensure_ascii=False, sort_keys=True)
+
+
+def extract_document(
+    html: bytes | None,
+    lang: str | None = None,
+    engine=None,
+    engine_args: dict | None = None,
+    preprocessors: list[str] | None = None,
+    preprocessor_args: dict | None = None,
+) -> tuple[str, str, str]:
+    """Extract one document. Returns (extracted_text, status, error).
+
+    status is 'ok' or 'error:<class>'; error holds the message. Never
+    raises: every failure becomes a value (A17).
+    """
+    try:
+        engine_name = resolve_engine(engine)
+
+        if engine_name == ENGINE_MOCK:
+            # mock ignores payload entirely (mock_engine.go:7-9)
+            return MOCK_ENGINE_RESPONSE, STATUS_OK, ""
+
+        if engine_name == ENGINE_GO_TESSERACT:
+            # declared but factory returns nil (ocr_engine.go:22-30):
+            # treated as an unsupported-engine error value
+            return "", "error:engine", "no engine impl for go_tesseract"
+
+        assert engine_name == ENGINE_TESSERACT
+
+        try:
+            args = parse_engine_args(engine_args)
+        except ValueError as exc:
+            return "", "error:engine-args", str(exc)
+
+        if args.lang and args.lang not in SUPPORTED_LANGS:
+            return "", "error:lang", f"unsupported lang: {args.lang}"
+        if lang is not None and lang != "" and lang not in SUPPORTED_LANGS \
+                and args.lang == "":
+            # row-level lang outside the enum and no explicit override
+            return "", "error:lang", f"unsupported lang: {lang}"
+
+        if html is None or len(html) == 0:
+            return "", "error:empty", "empty document payload"
+
+        chain = execution_order(list(preprocessors)) if preprocessors \
+            else list(_DEFAULT_CHAIN)
+
+        unknown = [s for s in chain if s not in KNOWN_PREPROCESSORS]
+        if unknown:
+            return "", "error:preprocessor", f"unknown preprocessor: {unknown[0]}"
+
+        aggressive = swt_aggressive(preprocessor_args)
+        payload = bytes(html)
+        text: str | None = None
+
+        for stage in chain:
+            if stage == PREPROCESSOR_IDENTITY:
+                continue  # preprocessor.go:11-16
+            if stage == PREPROCESSOR_CONVERT_PDF:
+                if is_pdf(payload):
+                    try:
+                        text = extract_pdf_text(payload)
+                    except ValueError as exc:
+                        return "", "error:pdf-unsupported", str(exc)
+            elif stage == PREPROCESSOR_STROKE_WIDTH:
+                pass  # folded into the engine call's `aggressive` flag
+
+        if text is None:
+            if is_pdf(payload):
+                # no convert-pdf stage in the chain but payload is a PDF:
+                # the engine itself routes by magic bytes
+                try:
+                    text = extract_pdf_text(payload)
+                except ValueError as exc:
+                    return "", "error:pdf-unsupported", str(exc)
+            else:
+                text = extract_main_text(payload, aggressive=aggressive)
+
+        if args.structured_output:
+            return _spans_json(text), STATUS_OK, ""
+        return text, STATUS_OK, ""
+
+    except Exception as exc:  # last-resort guard: never fail the batch
+        return "", "error:internal", f"{type(exc).__name__}: {exc}"

@@ -1,0 +1,150 @@
+"""Minimal, deterministic HTML node tree built on stdlib html.parser.
+
+This is the graft's recast of the reference's external OCR binaries: where
+open-ocr shells out to ``tesseract`` per document
+(/root/reference/tesseract_engine.go:98-128, exec at :210-211), this engine
+parses the raw page bytes into a node tree in pure Python so the extraction
+stage can run vectorized inside one Arrow batch with zero subprocesses and
+zero per-row Python on the Spark side.
+
+Determinism requirements (SURVEY.md §7.3 "Hard #1/#2"): stdlib-only parsing,
+explicit utf-8/replace decoding, no environment-dependent behavior. The same
+bytes must yield the same tree on every executor at any parallelism.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Elements whose entire subtree carries no extractable text.
+SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "svg", "iframe",
+     "object", "embed", "canvas", "audio", "video", "map", "button",
+     "select", "option", "textarea", "datalist"}
+)
+
+# Void elements: never pushed on the open-element stack.
+VOID_TAGS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"}
+)
+
+# Block-level elements: boundaries between them are paragraph breaks.
+BLOCK_TAGS = frozenset(
+    {"address", "article", "aside", "blockquote", "body", "caption", "dd",
+     "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer", "form",
+     "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "html", "li",
+     "main", "nav", "ol", "p", "pre", "section", "table", "tbody", "td",
+     "tfoot", "th", "thead", "tr", "ul"}
+)
+
+# Boilerplate containers: their text is counted but they are never chosen as
+# the main-content root, and they are pruned from a chosen ancestor's output.
+# This is the graft's analog of the stroke-width-transform text-region filter
+# (/root/reference/stroke_width_transform.go:15-68): regions that do not look
+# like body text are removed before the engine runs.
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+# Candidate roots for main content.
+CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "body", "td"})
+
+
+class Node:
+    """One element or text node. Element nodes: tag + children; text nodes:
+    tag is None and ``text`` holds the raw character data."""
+
+    __slots__ = ("tag", "attrs", "children", "text", "parent")
+
+    def __init__(self, tag, attrs=None, text=None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children = []
+        self.text = text
+        self.parent = parent
+
+    def is_text(self):
+        return self.tag is None
+
+    def iter(self):
+        """Depth-first pre-order walk of this subtree."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant stack-based tree builder: unmatched end tags are ignored;
+    a matching end tag pops every unclosed element above it (implicit
+    close); elements inside SKIP_TAGS are dropped entirely."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+        self.skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self.skip_depth:
+            # inside a skipped subtree: drop everything, but track nesting
+            # of the skipped tag itself so its end tag unwinds correctly
+            if tag == self._skip_tag and tag not in VOID_TAGS:
+                self.skip_depth += 1
+            return
+        if tag in SKIP_TAGS:
+            self.skip_depth = 1
+            self._skip_tag = tag
+            return
+        node = Node(tag, dict(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if self.skip_depth or tag in SKIP_TAGS:
+            return
+        node = Node(tag, dict(attrs), parent=self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        if self.skip_depth:
+            if tag == self._skip_tag:
+                self.skip_depth -= 1
+            return
+        if tag in VOID_TAGS:
+            return
+        # find the matching open element; ignore stray end tags
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if self.skip_depth or not data:
+            return
+        self.stack[-1].children.append(
+            Node(None, text=data, parent=self.stack[-1])
+        )
+
+
+def parse_html(raw: bytes | str) -> Node:
+    """Parse HTML bytes (utf-8, errors=replace — frozen decode policy) or a
+    str into a Node tree. Never raises on malformed markup."""
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        raw = bytes(raw).decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    try:
+        builder.feed(raw)
+        builder.close()
+    except Exception:
+        # html.parser is tolerant, but freeze the guarantee: a parse blowup
+        # yields whatever tree was built so far (error-as-value upstream).
+        pass
+    return builder.root
+
+
+def collapse_ws(s: str) -> str:
+    """Frozen whitespace normalization: any run of unicode whitespace
+    becomes one ASCII space; leading/trailing stripped."""
+    return " ".join(s.split())

@@ -1,0 +1,95 @@
+"""Checkpoint manifests + resume: per-bucket lineage so a killed run
+restarts from the last committed bucket without recomputation (north_rule;
+SURVEY.md §4.2.3).
+
+The reference has NO durable state (Transient deliveries
+/root/reference/ocr_rpc_client.go:131, noAck consume ocr_rpc_worker.go:100
+— at-most-once). This is an additive requirement from BASELINE.json.
+
+Layout (filesystem-transactional, Iceberg-snapshot-shaped without Iceberg in
+the sandbox):
+
+    out_dir/
+      data/bucket=<k>/*.parquet      one atomic write per bucket
+      manifests/bucket=<k>.json      committed AFTER the bucket's data
+
+A bucket is committed iff its manifest file exists; the manifest is written
+only after the data write returns, so a kill between the two leaves an
+uncommitted bucket that is simply recomputed (output overwrite per bucket is
+idempotent — deterministic kernels make the rewrite byte-identical).
+Resume = skip buckets whose manifest exists (the left_anti of SURVEY §2.B,
+expressed as partition pruning on the bucket column — cheaper than a join:
+committed buckets are never even scanned).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Content-addressed bucket id: pmod(xxhash64(url), B). Deterministic
+    across runs and parallelism levels — the unit of resume."""
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets))
+    )
+
+
+def committed_buckets(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.startswith("bucket=") and name.endswith(".json"):
+            out.add(int(name[len("bucket=") : -len(".json")]))
+    return out
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, "manifests")
+    out = []
+    for b in sorted(committed_buckets(out_dir)):
+        with open(os.path.join(mdir, f"bucket={b}.json")) as f:
+            out.append(json.load(f))
+    return out
+
+
+def commit_bucket(
+    out_dir: str,
+    bucket: int,
+    *,
+    run_id: str,
+    input_snapshot_id: str,
+    docs: int,
+    bytes_processed: int,
+    failures: int,
+) -> None:
+    """Write the manifest row for a bucket — atomically (tmp + rename) and
+    strictly after its data write."""
+    mdir = os.path.join(out_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    manifest = {
+        "run_id": run_id,
+        "input_snapshot_id": input_snapshot_id,
+        "partition_range": f"bucket {bucket}..{bucket}",
+        "bucket": bucket,
+        "docs_processed": docs,
+        "bytes_processed": bytes_processed,
+        "failure_count": failures,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    tmp = os.path.join(mdir, f".bucket={bucket}.json.tmp")
+    final = os.path.join(mdir, f"bucket={bucket}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)

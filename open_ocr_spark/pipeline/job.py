@@ -1,0 +1,130 @@
+"""End-to-end extraction job: read → ingest → dedupe → bucket → extract →
+write + manifest. This is the reference's whole §3.1 lifecycle as ONE batch
+plan, plus resumability.
+
+Two entry points:
+- ``extraction_plan``      pure DataFrame → DataFrame (what tests/oracle
+                           compare; no side effects; single Spark job)
+- ``run_extraction_job``   the resumable spark-submit job: processes
+                           bucket groups, committing a manifest per bucket
+                           (checkpoint.py); a rerun skips committed buckets
+                           via partition pruning before any work happens.
+
+At 100 TB the bucket count is sized so one bucket ≈ a few hundred GB of
+input (e.g. B=1024); locally the tests use B=8. Buckets are processed in
+groups per Spark action to amortize job-scheduling overhead while keeping
+the commit granularity fine enough for cheap resume.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_ocr_spark.pipeline.checkpoint import (
+    BUCKET_COL,
+    commit_bucket,
+    committed_buckets,
+    with_bucket,
+)
+from open_ocr_spark.pipeline.dedupe import latest_per_url
+from open_ocr_spark.pipeline.ingest import ingest
+from open_ocr_spark.pipeline.partitioning import bucket_by_url_hash
+from open_ocr_spark.pipeline.stages import extract_stage, mock_stage
+
+
+def extraction_plan(
+    pages: DataFrame,
+    *,
+    num_partitions: int | None = None,
+    use_mock: bool = False,
+) -> DataFrame:
+    """The flagship query as a single declarative plan:
+
+        scan → ingest-normalize → latest-per-url window → bucket-by-url-hash
+        shuffle → mapInArrow extraction kernel
+
+    (SURVEY.md §7.1 minimum slice). Returns (url, extracted_text, status,
+    error, n_bytes)."""
+    df = ingest(pages)
+    df = latest_per_url(df)
+    if num_partitions:
+        df = bucket_by_url_hash(df, num_partitions)
+    return mock_stage(df) if use_mock else extract_stage(df)
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    num_buckets: int = 8,
+    buckets_per_commit: int = 1,
+    input_snapshot_id: str = "snapshot-0",
+    run_id: str | None = None,
+    max_buckets: int | None = None,
+) -> dict:
+    """Resumable extraction over bucket groups.
+
+    ``max_buckets`` processes only that many uncommitted buckets then stops
+    — the kill-after-k hook the resume test uses (SURVEY.md §5.2.4).
+    Returns summary counters.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = committed_buckets(out_dir)
+    all_buckets = [b for b in range(num_buckets) if b not in done]
+    if max_buckets is not None:
+        all_buckets = all_buckets[:max_buckets]
+
+    if not all_buckets:
+        return {"run_id": run_id, "buckets_processed": 0, "docs": 0}
+
+    base = with_bucket(ingest(pages), num_buckets)
+
+    total_docs = 0
+    processed = 0
+    for group_start in range(0, len(all_buckets), buckets_per_commit):
+        group = all_buckets[group_start : group_start + buckets_per_commit]
+        # partition-prune committed buckets BEFORE the window/dedupe work:
+        # the filter sits directly on the scan projection
+        subset = base.filter(F.col(BUCKET_COL).isin(group))
+        result = extraction_plan(subset.drop(BUCKET_COL)).withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets)),
+        )
+        # one atomic write per bucket directory, then the manifest
+        for b in group:
+            bucket_out = result.filter(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
+            bucket_out.persist()
+            try:
+                stats = bucket_out.agg(
+                    F.count("*").alias("docs"),
+                    F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes"),
+                    F.coalesce(
+                        F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
+                    ).alias("failures"),
+                ).collect()[0]
+                bucket_out.write.mode("overwrite").parquet(
+                    f"{out_dir}/data/bucket={b}"
+                )
+                commit_bucket(
+                    out_dir,
+                    b,
+                    run_id=run_id,
+                    input_snapshot_id=input_snapshot_id,
+                    docs=stats["docs"],
+                    bytes_processed=stats["bytes"],
+                    failures=stats["failures"],
+                )
+            finally:
+                bucket_out.unpersist()
+            total_docs += stats["docs"]
+            processed += 1
+
+    return {"run_id": run_id, "buckets_processed": processed, "docs": total_docs}
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/data")

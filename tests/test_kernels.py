@@ -1,0 +1,253 @@
+"""Kernel unit tier (no Spark) — mirrors the reference's always-on unit
+tests (SURVEY.md §5.1): engine-enum decode, engine-args extraction,
+SWT-param extraction, chain order, plus extraction determinism."""
+
+import pytest
+
+from open_ocr_spark.kernels.dispatch import extract_document
+from open_ocr_spark.kernels.html_extract import extract_main_text
+from open_ocr_spark.kernels.htmltree import collapse_ws, parse_html
+from open_ocr_spark.kernels.mock import MOCK_ENGINE_RESPONSE, mock_extract
+from open_ocr_spark.kernels.options import (
+    ENGINE_MOCK,
+    ENGINE_TESSERACT,
+    EngineArgs,
+    execution_order,
+    parse_engine_args,
+    resolve_engine,
+    swt_aggressive,
+)
+from open_ocr_spark.kernels.pdf_text import extract_pdf_text, is_pdf
+
+
+# --- engine enum (ocr_engine_test.go:11-23) --------------------------------
+
+def test_engine_decode_string():
+    assert resolve_engine("tesseract") == ENGINE_TESSERACT
+    assert resolve_engine("TESSERACT") == ENGINE_TESSERACT
+    assert resolve_engine("mock") == ENGINE_MOCK
+
+
+def test_engine_unknown_string_defaults_to_mock():
+    # ocr_engine.go:58-60
+    assert resolve_engine("no-such-engine") == ENGINE_MOCK
+
+
+def test_engine_missing_defaults_to_tesseract():
+    # Go zero value of OcrEngineType == ENGINE_TESSERACT
+    assert resolve_engine(None) == ENGINE_TESSERACT
+    assert resolve_engine("") == ENGINE_TESSERACT
+
+
+def test_engine_int_decode():
+    assert resolve_engine(0) == ENGINE_TESSERACT
+    assert resolve_engine(2) == ENGINE_MOCK
+    assert resolve_engine(99) == ENGINE_MOCK
+
+
+# --- engine args (tesseract_engine_test.go:70-82, 46-48) -------------------
+
+def test_engine_args_full():
+    args = parse_engine_args(
+        {
+            "config_vars": {"tessedit_char_whitelist": "0123456789"},
+            "psm": "0",
+            "lang": "jpn",
+        }
+    )
+    assert args.config_vars == {"tessedit_char_whitelist": "0123456789"}
+    assert args.psm == "0"
+    assert args.lang == "jpn"
+    assert args.export() == [
+        "-c", "tessedit_char_whitelist=0123456789", "-psm", "0", "-l", "jpn",
+    ]
+
+
+def test_engine_args_absent_is_valid():
+    # tesseract_engine.go:27-29; tested tesseract_engine_test.go:46-48
+    assert parse_engine_args(None) == EngineArgs()
+    assert parse_engine_args({}) == EngineArgs()
+
+
+def test_engine_args_wrong_types_error():
+    with pytest.raises(ValueError):
+        parse_engine_args({"psm": 3})
+    with pytest.raises(ValueError):
+        parse_engine_args({"lang": 7})
+    with pytest.raises(ValueError):
+        parse_engine_args({"config_vars": {"k": 1}})
+
+
+def test_hocr_switch():
+    args = parse_engine_args({"config_vars": {"tessedit_create_hocr": "1"}})
+    assert args.structured_output
+
+
+# --- SWT param (stroke_width_transform_test.go:10-34) ----------------------
+
+def test_swt_param_extraction():
+    assert swt_aggressive({"stroke-width-transform": "0"}) is False
+
+
+def test_swt_param_default():
+    assert swt_aggressive(None) is True
+    assert swt_aggressive({}) is True
+    assert swt_aggressive({"stroke-width-transform": "2"}) is True
+    assert swt_aggressive({"stroke-width-transform": 0}) is True
+
+
+# --- chain order (ocr_request.go:21-31) ------------------------------------
+
+def test_chain_reverse_order():
+    assert execution_order(["convert-pdf", "stroke-width-transform"]) == [
+        "stroke-width-transform", "convert-pdf",
+    ]
+    assert execution_order([]) == []
+    assert execution_order(None) == []
+
+
+# --- mock engine (mock_engine.go:3-10) --------------------------------------
+
+def test_mock_constant():
+    assert mock_extract(b"anything") == MOCK_ENGINE_RESPONSE
+    assert MOCK_ENGINE_RESPONSE == "mock engine decoder response"
+
+
+# --- html extraction --------------------------------------------------------
+
+HTML = (
+    b"<html><head><script>x</script></head><body>"
+    b'<nav><a href="/">Home</a><a href="/b">B</a><a href="/c">C</a></nav>'
+    b"<article><p>Alpha beta gamma delta epsilon zeta.</p>"
+    b"<p>Eta theta iota kappa.</p></article>"
+    b'<footer><a href="/x">x</a><a href="/y">y</a></footer></body></html>'
+)
+
+
+def test_extract_main_text_paragraphs():
+    assert extract_main_text(HTML) == (
+        "Alpha beta gamma delta epsilon zeta.\n\nEta theta iota kappa."
+    )
+
+
+def test_extract_deterministic():
+    assert extract_main_text(HTML) == extract_main_text(HTML)
+
+
+def test_extract_whitespace_normalization():
+    html = b"<body><article><p>  a \t b\n\nc  </p></article></body>"
+    assert extract_main_text(html) == "a b c"
+
+
+def test_extract_non_utf8_replace_policy():
+    html = b"<body><article><p>ok \xff end</p></article></body>"
+    assert extract_main_text(html) == "ok � end"
+
+
+def test_extract_malformed_html_no_raise():
+    assert isinstance(extract_main_text(b"<div><p>unclosed"), str)
+    assert extract_main_text(b"") == ""
+
+
+def test_conservative_mode_keeps_boilerplate():
+    html = (
+        b"<body><div><p>Main text block with enough words here.</p>"
+        b"<footer>footer words</footer></div></body>"
+    )
+    aggressive = extract_main_text(html, aggressive=True)
+    conservative = extract_main_text(html, aggressive=False)
+    assert "footer words" not in aggressive
+    assert "footer words" in conservative
+
+
+def test_collapse_ws():
+    assert collapse_ws("  a\t\nb  ") == "a b"
+
+
+def test_parse_html_skips_script_style():
+    root = parse_html(b"<body><script>bad()</script><p>good</p></body>")
+    texts = [n.text for n in root.iter() if n.is_text()]
+    assert "good" in texts
+    assert all("bad" not in (t or "") for t in texts)
+
+
+# --- pdf --------------------------------------------------------------------
+
+PDF = b"%PDF-1.4\nstream\nBT (Line one) Tj ET\nBT (Line \\(two\\)) Tj ET\nendstream"
+
+
+def test_is_pdf():
+    assert is_pdf(PDF)
+    assert not is_pdf(HTML)
+    assert not is_pdf(None)
+    assert not is_pdf(b"")
+
+
+def test_extract_pdf_text():
+    assert extract_pdf_text(PDF) == "Line one\nLine (two)"
+
+
+def test_pdf_compressed_unsupported():
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"%PDF-1.5\n<< /Filter /FlateDecode >>\nstream\nxx")
+
+
+# --- dispatch (error-as-value, ocr_rpc_worker.go:163-190) -------------------
+
+def test_dispatch_ok():
+    text, status, error = extract_document(HTML)
+    assert status == "ok" and error == ""
+    assert text.startswith("Alpha beta")
+
+
+def test_dispatch_mock_ignores_payload():
+    assert extract_document(b"", engine="mock") == (MOCK_ENGINE_RESPONSE, "ok", "")
+
+
+def test_dispatch_unknown_engine_defaults_mock():
+    text, status, _ = extract_document(HTML, engine="bogus")
+    assert (text, status) == (MOCK_ENGINE_RESPONSE, "ok")
+
+
+def test_dispatch_empty_payload_error_value():
+    text, status, error = extract_document(b"")
+    assert text == "" and status == "error:empty" and error
+
+
+def test_dispatch_lang_gate():
+    _, status, _ = extract_document(HTML, lang="klingon")
+    assert status == "error:lang"
+    _, status, _ = extract_document(HTML, lang="jpn")
+    assert status == "ok"
+    # explicit engine_args lang overrides the row lang
+    _, status, _ = extract_document(HTML, lang="klingon",
+                                    engine_args={"lang": "eng"})
+    assert status == "ok"
+
+
+def test_dispatch_pdf_routing_by_magic_bytes():
+    text, status, _ = extract_document(PDF)
+    assert status == "ok" and text == "Line one\nLine (two)"
+
+
+def test_dispatch_unknown_preprocessor_error():
+    _, status, error = extract_document(HTML, preprocessors=["nope"])
+    assert status == "error:preprocessor" and "nope" in error
+
+
+def test_dispatch_never_raises():
+    for payload in (None, b"", b"\x00\x01", b"<html>", PDF, HTML):
+        text, status, error = extract_document(payload)
+        assert isinstance(text, str) and isinstance(status, str)
+
+
+def test_dispatch_structured_output_spans():
+    import json
+
+    text, status, _ = extract_document(
+        HTML, engine_args={"config_vars": {"tessedit_create_hocr": "1"}}
+    )
+    assert status == "ok"
+    doc = json.loads(text)
+    assert doc["spans"][0]["text"].startswith("Alpha beta")
+    assert doc["spans"][0]["start"] == 0

@@ -1,0 +1,300 @@
+"""Deduplication suite over `documents(doc_id, text, lang, source, n_chars)`.
+
+Four tiers, ordered by cost, all expressed as DataFrame plans:
+
+1. exact_dedup        hash-groupBy on a content fingerprint (one shuffle)
+2. ngram_jaccard      word-shingle set overlap via explode + self-join
+3. minhash_lsh        MinHash signatures + banded LSH bucketing — the scale
+                      path: candidate pairs come from equality joins on band
+                      hashes, NEVER an all-pairs comparison
+4. simhash            64-bit SimHash fingerprints + chunk-match candidates
+
+All hashing is xxhash64 / md5 (deterministic, available on every executor,
+no Python). MinHash/SimHash signature construction is pure Catalyst
+(`transform`/`aggregate` higher-order functions over token arrays) so it
+whole-stage-codegens; at 100 TB the only shuffles are the band-bucket
+groupBys, each on well-distributed hash keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- 1. exact -------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Group identical texts (md5 of normalized content): one row per
+    distinct content with the canonical (min) doc_id and duplicate count.
+    Single hash-shuffle on a uniform key; map-side combine is automatic."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        docs.withColumn("content_hash", F.md5(norm.cast("binary")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Return the deduplicated documents: the min-doc_id representative of
+    every distinct normalized text."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    hashed = docs.withColumn("content_hash", F.md5(norm.cast("binary")))
+    reps = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(reps, ["content_hash", "doc_id"], "left_semi").drop(
+        "content_hash"
+    )
+
+
+# --- shingles (shared by 2 and 3) ------------------------------------------
+
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct word k-shingles as an array column — pure Catalyst
+    (split + sequence + transform), no UDF."""
+    toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array()).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+# --- 2. n-gram Jaccard ------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word k-shingles.
+
+    Plan shape: explode shingles → self-join on shingle (hash join on a
+    string key) → count intersections → join shingle counts → filter by
+    threshold. Quadratic only within identical-shingle groups; at scale use
+    minhash_lsh_pairs to pre-filter and this as the verifier.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp.
+    """
+    sh = docs.select(
+        F.col("doc_id"), F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "size_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- 3. MinHash + LSH --------------------------------------------------------
+
+# Fixed, deterministic permutation parameters. The base hash is reduced to
+# 31 bits before the affine permutation so a*h+b stays < 2^62: no int64
+# overflow under Spark's ANSI mode.
+_MH_PRIME = 2147483647  # 2^31 - 1
+_PERMS = [
+    ((2 * i + 1) * 40503 % _MH_PRIME or 1, (i * i + i + 1) % _MH_PRIME)
+    for i in range(32)
+]
+
+
+def minhash_signature(shingles_col):
+    """32-wide MinHash signature: h_i = min over shingles of
+    (a_i * h31(s) + b_i) mod (2^31-1), h31 = pmod(xxhash64(s), 2^31-1) —
+    all higher-order Catalyst exprs, no Python."""
+    base = F.transform(
+        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_PRIME)),
+                )
+            )
+            for a, b in _PERMS
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Scale-path near-dup detection: MinHash signatures, banded into
+    ``bands`` groups of 32/bands values; docs sharing any band hash become
+    candidate pairs; candidates are verified with exact Jaccard.
+
+    At 100 TB: signature construction is a narrow map; the only shuffles are
+    the band groupBy (uniform hash keys) and the verification join on
+    candidate doc ids — never an all-pairs product.
+    """
+    rows = bands
+    per_band = len(_PERMS) // rows
+    sigs = docs.select(
+        "doc_id",
+        word_shingles(F.col("text"), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = sigs.withColumn("sig", minhash_signature(F.col("shingles")))
+
+    band_cols = [
+        F.hash(F.slice(F.col("sig"), b * per_band + 1, per_band), F.lit(b)).alias(
+            "band_hash"
+        )
+        for b in range(rows)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    ).distinct()
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # verification: exact Jaccard restricted to the candidate subset only
+    sh = docs.select(
+        F.col("doc_id"), F.explode(word_shingles(F.col("text"), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# --- 4. SimHash --------------------------------------------------------------
+
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash fingerprint, pure Catalyst: per-token xxhash64, then
+    per-bit majority vote via aggregate over the token array."""
+    toks = F.array_distinct(
+        F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # bit 63 as a Python int overflows java long; use its two's-complement
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        bit_exprs.append(
+            F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", simhash_col(F.col("text")).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs whose 64-bit SimHashes agree on at least one 16-bit
+    chunk (pigeonhole: hamming ≤ 3 guarantees a matching chunk), verified by
+    exact hamming distance. Shuffles only on chunk values."""
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_id", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow-batched kernels over mapInPandas.
+
+The Spark-side plumbing (schema, batching, partitioning, UDF signature) is
+real and tested; the actual media decode is STUBBED because no image/audio
+libraries exist in this container — each stub either raises a clearly-marked
+NotImplementedError (strict mode) or produces a deterministic fake (default)
+so pipelines remain end-to-end runnable.
+
+This mirrors how the reference treats its payloads: opaque bytes plus typed
+metadata, routed by magic bytes (/root/reference/ocr_request.go:9,
+tesseract_engine.go:130-148 treats ImgBytes as opaque until the engine).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, media_type string, meta map<string,string>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, sha1 string, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+_MAGIC = (
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "audio/wav"),
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
+)
+
+
+def sniff_media_type(payload: bytes | None) -> str:
+    if not payload:
+        return "application/octet-stream"
+    head = bytes(payload[:8])
+    for magic, mtype in _MAGIC:
+        if head.startswith(magic):
+            return mtype
+    return "application/octet-stream"
+
+
+def _decode_stub(payload: bytes, media_type: str, strict: bool):
+    """STUB: real decode needs PIL/ffmpeg, absent in this container.
+
+    Deterministic fake: dimensions and an 8-dim feature vector derived from
+    the payload's sha1 — stable across runs/executors, so downstream joins
+    and tests behave exactly as they would with a real decoder."""
+    if strict:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg (not installed); "
+            "run with strict=False for the deterministic stub"
+        )
+    digest = hashlib.sha1(payload).digest()
+    width = 16 + digest[0] % 64
+    height = 16 + digest[1] % 64
+    n_frames = 1 + digest[2] % 8 if media_type.startswith("video") else 1
+    feature = [round(b / 255.0, 6) for b in digest[:8]]
+    return width, height, n_frames, feature
+
+
+def extract_media_features(
+    media: DataFrame, batch_size_hint: int = 256, strict: bool = False
+) -> DataFrame:
+    """Decode/feature-extract over mapInPandas: one pandas batch per Arrow
+    chunk, binary column stays opaque until inside the kernel. The plumbing
+    (schema, batch shape, null handling) is production-real; only the pixel
+    decode is stubbed."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, declared in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if payload is None or len(payload) == 0:
+                    rows.append(
+                        (media_id, declared or "application/octet-stream",
+                         0, "", None, None, None, None)
+                    )
+                    continue
+                payload = bytes(payload)
+                mtype = declared or sniff_media_type(payload)
+                w, h, nf, feat = _decode_stub(payload, mtype, strict)
+                rows.append(
+                    (
+                        media_id,
+                        mtype,
+                        len(payload),
+                        hashlib.sha1(payload).hexdigest(),
+                        w, h, nf, feat,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "n_bytes", "sha1",
+                    "width", "height", "n_frames", "feature",
+                ],
+            )
+
+    cols = ["media_id", "payload", "media_type"]
+    return media.select(*cols).mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def binary_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM stats over the opaque binary column (no kernel at all):
+    byte length + md5 — the oracle-checkable slice of the multimodal path."""
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

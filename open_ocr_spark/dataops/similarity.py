@@ -1,0 +1,165 @@
+"""Similarity search over `embeddings(vec_id, embedding array<float>, label)`.
+
+Two paths:
+- cosine_topk          brute-force cosine top-k vs a query vector — the
+                       correctness baseline. Dot products are pure Catalyst
+                       (`aggregate`/`zip_with` — whole-stage codegen, no
+                       Python); top-k is orderBy+limit (Spark's TakeOrdered,
+                       no full sort at scale).
+- lsh_bucketed_topk    the scale path: random-hyperplane LSH buckets
+                       (SimHash-for-vectors) so the query only scans its own
+                       bucket(s) — at 10^9 vectors the full scan dies, the
+                       bucket scan doesn't.
+- knn_join_brute       all-pairs k-NN within a label partition (grouped
+                       brute force) — the evaluation helper.
+
+All float math is done in float64 with explicit 4dp rounding at the output
+so results hash-compare across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_sim(a, b):
+    """Cosine similarity between two array<float> columns, float64
+    accumulation, NULL on zero norms (never a divide-by-zero under ANSI)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Brute-force top-k by cosine vs the embedding of ``query_vec_id``.
+
+    The 1-row query side is crossJoin-broadcast (explicitly): every task
+    scans only its own partition once; the "sort" is TakeOrdered(k).
+    Deterministic ordering: (cos_sim desc, vec_id asc) on ROUNDED scores so
+    tie order is engine-independent.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# --- LSH-bucketed ANN ---------------------------------------------------------
+
+_LSH_PRIME = 2147483647
+
+
+def _hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: ±1 pattern derived from a
+    fixed LCG — identical on every executor and run, no RNG state."""
+    out = []
+    state = (plane_id * 2654435761 + 1013904223) % _LSH_PRIME
+    for _ in range(dim):
+        state = (state * 1103515245 + 12345) % _LSH_PRIME
+        out.append(1.0 if state & 1 else -1.0)
+    return out
+
+
+def lsh_bucket_col(emb_col, dim: int, n_planes: int = 8):
+    """Random-hyperplane signature: bit i = sign(dot(v, plane_i)). Pure
+    Catalyst; one long bucket id per vector."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        bits.append(
+            F.when(_dot(emb_col, plane) >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: scan only the query's LSH bucket. Recall < 1.0 by construction;
+    the bench compares its hit rate against cosine_topk. At scale the
+    bucket column is a partition/bucketing key so the scan prunes to
+    ~1/2^n_planes of the table before any math runs."""
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), dim, n_planes)
+    )
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        with_bucket.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def centroid_per_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """IVF-style coarse quantization step: per-label centroids via
+    element-wise array aggregation (posexplode + groupBy — two uniform
+    shuffles, no Python)."""
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    means = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda s: F.round(s["mean_val"], 4)).alias(
+                "centroid"
+            ),
+        )
+    )
+    return means

@@ -1,0 +1,104 @@
+"""Text analysis over the `documents` table: token counting, quality
+scoring, fingerprinting (all pure Catalyst expressions — whole-stage
+codegen, no Python), and an n-gram language-ID heuristic as an
+Arrow-batched pandas UDF (the one genuinely non-SQL op here).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def token_count_col(text_col):
+    """Whitespace token count, JVM-side. '' counts as 0 tokens."""
+    trimmed = F.trim(F.regexp_replace(text_col, r"\s+", " "))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, " "))
+    )
+
+
+def with_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count_col(F.col(text)).cast("long"))
+
+
+def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-free quality heuristics, all codegen'd:
+    - n_chars, n_tokens
+    - avg_token_len = (chars - spaces) / tokens
+    - alpha_ratio   = alphabetic chars / chars
+    - score         = deterministic blend, rounded for cross-engine equality
+    """
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    avg_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
+        + alpha_ratio * F.lit(0.3)
+        + F.least(F.lit(1.0), avg_tok / F.lit(8.0)) * F.lit(0.2),
+        4,
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("avg_token_len", F.round(avg_tok, 4))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
+        .withColumn("quality_score", score)
+    )
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the whitespace-normalized, lowercased
+    text — deterministic, content-addressed, portable across engines
+    (replaces the reference's UUID tmp-file identities, SURVEY §4.2.4)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text), r"\s+", " ")))
+    return df.withColumn("fingerprint", F.md5(norm.cast("binary")))
+
+
+# --- language-ID heuristic (Arrow-batched pandas UDF) -----------------------
+
+# Tiny per-language stopword profiles: enough signal for the heuristic and
+# fully deterministic. Real models would be broadcast the same way.
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "por", "que"},
+    "zh": set(),  # CJK handled by the codepoint-range rule below
+}
+
+
+def _lang_id_series(texts: pd.Series) -> pd.Series:
+    def ident(t):
+        if not t:
+            return "und"
+        # CJK codepoint density first
+        cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+        if cjk > len(t[:400]) * 0.2:
+            return "zh"
+        tokens = t.lower().split()
+        if not tokens:
+            return "und"
+        best, best_hits = "und", 0
+        for lang in ("en", "de", "fr", "es"):  # fixed order = deterministic ties
+            hits = sum(1 for tok in tokens if tok in _PROFILES[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    return texts.map(ident)
+
+
+def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic language-ID as a vectorized pandas UDF (Arrow transport;
+    one Python call per batch, not per row). The UDF object is built
+    lazily: pandas_udf type resolution needs an active SparkSession."""
+    lang_id_udf = pandas_udf(_lang_id_series, "string")
+    return df.withColumn("lang_pred", lang_id_udf(F.col(text)))

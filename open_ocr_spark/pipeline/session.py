@@ -27,6 +27,7 @@ def get_spark(
         .master(master)
         # AQE: runtime re-plan — partition coalescing, skew splitting,
         # broadcast conversion (free skew handling on top of our salting)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

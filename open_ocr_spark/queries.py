@@ -1,0 +1,662 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable, with a matching
+ANSI-SQL oracle DuckDB runs on the same parquet tables.
+
+Contract rules (driver): column names must match between the Spark result
+and the oracle (aliases everywhere); floats are rounded 4dp on BOTH sides
+so value hashes agree across engines; orderings are made deterministic
+with explicit tiebreaks before any LIMIT.
+
+Queries marked ORACLE_NONE are genuinely non-SQL-expressible (kernel or
+hash-seeded ops) and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_ocr_spark.dataops.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from open_ocr_spark.dataops.similarity import cosine_topk, lsh_bucketed_topk
+from open_ocr_spark.dataops.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)
+from open_ocr_spark.pipeline.stages import extract_stage
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries (the engine's own operators, §2.A) — pages are
+# synthesized deterministically from `documents` JVM-side: the wrap is pure
+# concat/encode (no Python), the unwrap is the real extraction kernel.
+# ---------------------------------------------------------------------------
+
+_WRAP_PREFIX = (
+    '<html><head><title>doc</title><script>q()</script></head><body>'
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">A</a></li>'
+    '<li><a href="/b">B</a></li></ul></nav><article><p>'
+)
+_WRAP_SUFFIX = (
+    '</p></article><footer><a href="/x">x</a> <a href="/y">y</a>'
+    "<p>(c) footer</p></footer></body></html>"
+)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped pages table derived from the driver's documents
+    table: url from doc_id, html by wrapping text in boilerplate — all
+    Catalyst expressions (concat/encode), zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("https://docs.example.com/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(_WRAP_PREFIX),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(_WRAP_SUFFIX),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.lit("eng").alias("lang"),
+        F.col("doc_id"),
+    )
+
+
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: wrap every document in nav/footer boilerplate, run the real
+    extraction kernel, emit the recovered main text. The oracle is the
+    normalization identity: extraction must strip ALL boilerplate and return
+    exactly the whitespace-collapsed original text."""
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = extract_stage(pages)
+    return (
+        extracted.join(
+            pages.select("url", "doc_id"), "url", "inner"
+        )
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        extract_stage(pages)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("extracted_text")).alias("total_chars"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator surface (§2.B) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + predicate + projection: pushdown-eligible filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "net_price"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: partial+final hash agg, map-side
+    combine automatic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + agg + top-k: customer is the broadcast side (small dim);
+    deterministic tiebreak before the limit."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_join_region_nation_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop broadcast join chain over the dimension tables."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def q_window_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedupe window (latest-per-key): row_number over (ts desc,
+    event_id desc) — the same operator the extraction pipeline uses for
+    latest-crawl-per-url."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic window: per-customer running order total."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — THE resume operator (SURVEY §2.B): documents with
+    no embedding row, i.e. work not yet done."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one event identity
+    (user_id key space)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: rollup (source, lang) with counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact distinct users and event types."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time bucketing: tumbling 1-day windows via date_trunc (the batch
+    analog of a streaming tumbling window), value stats per day+type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def q_set_except_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: sources present in documents but absent from the
+    high-quality slice (n_chars >= 200) — EXCEPT semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    all_sources = docs.select("source").distinct()
+    hq_sources = docs.filter(F.col("n_chars") >= 200).select("source").distinct()
+    return all_sources.exceptAll(hq_sources).orderBy("source")
+
+
+def q_union_lang_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two disjoint slices re-aggregated — the manifest
+    combination pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    small = docs.filter(F.col("n_chars") < 200)
+    large = docs.filter(F.col("n_chars") >= 200)
+    tagged = small.withColumn("bucket", F.lit("small")).unionByName(
+        large.withColumn("bucket", F.lit("large"))
+    )
+    return (
+        tagged.groupBy("lang", "bucket")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("content_hash")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE candidate generation (xxhash64 seeds are Spark-specific);
+    the verification step IS SQL-checkable via q_ngram_jaccard_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE (xxhash64-derived bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs).orderBy("doc_id")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return with_token_count(docs).select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_quality_score(docs)
+        .select("doc_id", "n_tokens", "avg_token_len", "alpha_ratio", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE: pandas-UDF kernel (heuristic language ID)."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE: LSH-bucketed ANN (approximate by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, query_vec_id=0, k=10)
+
+
+def q_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: documents.text encoded
+    to an opaque binary column, JVM-side byte length + md5."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    from open_ocr_spark.dataops.multimodal import binary_stats
+
+    return binary_stats(media).orderBy("media_id")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE: mapInPandas feature-extraction plumbing with the
+    deterministic decode stub."""
+    from open_ocr_spark.dataops.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        extract_media_features(media)
+        .select("media_id", "n_bytes", "sha1", "width", "height")
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_main_text": q_extract_main_text,
+    "extract_status_rollup": q_extract_status_rollup,
+    "scan_filter_project": q_scan_filter_project,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_top_customers": q_join_top_customers,
+    "join_region_nation_customer": q_join_region_nation_customer,
+    "window_latest_event_per_user": q_window_latest_event_per_user,
+    "window_running_revenue": q_window_running_revenue,
+    "anti_join_resume": q_anti_join_resume,
+    "semi_join_events": q_semi_join_events,
+    "rollup_source_lang": q_rollup_source_lang,
+    "distinct_counts": q_distinct_counts,
+    "daily_event_stats": q_daily_event_stats,
+    "set_except_sources": q_set_except_sources,
+    "union_lang_totals": q_union_lang_totals,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "binary_payload_stats": q_binary_payload_stats,
+    "media_features": q_media_features,
+}
+
+# DuckDB oracles. Omitted keys = rows-only check (kernel / hash-seeded ops).
+ORACLES: dict[str, str] = {
+    "extract_main_text": """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_status_rollup": """
+        SELECT 'ok' AS status,
+               count(*) AS docs,
+               sum(length(trim(regexp_replace(coalesce(text, ''),
+                   '[ \t\n\r]+', ' ', 'g')))) AS total_chars
+        FROM documents
+    """,
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "join_top_customers": """
+        SELECT c_custkey, c_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "join_region_nation_customer": """
+        SELECT r_name AS region_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY region_name
+    """,
+    "window_latest_event_per_user": """
+        SELECT user_id, event_id, event_type, round(value, 4) AS value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "window_running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "anti_join_resume": """
+        SELECT doc_id, lang, source
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        ORDER BY doc_id
+    """,
+    "semi_join_events": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "rollup_source_lang": """
+        SELECT source, lang, count(*) AS docs, sum(n_chars) AS chars
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+    """,
+    "distinct_counts": """
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_event_types,
+               count(*) AS n_events
+        FROM events
+    """,
+    "daily_event_stats": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY day, event_type
+        ORDER BY day, event_type
+    """,
+    "set_except_sources": """
+        SELECT source FROM documents
+        EXCEPT
+        SELECT source FROM documents WHERE n_chars >= 200
+        ORDER BY source
+    """,
+    "union_lang_totals": """
+        SELECT lang, bucket, count(*) AS docs FROM (
+            SELECT lang, 'small' AS bucket FROM documents WHERE n_chars < 200
+            UNION ALL
+            SELECT lang, 'large' AS bucket FROM documents WHERE n_chars >= 200
+        )
+        GROUP BY lang, bucket
+        ORDER BY lang, bucket
+    """,
+    "exact_dedup_groups": """
+        SELECT md5(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
+                   AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY content_hash
+        ORDER BY content_hash
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                       AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM idx
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(string_split(
+                        trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' '))
+               END AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "quality_scores": """
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) = 0
+                        THEN 0
+                        ELSE len(string_split(
+                            trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' '))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        ), derived AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN (n_chars - (n_tokens - 1)) / n_tokens
+                        ELSE 0.0 END AS avg_tok,
+                   CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                        ELSE 0.0 END AS alpha_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens,
+               round(avg_tok, 4) AS avg_token_len,
+               round(alpha_ratio, 4) AS alpha_ratio,
+               round(least(1.0, n_tokens / 100.0) * 0.5
+                     + alpha_ratio * 0.3
+                     + least(1.0, avg_tok / 8.0) * 0.2, 4) AS quality_score
+        FROM derived
+        ORDER BY doc_id
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))))
+                   AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "embedding_topk": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round(list_dot_product(embedding, qe)
+                     / (sqrt(list_dot_product(embedding, embedding))
+                        * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "binary_payload_stats": """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+        ORDER BY media_id
+    """,
+}

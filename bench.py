@@ -1,0 +1,309 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Modes:
+  python bench.py                       one run, one JSON line (driver mode)
+  python bench.py --scaling             N-vs-4N protocol (BASELINE.md): runs
+                                        the extraction job at local[8] and
+                                        local[32] in fresh JVMs, reports
+                                        docs/sec at both + scaling efficiency
+  python bench.py --master local[8]     explicit master (used by --scaling)
+
+The headline metric is extraction throughput: documents wrapped in
+Common-Crawl-style boilerplate (JVM-side), deduped, bucket-shuffled, and
+run through the vectorized extraction kernel. The documents table is
+replicated REPLICATION× with distinct urls to reach bench scale — pure
+Catalyst (explode), deterministic, never collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "40"))
+WARMUP = os.environ.get("BENCH_WARMUP", "1") == "1"
+
+
+def build_pages(spark, sf_dir: str, replication: int):
+    """documents × replication with distinct urls, boilerplate-wrapped —
+    all Catalyst expressions (the bench measures the ENGINE, not Python
+    data generation)."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.queries import _WRAP_PREFIX, _WRAP_SUFFIX
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the documents table is ONE parquet file -> one scan task; repartition
+    # the 5k base rows first so the xR explode+wrap runs on every core
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n_parts)
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
+        )
+        .select(
+            F.concat(
+                F.lit("https://bench.example.com/doc/"),
+                F.col("doc_id"),
+                F.lit("/"),
+                F.col("rep"),
+            ).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit(_WRAP_PREFIX), F.col("text"), F.lit(_WRAP_SUFFIX)),
+                "utf-8",
+            ).alias("html"),
+            F.col("text"),
+            F.lit("eng").alias("lang"),
+        )
+    )
+
+
+def materialize_pages(spark, sf_dir: str, replication: int) -> str:
+    """One-time, untimed bench setup: write the synthetic pages table to
+    parquet (the job under test READS a crawl table; generating one is not
+    part of extraction). Keyed by (sf_dir, replication); reused across
+    bench processes in the same boot."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    path = f"{base}/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}_x{replication}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        build_pages(spark, sf_dir, replication).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_extraction_bench(
+    spark, sf_dir: str, replication: int, rounds: int = 1
+) -> dict:
+    """Median-of-N wall-clock over the full extraction job (parquet scan →
+    dedupe → url-hash shuffle → Arrow kernel → stats agg): single runs on
+    this box vary ±2× with host noise, the median doesn't."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.pipeline.job import extraction_plan
+
+    path = materialize_pages(spark, sf_dir, replication)
+    pages = spark.read.parquet(path)
+    walls = []
+    stats = None
+    for _ in range(rounds):
+        t0 = time.time()
+        out = extraction_plan(pages)
+        stats = out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("extracted_text")).alias("chars"),
+            F.sum((F.col("status") != "ok").cast("long")).alias("failures"),
+        ).collect()[0]
+        walls.append(time.time() - t0)
+    wall = statistics.median(walls)
+    return {
+        "seconds": round(wall, 3),
+        "all_seconds": [round(w, 3) for w in walls],
+        "docs": stats["docs"],
+        "docs_per_sec": round(stats["docs"] / wall, 1),
+        "failures": stats["failures"],
+    }
+
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_top_customers",
+    "window_latest_event_per_user",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "embedding_topk",
+    "quality_scores",
+]
+
+
+def run_once(
+    master: str,
+    sf_dir: str,
+    json_path: str | None = None,
+    extraction_only: bool = False,
+    replication: int | None = None,
+    rounds: int = 1,
+) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from open_ocr_spark.pipeline.session import get_spark
+    from open_ocr_spark.queries import QUERIES
+
+    replication = replication or REPLICATION
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")  # single-JVM local mode
+    cores = master.split("[")[1].rstrip("]") if "[" in master else "32"
+    shuffle = 32 if cores == "*" else max(8, int(cores))
+    spark = get_spark(app_name="bench", master=master, shuffle_partitions=shuffle)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if WARMUP:  # JVM/codegen warm-up, excluded per BASELINE.md protocol
+        run_extraction_bench(spark, sf_dir, max(1, replication // 4))
+
+    extraction = run_extraction_bench(spark, sf_dir, replication, rounds=rounds)
+
+    if extraction_only:
+        result = {
+            "metric": "extraction_docs_per_sec",
+            "value": extraction["docs_per_sec"],
+            "unit": "docs/sec",
+            "seconds": extraction["seconds"],
+            "all_seconds": extraction["all_seconds"],
+            "docs": extraction["docs"],
+            "master": master,
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        }
+        spark.stop()
+        if json_path:
+            with open(json_path, "w") as f:
+                json.dump(result, f)
+        return result
+
+    query_secs: dict[str, float] = {"extract_pipeline": extraction["seconds"]}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        query_secs[name] = round(time.time() - t0, 3)
+
+    total = round(sum(query_secs.values()), 3)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "extraction_docs": extraction["docs"],
+        "extraction_docs_per_sec": extraction["docs_per_sec"],
+        "extraction_failures": extraction["failures"],
+        "master": master,
+    }
+    spark.stop()
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(result, f)
+    return result
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_control(procs: int, iters: int = 20_000_000) -> float:
+    """Pure-CPU throughput (Miter/s) at a given process count — the
+    MACHINE's intrinsic scaling ceiling. On this sandbox 8→32 vCPUs only
+    scales 2.8×/4 (hypervisor overcommit); the job's efficiency must be
+    read against this ceiling, not against an ideal 4×."""
+    import multiprocessing as mp
+
+    burn = _burn
+
+    with mp.Pool(procs) as pool:
+        t0 = time.time()
+        pool.map(burn, [iters] * procs)
+        wall = time.time() - t0
+    return round(procs * iters / wall / 1e6, 1)
+
+
+def run_scaling(sf_dir: str, n_small: int = 8, n_big: int = 32,
+                replication: int = 200) -> dict:
+    """BASELINE.md protocol: same job, same input, local[N] vs local[4N];
+    efficiency = (throughput_4N / throughput_N) / 4, reported alongside the
+    machine's own pure-CPU scaling ceiling between the same core counts.
+
+    The workload is sized so the parallel fraction dominates fixed job
+    overhead, and each level reports the median of 3 in-JVM measurements
+    (host noise on this box is ±2×)."""
+    assert n_big == 4 * n_small, "protocol is N vs 4N"
+    results = {}
+    for cores in (n_small, n_big):
+        master = f"local[{cores}]"
+        out = f"/tmp/bench_local_{cores}.json"
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            BENCH_REPLICATION=str(replication),
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--master", master,
+             "--json-out", out, "--extraction-only", "--rounds", "3"],
+            check=True,
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(out) as f:
+            results[cores] = json.load(f)
+    tp_n = results[n_small]["value"]
+    tp_4n = results[n_big]["value"]
+    ctl_n = cpu_control(n_small)
+    ctl_4n = cpu_control(n_big)
+    machine_ceiling = round((ctl_4n / ctl_n) / 4, 3)
+    efficiency = round((tp_4n / tp_n) / 4, 3)
+    return {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": efficiency,
+        "unit": "ratio",
+        "n_cores": n_small,
+        "4n_cores": n_big,
+        f"docs_per_sec_local{n_small}": tp_n,
+        f"docs_per_sec_local{n_big}": tp_4n,
+        f"seconds_local{n_small}": results[n_small]["all_seconds"],
+        f"seconds_local{n_big}": results[n_big]["all_seconds"],
+        "docs": results[n_big]["docs"],
+        "machine_cpu_ceiling": machine_ceiling,
+        "efficiency_vs_machine_ceiling": round(efficiency / machine_ceiling, 3)
+        if machine_ceiling
+        else None,
+        "pass_threshold": 0.8,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }
+
+
+def main():
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        n_small = 8
+        replication = 200
+        if "--n" in args:
+            n_small = int(args[args.index("--n") + 1])
+        if "--replication" in args:
+            replication = int(args[args.index("--replication") + 1])
+        print(json.dumps(run_scaling(SF_DIR, n_small, 4 * n_small, replication)))
+        return
+    master = f"local[{CPUS}]"
+    json_path = None
+    rounds = 1
+    if "--master" in args:
+        master = args[args.index("--master") + 1]
+    if "--json-out" in args:
+        json_path = args[args.index("--json-out") + 1]
+    if "--rounds" in args:
+        rounds = int(args[args.index("--rounds") + 1])
+    result = run_once(
+        master,
+        SF_DIR,
+        json_path,
+        extraction_only="--extraction-only" in args,
+        rounds=rounds,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,11 +43,17 @@ def extraction_plan(
 ) -> DataFrame:
     """The flagship query as a single declarative plan:
 
-        scan → ingest-normalize → latest-per-url window → bucket-by-url-hash
-        shuffle → mapInArrow extraction kernel
+        scan → ingest-normalize → latest-per-url dedupe (ONE url-hash
+        shuffle) → mapInArrow extraction kernel
 
     (SURVEY.md §7.1 minimum slice). Returns (url, extracted_text, status,
-    error, n_bytes)."""
+    error, n_bytes).
+
+    The dedupe's groupBy(url) exchange IS the bucket-by-url-hash shuffle:
+    its output is already hash-distributed by url, so no second exchange
+    sits in front of the kernel. ``num_partitions`` forces an explicit
+    extra repartition — used by tests to prove partition-count invariance,
+    never on the hot path."""
     df = ingest(pages)
     df = latest_per_url(df)
     if num_partitions:

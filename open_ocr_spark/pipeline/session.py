@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle spill dir: tmpfs when available — the sandbox's virtio disk
+    # serializes concurrent shuffle writers; a real cluster would use
+    # per-executor local SSDs instead (never set this on YARN/K8s where
+    # the resource manager provides local dirs).
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -71,6 +71,7 @@ def run_extraction_job(
     input_snapshot_id: str = "snapshot-0",
     run_id: str | None = None,
     max_buckets: int | None = None,
+    use_mock: bool = False,
 ) -> dict:
     """Resumable extraction over bucket groups.
 
@@ -96,7 +97,9 @@ def run_extraction_job(
         # partition-prune committed buckets BEFORE the window/dedupe work:
         # the filter sits directly on the scan projection
         subset = base.filter(F.col(BUCKET_COL).isin(group))
-        result = extraction_plan(subset.drop(BUCKET_COL)).withColumn(
+        result = extraction_plan(
+            subset.drop(BUCKET_COL), use_mock=use_mock
+        ).withColumn(
             BUCKET_COL,
             F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets)),
         )

@@ -21,10 +21,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # only pin a master when explicitly requested: under spark-submit the
+    # cluster manager supplies it (hard-coding local[*] here would silently
+    # turn a cluster job into a single-node one)
+    master = master or os.environ.get("SPARK_MASTER")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_CONF_DIR"):
+        builder = builder.master("local[*]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # AQE: runtime re-plan — partition coalescing, skew splitting,
         # broadcast conversion (free skew handling on top of our salting)
         .config("spark.sql.session.timeZone", "UTC")

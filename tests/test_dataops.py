@@ -1,0 +1,223 @@
+"""Training-data ops tier: dedup (exact/minhash/simhash/jaccard),
+similarity search, text stats, multimodal plumbing — correctness on small
+controlled inputs (the driver's oracle check covers the testdata tables)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from open_ocr_spark.dataops.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from open_ocr_spark.dataops.multimodal import (
+    binary_stats,
+    extract_media_features,
+    sniff_media_type,
+)
+from open_ocr_spark.dataops.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from open_ocr_spark.dataops.textstats import (
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+FAR = "completely different content about spark dataframes and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0", len(BASE)),
+        (1, BASE, "en", "s0", len(BASE)),          # exact dup of 0
+        (2, NEAR, "en", "s1", len(NEAR)),          # near dup of 0
+        (3, FAR, "en", "s1", len(FAR)),
+        (4, "tiny", "en", "s2", 4),                # < k tokens: no shingles
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # doc 1 collapsed into doc 0
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {0, 2, 3, 4}
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5   # near dup
+    assert not any(3 in p for p in pairs)  # FAR matches nothing
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(docs, k=3, threshold=0.8).collect()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()}
+    # LSH verifies candidates with exact jaccard -> no false positives,
+    # and on identical docs the bands must collide -> (0,1) present
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sigs = minhash_signatures(docs, k=3).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert len(by_id[0]) == 32
+    assert by_id[0] == by_id[1]  # identical text -> identical signature
+    assert 4 not in by_id        # too short for shingles
+    again = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, k=3).collect()}
+    assert by_id == again
+
+
+def test_simhash_near_dup(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 16
+
+
+def test_word_shingles_edge(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "doc_id long, text string")
+    got = df.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in got}
+    assert by_id[1] == []
+    assert by_id[2] == ["a b c", "b c d"]
+
+
+# --- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite
+        (4, [0.7, 0.7, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_cosine_topk_order(emb):
+    got = cosine_topk(emb, query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 4, 2]
+    assert got[0]["cos_sim"] == pytest.approx(0.9939, abs=1e-4)
+    assert got[2]["cos_sim"] == 0.0
+
+
+def test_lsh_topk_subset_of_brute_force(emb):
+    brute = {r["vec_id"] for r in cosine_topk(emb, 0, k=4).collect()}
+    lsh = [r for r in lsh_bucketed_topk(emb, 0, k=4, dim=4, n_planes=2).collect()]
+    assert {r["vec_id"] for r in lsh} <= brute | {3}
+    # same-bucket vectors keep exact cosine scores
+    for r in lsh:
+        assert r["cos_sim"] is not None
+
+
+# --- textstats ---------------------------------------------------------------
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "a  b\tc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in with_token_count(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 3}
+
+
+def test_quality_score_monotone(spark):
+    df = spark.createDataFrame(
+        [(0, "word " * 200), (1, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["quality_score"] for r in with_quality_score(df).collect()}
+    assert got[0] > got[1]
+
+
+def test_lang_id_heuristic(spark, docs):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the park and it is fine"),
+            (1, "der hund und die katze das ist ein gutes leben und nicht schlecht"),
+            (2, "一些中文内容在这里还有更多中文字符来确保密度够高"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "zh"
+    assert got[3] == "und"
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_sniff_media_type():
+    assert sniff_media_type(b"\x89PNG\r\n\x1a\n....") == "image/png"
+    assert sniff_media_type(b"\xff\xd8\xff\xe0JFIF") == "image/jpeg"
+    assert sniff_media_type(b"RIFF....WAVE") == "audio/wav"
+    assert sniff_media_type(b"plain") == "application/octet-stream"
+    assert sniff_media_type(None) == "application/octet-stream"
+
+
+def test_media_features_plumbing(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\nxxxx", None, None),
+        (1, b"\xff\xd8\xff\xe0data", "image/jpeg", None),
+        (2, None, None, None),
+        (3, b"", None, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    got = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert got[0]["media_type"] == "image/png"
+    assert got[0]["n_bytes"] == 12 and len(got[0]["sha1"]) == 40
+    assert got[0]["width"] >= 16 and got[0]["feature"] is not None
+    assert got[2]["n_bytes"] == 0 and got[2]["width"] is None
+    # determinism across invocations
+    again = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert got[0]["feature"] == again[0]["feature"]
+
+
+def test_media_strict_mode_raises(spark):
+    media = spark.createDataFrame(
+        [(0, b"\x89PNGxxxx", None, None)],
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    with pytest.raises(Exception):
+        extract_media_features(media, strict=True).collect()
+
+
+def test_binary_stats_jvm_only(spark):
+    media = spark.createDataFrame(
+        [(0, b"abc"), (1, b"")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in binary_stats(media).collect()}
+    assert got[0]["n_bytes"] == 3
+    assert got[0]["payload_md5"] == "900150983cd24fb0d6963f7d28e17f72"

@@ -1,0 +1,63 @@
+"""Resume tier (SURVEY.md §5.2.4): kill after k buckets, restart, assert
+zero recomputation and byte-identical final output vs an uninterrupted
+run."""
+
+import pyspark.sql.functions as F
+
+from open_ocr_spark.fixtures import golden_df, pages_df
+from open_ocr_spark.pipeline.checkpoint import committed_buckets, read_manifests
+from open_ocr_spark.pipeline.job import read_extracted, run_extraction_job
+
+N_ROWS = 200
+BUCKETS = 6
+
+
+def test_kill_resume_identical_output(spark, tmp_path):
+    pages = pages_df(spark, N_ROWS)
+    out_interrupted = str(tmp_path / "interrupted")
+    out_clean = str(tmp_path / "clean")
+
+    # killed run: stops after 2 buckets
+    first = run_extraction_job(
+        spark, pages, out_interrupted, num_buckets=BUCKETS, max_buckets=2
+    )
+    assert first["buckets_processed"] == 2
+    assert len(committed_buckets(out_interrupted)) == 2
+
+    # resume: must process exactly the remaining buckets
+    second = run_extraction_job(
+        spark, pages, out_interrupted, num_buckets=BUCKETS
+    )
+    assert second["buckets_processed"] == BUCKETS - 2
+    assert len(committed_buckets(out_interrupted)) == BUCKETS
+
+    # third run: idempotent no-op
+    third = run_extraction_job(spark, pages, out_interrupted, num_buckets=BUCKETS)
+    assert third["buckets_processed"] == 0
+
+    # uninterrupted reference run
+    run_extraction_job(spark, pages, out_clean, num_buckets=BUCKETS)
+
+    a = read_extracted(spark, out_interrupted).select(
+        "url", "extracted_text", "status"
+    )
+    b = read_extracted(spark, out_clean).select("url", "extracted_text", "status")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_manifest_lineage_counts(spark, tmp_path):
+    pages = pages_df(spark, N_ROWS)
+    out = str(tmp_path / "run")
+    run_extraction_job(
+        spark, pages, out, num_buckets=4, input_snapshot_id="snap-42"
+    )
+    manifests = read_manifests(out)
+    assert len(manifests) == 4
+    assert all(m["input_snapshot_id"] == "snap-42" for m in manifests)
+    total = sum(m["docs_processed"] for m in manifests)
+    golden = golden_df(spark, N_ROWS)
+    assert total == golden.count()
+    failures = sum(m["failure_count"] for m in manifests)
+    expected_failures = golden.filter(F.col("status") != "ok").count()
+    assert failures == expected_failures

@@ -303,6 +303,76 @@ def q_union_lang_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets surface: cube over (source, lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(F.count("*").alias("docs"))
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )
+
+
+def q_intersect_user_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: user ids that are both event actors and customer keys."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return ev.intersect(cust).orderBy("id")
+
+
+def q_window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: seconds since the user's previous event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            prev_ts.isNotNull(),
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("long"),
+        ).alias("gap_seconds"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_host_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: synthesize per-source urls, extract the
+    host JVM-side with parse_url (the host-salting key, SURVEY §2.C), and
+    aggregate. Oracle reconstructs the host without parse_url."""
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        "n_chars",
+    )
+    return (
+        with_url.groupBy(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("host")
+    )
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 source parity: the inline-base64 ingest path
+    (unbase64 = the reference's decodeBase64, ocr_request.go:33-45) must
+    round-trip every document byte-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    roundtrip = F.decode(
+        F.unbase64(F.base64(F.encode(F.col("text"), "utf-8"))), "utf-8"
+    )
+    return docs.select(
+        "doc_id",
+        roundtrip.alias("roundtrip_text"),
+        (roundtrip == F.col("text")).alias("matches"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -419,6 +489,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_event_stats": q_daily_event_stats,
     "set_except_sources": q_set_except_sources,
     "union_lang_totals": q_union_lang_totals,
+    "cube_source_lang": q_cube_source_lang,
+    "intersect_user_ids": q_intersect_user_ids,
+    "window_event_gaps": q_window_event_gaps,
+    "host_doc_counts": q_host_doc_counts,
+    "base64_roundtrip": q_base64_roundtrip,
     "exact_dedup_groups": q_exact_dedup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -554,6 +629,38 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY lang, bucket
         ORDER BY lang, bucket
+    """,
+    "cube_source_lang": """
+        SELECT source, lang, count(*) AS docs
+        FROM documents
+        GROUP BY CUBE (source, lang)
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+    """,
+    "intersect_user_ids": """
+        SELECT user_id AS id FROM events
+        INTERSECT
+        SELECT c_custkey AS id FROM customer
+        ORDER BY id
+    """,
+    "window_event_gaps": """
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)))
+                   AS BIGINT) AS gap_seconds
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    "host_doc_counts": """
+        SELECT source || '.example.com' AS host,
+               count(*) AS docs, sum(n_chars) AS chars
+        FROM documents
+        GROUP BY host
+        ORDER BY host
+    """,
+    "base64_roundtrip": """
+        SELECT doc_id, text AS roundtrip_text, TRUE AS matches
+        FROM documents
+        ORDER BY doc_id
     """,
     "exact_dedup_groups": """
         SELECT md5(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))

@@ -1,0 +1,116 @@
+"""Structured Streaming surface.
+
+The reference is strictly request/response — its only time semantics is a
+120 s RPC timeout (/root/reference/ocr_rpc_client.go:13,141-146) — and the
+graft spec is an offline batch job (SURVEY.md §2.B "Streaming": not
+needed for parity). This module exists because a continuously-crawling
+pages table is the natural NEXT step of the same pipeline: the SAME
+extraction kernel runs unchanged under `readStream`, which is the point —
+batch/stream symmetry falls out of keeping the kernel a pure function over
+Arrow batches.
+
+- stream_extract:   readStream(parquet pages dir) → mapInArrow kernel →
+                    writeStream parquet sink with checkpointing.
+                    Trigger.AvailableNow processes the backlog then stops
+                    (the batch-parity mode tests use).
+- windowed_event_counts: tumbling event-time windows + watermark for late
+                    data — the streaming twin of metrics.daily_metrics.
+
+Dedupe note: latest-per-url dedupe is NOT restated in streaming (unbounded
+keyed state at 10^12 urls); re-crawls are folded in batch compaction
+(pipeline/dedupe.py) exactly like the batch job — streaming emits
+append-only extractions keyed by (url, warc_ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_ocr_spark.fixtures import PAGES_DDL
+from open_ocr_spark.pipeline.ingest import ingest
+from open_ocr_spark.pipeline.stages import extract_stage
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir)
+
+
+def stream_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous extraction: same ingest + kernel as the batch plan (no
+    dedupe — see module docstring). Returns the StreamingQuery; caller
+    awaits termination."""
+    pages = read_pages_stream(spark, pages_dir)
+    extracted = extract_stage(ingest(pages))
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window with watermark: counts + value sums per
+    (window, event_type). Late rows beyond the watermark are dropped;
+    state is bounded by watermark horizon — works identically on a batch
+    DataFrame (window agg, watermark ignored) and a stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """The same windowed agg as a streaming query over an events directory
+    (append mode: windows emit once the watermark passes)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = spark.readStream.schema(schema).parquet(events_dir)
+    agg = windowed_event_counts(events, window, watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,113 @@
+"""Plan-shape tier: assert the physical plans we designed for actually
+materialize — predicate pushdown into the parquet scan, column pruning
+(never deserialize html for metrics-only queries), broadcast joins for
+small dims, single-exchange extraction, codegen'd hash aggregates for the
+dedup signatures. These are the 100 TB guarantees; a regression here is a
+performance bug even when results stay correct."""
+
+import pytest
+
+from open_ocr_spark.queries import (
+    pages_from_documents,
+    q_agg_pricing_summary,
+    q_join_region_nation_customer,
+    q_join_top_customers,
+    q_scan_filter_project,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(q_scan_filter_project(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,45" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_projection(spark):
+    plan = plan_of(q_scan_filter_project(spark, SF))
+    # 4-column projection must not read the other 7 lineitem columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_metrics_never_read_html(spark):
+    """lang metrics over pages must prune the html payload column from the
+    scan — reading 100 TB of html for a lang count is the canonical
+    failure."""
+    import pyspark.sql.functions as F
+
+    pages = pages_from_documents(spark, SF)
+    counts = pages.groupBy("lang").agg(F.count("*").alias("docs"))
+    plan = plan_of(counts)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # html derives from text here
+    assert "doc_id" not in read_schema or "lang" in read_schema
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count plan-tree nodes (formatted explain repeats each node in the
+    detail section; count only '(N) Name' detail headers)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.M))
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(q_join_region_nation_customer(spark, SF))
+    assert _nodes(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    plan2 = plan_of(q_join_top_customers(spark, SF))
+    assert _nodes(plan2, "BroadcastHashJoin") >= 1
+
+
+def test_agg_has_partial_final(spark):
+    """Hash aggregation with map-side combine: two HashAggregate nodes
+    around one exchange."""
+    plan = plan_of(q_agg_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_extraction_single_exchange(spark):
+    """The flagship plan: exactly ONE shuffle between scan and kernel
+    (the dedupe groupBy IS the bucket-by-url-hash exchange)."""
+    from open_ocr_spark.pipeline.dedupe import latest_per_url
+    from open_ocr_spark.pipeline.ingest import ingest
+    from open_ocr_spark.pipeline.stages import extract_stage
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as url",
+        "timestamp'2024-01-01' as warc_ts",
+        "encode(text, 'utf-8') as html",
+        "text",
+        "lang",
+    )
+    plan = plan_of(extract_stage(latest_per_url(ingest(pages))))
+    # AQE wraps the plan; count Exchange nodes in the initial physical plan
+    body = plan.split("== Physical Plan ==")[1]
+    n_exchanges = sum(
+        1 for line in body.splitlines() if line.strip().startswith("(")
+        and "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 1, plan
+    assert "MapInArrow" in plan
+
+
+def test_minhash_uses_hash_aggregate(spark):
+    """Signature construction must be a codegen'd aggregate, not an
+    interpreted higher-order expression chain."""
+    from open_ocr_spark.dataops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

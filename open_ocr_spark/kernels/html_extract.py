@@ -32,42 +32,42 @@ from open_ocr_spark.kernels.htmltree import (
 _MIN_CANDIDATE_CHARS = 1
 
 
-def _text_stats(node: Node) -> tuple[int, int]:
-    """(total_chars, link_chars) of collapsed text in the subtree."""
-    total = 0
-    link = 0
-    stack = [(node, False)]
+def _stats_map(root: Node) -> dict[int, tuple[int, int]]:
+    """Single bottom-up pass computing (total_chars, link_chars) for EVERY
+    node: O(nodes), vs O(depth × nodes) when re-walking each candidate's
+    subtree. The hot-path win on deeply nested real-world pages."""
+    stats: dict[int, tuple[int, int]] = {}
+    # iterative post-order: (node, in_link, visited)
+    stack: list[tuple[Node, bool, bool]] = [(root, False, False)]
     while stack:
-        cur, in_link = stack.pop()
-        if cur.is_text():
-            n = len(collapse_ws(cur.text))
-            total += n
-            if in_link:
-                link += n
+        node, in_link, visited = stack.pop()
+        if node.is_text():
+            n = len(collapse_ws(node.text))
+            stats[id(node)] = (n, n if in_link else 0)
             continue
-        child_in_link = in_link or cur.tag == "a"
-        for child in reversed(cur.children):
-            stack.append((child, child_in_link))
-    return total, link
+        child_in_link = in_link or node.tag == "a"
+        if not visited:
+            stack.append((node, in_link, True))
+            for child in node.children:
+                stack.append((child, child_in_link, False))
+        else:
+            total = 0
+            link = 0
+            for child in node.children:
+                t, l = stats[id(child)]
+                total += t
+                link += l
+            stats[id(node)] = (total, link)
+    return stats
 
 
-def _score(node: Node) -> float:
+def _score_from_stats(total: int, link: int) -> float:
     """Text-density × (1 - link-density)² score. Higher = more main-ish.
     Deterministic: pure arithmetic on subtree character counts."""
-    total, link = _text_stats(node)
     if total < _MIN_CANDIDATE_CHARS:
         return 0.0
     link_density = link / total
     return total * (1.0 - link_density) * (1.0 - link_density)
-
-
-def _candidates(root: Node) -> list[Node]:
-    out = []
-    for node in root.iter():
-        if not node.is_text() and node.tag in CANDIDATE_TAGS:
-            if node.tag not in BOILERPLATE_TAGS:
-                out.append(node)
-    return out
 
 
 def select_main_node(root: Node) -> Node | None:
@@ -77,10 +77,17 @@ def select_main_node(root: Node) -> Node | None:
     A nested candidate must beat its ancestor's score to win, which biases
     toward the tightest subtree that still holds all the main text — the
     analog of the reference's single text region per document."""
+    stats = _stats_map(root)
     best = None
     best_score = 0.0
-    for node in _candidates(root):
-        s = _score(node)
+    for node in root.iter():
+        if (
+            node.is_text()
+            or node.tag not in CANDIDATE_TAGS
+            or node.tag in BOILERPLATE_TAGS
+        ):
+            continue
+        s = _score_from_stats(*stats[id(node)])
         if s > best_score:
             best, best_score = node, s
     return best

@@ -128,9 +128,10 @@ class _TreeBuilder(HTMLParser):
         )
 
 
-def parse_html(raw: bytes | str) -> Node:
-    """Parse HTML bytes (utf-8, errors=replace — frozen decode policy) or a
-    str into a Node tree. Never raises on malformed markup."""
+def parse_html_stdlib(raw: bytes | str) -> Node:
+    """html.parser-backed tree build — the reference implementation the
+    fast tokenizer below is cross-checked against (tests assert identical
+    extraction on the golden fixtures)."""
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = bytes(raw).decode("utf-8", errors="replace")
     builder = _TreeBuilder()
@@ -142,6 +143,101 @@ def parse_html(raw: bytes | str) -> Node:
         # yields whatever tree was built so far (error-as-value upstream).
         pass
     return builder.root
+
+
+# --- fast tokenizer ---------------------------------------------------------
+# ~4× faster than html.parser because it never parses attributes (the
+# extractor reads none), never tracks source positions, and scans with two
+# compiled regexes. Same tolerant tree semantics: implicit closes, ignored
+# stray end tags, SKIP_TAGS subtrees dropped, entities unescaped.
+
+import html as _html
+import re as _re
+
+_TOKEN_RE = _re.compile(
+    r"<!--.*?(?:-->|$)"              # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"    # cdata
+    r"|<[!?][^>]*>?"                 # doctype / PI
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*?(/?)\s*>",  # tag
+    _re.S,
+)
+# raw-text elements: content runs to the matching close tag, never nested
+_RAWTEXT = {"script", "style", "textarea", "title", "noscript", "template"}
+_RAWTEXT_CLOSE = {
+    t: _re.compile(rf"</\s*{t}[^>]*>", _re.I) for t in _RAWTEXT
+}
+
+
+def parse_html(raw: bytes | str) -> Node:
+    """Parse HTML bytes (utf-8, errors=replace — frozen decode policy) or a
+    str into a Node tree. Never raises on malformed markup."""
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        raw = bytes(raw).decode("utf-8", errors="replace")
+    root = Node("#document")
+    stack = [root]
+    skip_tag = None
+    skip_depth = 0
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        m = _TOKEN_RE.search(raw, pos)
+        if m is None:
+            text = raw[pos:]
+            if skip_depth == 0 and text:
+                if "&" in text:
+                    text = _html.unescape(text)
+                top = stack[-1]
+                top.children.append(Node(None, text=text, parent=top))
+            break
+        start = m.start()
+        if start > pos and skip_depth == 0:
+            text = raw[pos:start]
+            if "&" in text:
+                text = _html.unescape(text)
+            top = stack[-1]
+            top.children.append(Node(None, text=text, parent=top))
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:
+            continue  # comment / doctype / PI
+        tag = tag.lower()
+        closing = m.group(1) == "/"
+        self_closing = m.group(3) == "/"
+
+        if skip_depth:
+            if closing and tag == skip_tag:
+                skip_depth -= 1
+            elif not closing and tag == skip_tag and tag not in VOID_TAGS:
+                skip_depth += 1
+            continue
+
+        if closing:
+            if tag in VOID_TAGS:
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+
+        if tag in SKIP_TAGS:
+            if self_closing:
+                continue
+            if tag in _RAWTEXT:
+                # raw-text content: jump straight to the close tag
+                mclose = _RAWTEXT_CLOSE[tag].search(raw, pos)
+                pos = mclose.end() if mclose else n
+            else:
+                skip_tag = tag
+                skip_depth = 1
+            continue
+
+        top = stack[-1]
+        node = Node(tag, None, parent=top)
+        top.children.append(node)
+        if not self_closing and tag not in VOID_TAGS:
+            stack.append(node)
+    return root
 
 
 def collapse_ws(s: str) -> str:

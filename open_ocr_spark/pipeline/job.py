@@ -94,8 +94,8 @@ def run_extraction_job(
     processed = 0
     for group_start in range(0, len(all_buckets), buckets_per_commit):
         group = all_buckets[group_start : group_start + buckets_per_commit]
-        # partition-prune committed buckets BEFORE the window/dedupe work:
-        # the filter sits directly on the scan projection
+        # partition-prune committed buckets BEFORE the dedupe work: the
+        # filter sits directly on the scan projection
         subset = base.filter(F.col(BUCKET_COL).isin(group))
         result = extraction_plan(
             subset.drop(BUCKET_COL), use_mock=use_mock
@@ -103,37 +103,55 @@ def run_extraction_job(
             BUCKET_COL,
             F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets)),
         )
-        # one atomic write per bucket directory, then the manifest
-        for b in group:
-            bucket_out = result.filter(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
-            bucket_out.persist()
-            try:
-                stats = bucket_out.agg(
+        # exactly TWO actions per group over one cached extraction pass:
+        # a per-bucket stats agg and one dynamic-partition-overwrite write
+        # (only this group's bucket dirs are replaced; committed buckets
+        # are untouched). Manifests commit strictly after the write — a
+        # kill between them recomputes the group idempotently.
+        result.persist()
+        try:
+            stats_rows = {
+                r[BUCKET_COL]: r
+                for r in result.groupBy(BUCKET_COL)
+                .agg(
                     F.count("*").alias("docs"),
                     F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes"),
                     F.coalesce(
                         F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
                     ).alias("failures"),
-                ).collect()[0]
-                bucket_out.write.mode("overwrite").parquet(
-                    f"{out_dir}/data/bucket={b}"
                 )
-                commit_bucket(
-                    out_dir,
-                    b,
-                    run_id=run_id,
-                    input_snapshot_id=input_snapshot_id,
-                    docs=stats["docs"],
-                    bytes_processed=stats["bytes"],
-                    failures=stats["failures"],
-                )
-            finally:
-                bucket_out.unpersist()
-            total_docs += stats["docs"]
+                .collect()
+            }
+            (
+                # dir name must not start with '_' (Spark's file index
+                # hides underscore-prefixed paths) -> rename for the write
+                result.withColumnRenamed(BUCKET_COL, "bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(f"{out_dir}/data")
+            )
+        finally:
+            result.unpersist()
+        for b in group:
+            s = stats_rows.get(b)
+            docs = s["docs"] if s else 0
+            commit_bucket(
+                out_dir,
+                b,
+                run_id=run_id,
+                input_snapshot_id=input_snapshot_id,
+                docs=docs,
+                bytes_processed=s["bytes"] if s else 0,
+                failures=s["failures"] if s else 0,
+            )
+            total_docs += docs
             processed += 1
 
     return {"run_id": run_id, "buckets_processed": processed, "docs": total_docs}
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/data")
+    df = spark.read.parquet(f"{out_dir}/data")
+    # partition discovery surfaces the bucket dir as a column; hide it
+    return df.drop("bucket") if "bucket" in df.columns else df

@@ -19,6 +19,7 @@ window dedupe (FIXTURES.md §1).
 from __future__ import annotations
 
 import datetime as dt
+import html as _html
 import random
 
 from open_ocr_spark.kernels.mock import MOCK_ENGINE_RESPONSE
@@ -65,7 +66,7 @@ def _page_html(rng: random.Random, paragraphs: list[str], title: str) -> bytes:
     farm = " ".join(
         f'<a href="/t/{i}">tag{i}</a>' for i in range(rng.randint(6, 14))
     )
-    body_paras = "".join(f"<p>{p}</p>" for p in paragraphs)
+    body_paras = "".join(f"<p>{_html.escape(p)}</p>" for p in paragraphs)
     sidebar = "".join(
         f'<li><a href="/r/{i}">related {i}</a></li>' for i in range(rng.randint(3, 8))
     )
@@ -160,6 +161,48 @@ def generate_pages(n_rows: int = 500, seed: int = SEED):
             # the reference's README golden paragraph, verbatim
             html = _page_html(rng, [README_GOLDEN], "Golden transcript")
             expected, status = README_GOLDEN, "ok"
+        elif kind == 12:
+            # CJK main content: no-whitespace text must survive untouched
+            paras = [
+                "这是一段中文正文内容没有空格也必须逐字节保留第" + str(i) + "段",
+                "第二段中文内容包含标点。还有，逗号！",
+            ]
+            nav = '<nav><ul><li><a href="/">首页</a></li><li><a href="/a">关于</a></li></ul></nav>'
+            html = (
+                "<html><body>" + nav + "<article>"
+                + "".join(f"<p>{p}</p>" for p in paras)
+                + '</article><footer><a href="/x">链接</a></footer></body></html>'
+            ).encode("utf-8")
+            expected, status = "\n\n".join(paras), "ok"
+        elif kind == 11:
+            # table-based layout: the content <td> must beat the link cell
+            cell = _paragraph(rng, 30 + i % 10)
+            links = " ".join(f'<a href="/l/{j}">link {j}</a>' for j in range(8))
+            html = (
+                "<html><body><header><h1>T</h1></header><table><tr>"
+                + f'<td class="m">{_html.escape(cell)}</td><td>{links}</td>'
+                + "</tr></table><footer>(c)</footer></body></html>"
+            ).encode("utf-8")
+            expected, status = cell, "ok"
+        elif kind == 10:
+            # list-structured main content: one paragraph per <li>
+            items = [_paragraph(rng, 9 + j) for j in range(4)]
+            nav = "".join(f'<li><a href="/n/{j}">nav {j}</a></li>' for j in range(6))
+            html = (
+                f"<html><body><nav><ul>{nav}</ul></nav><article><ul>"
+                + "".join(f"<li>{_html.escape(x)}</li>" for x in items)
+                + '</ul></article><footer><a href="/f">f</a></footer></body></html>'
+            ).encode("utf-8")
+            expected, status = "\n\n".join(items), "ok"
+        elif kind == 9:
+            # entity-rich content: escapes must round-trip byte-exactly
+            para = (
+                _paragraph(rng, 6)
+                + ' fish & chips <cheap> "quoted" 100% '
+                + _paragraph(rng, 6)
+            )
+            html = _page_html(rng, [para], f"Doc {i}")
+            expected, status = para, "ok"
         else:
             n_paras = 2 + (i % 4)
             paragraphs = [_paragraph(rng, 8 + (i + j) % 30) for j in range(n_paras)]

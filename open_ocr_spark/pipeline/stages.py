@@ -28,7 +28,13 @@ EXTRACT_SCHEMA = (
     "n_bytes long"
 )
 
-_OPTION_COLS = ("engine", "preprocessors", "preprocessor_args", "engine_args")
+_OPTION_COLS = (
+    "engine",
+    "preprocessors",
+    "preprocessor_args",
+    "engine_args",
+    "engine_args_json",  # nested reference shape, JSON-encoded (sources.py)
+)
 
 
 def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -55,6 +61,13 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         eargs = (
             cols["engine_args"].to_pylist() if "engine_args" in cols else [None] * n
         )
+        if "engine_args_json" in cols:
+            import json
+
+            eargs = [
+                json.loads(s) if s else e
+                for s, e in zip(cols["engine_args_json"].to_pylist(), eargs)
+            ]
 
         texts: list[str] = []
         statuses: list[str] = []

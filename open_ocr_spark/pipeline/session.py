@@ -50,6 +50,7 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     # Shuffle spill dir: tmpfs when available — the sandbox's virtio disk
     # serializes concurrent shuffle writers; a real cluster would use

@@ -46,6 +46,12 @@ from open_ocr_spark.kernels.pdf_text import extract_pdf_text, is_pdf
 
 STATUS_OK = "ok"
 
+# Per-document resource bound — the batch analog of the reference's 120 s
+# RPC timeout (ocr_rpc_client.go:13,141-146): a pathological document gets
+# an error value instead of stalling its whole task. 20 MB covers >99.99%
+# of real crawl pages.
+MAX_DOC_BYTES = 20 * 1024 * 1024
+
 # Default chain when none is given: PDF payloads are still handled, because
 # the engine itself routes by magic bytes (the reference's tesseract would
 # fail on a PDF; our flagship pipeline always detects).
@@ -106,6 +112,12 @@ def extract_document(
 
         if html is None or len(html) == 0:
             return "", "error:empty", "empty document payload"
+        if len(html) > MAX_DOC_BYTES:
+            return (
+                "",
+                "error:too-large",
+                f"payload {len(html)} bytes exceeds {MAX_DOC_BYTES}",
+            )
 
         chain = execution_order(list(preprocessors)) if preprocessors \
             else list(_DEFAULT_CHAIN)

@@ -303,6 +303,14 @@ def q_union_lang_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + windowed cumsum +
+    agg — the batch twin of the stateful streaming operator."""
+    from open_ocr_spark.dataops.sessions import sessionize_events
+
+    return sessionize_events(_t(spark, sf_dir, "events"))
+
+
 def q_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-sets surface: cube over (source, lang)."""
     docs = _t(spark, sf_dir, "documents")
@@ -489,6 +497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_event_stats": q_daily_event_stats,
     "set_except_sources": q_set_except_sources,
     "union_lang_totals": q_union_lang_totals,
+    "sessionize_events": q_sessionize_events,
     "cube_source_lang": q_cube_source_lang,
     "intersect_user_ids": q_intersect_user_ids,
     "window_event_gaps": q_window_event_gaps,
@@ -629,6 +638,29 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY lang, bucket
         ORDER BY lang, bucket
+    """,
+    "sessionize_events": """
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               CAST(floor(min(epoch(ts))) AS BIGINT) AS start_epoch,
+               CAST(floor(max(epoch(ts))) AS BIGINT) AS end_epoch
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """,
     "cube_source_lang": """
         SELECT source, lang, count(*) AS docs

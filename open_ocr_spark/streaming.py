@@ -90,6 +90,71 @@ def windowed_event_counts(
     )
 
 
+def running_user_counts_stateful(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-user event count + value sum whose state survives query
+    restarts via the checkpoint. Each micro-batch is appended to parquet
+    through foreachBatch (update-mode semantics materialized manually —
+    counts are monotone, so the max per user is the current total).
+
+    This is the graft's demonstration of arbitrary stateful processing —
+    the general tool for operators Spark lacks natively."""
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events = spark.readStream.schema(schema).parquet(events_dir)
+
+    def update_counts(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n],
+             "sum_value": [round(total, 4)]}
+        )
+
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        counted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     events_dir: str,

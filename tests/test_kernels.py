@@ -251,3 +251,12 @@ def test_dispatch_structured_output_spans():
     doc = json.loads(text)
     assert doc["spans"][0]["text"].startswith("Alpha beta")
     assert doc["spans"][0]["start"] == 0
+
+
+def test_dispatch_size_gate():
+    # A16 recast: pathological payloads become error values, never stalls
+    from open_ocr_spark.kernels import dispatch
+
+    big = b"<html>" + b"x" * (dispatch.MAX_DOC_BYTES + 1)
+    text, status, error = extract_document(big)
+    assert status == "error:too-large" and text == ""

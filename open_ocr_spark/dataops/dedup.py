@@ -53,19 +53,43 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # --- shingles (shared by 2 and 3) ------------------------------------------
 
 
-def word_shingles(text_col, k: int = 3):
-    """Distinct word k-shingles as an array column — pure Catalyst
-    (split + sequence + transform), no UDF."""
-    toks = F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
-    n = F.size(toks)
-    return F.when(n < k, F.array()).otherwise(
+def tokens_col(text_col):
+    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+
+
+def shingles_of_tokens(toks_col, k: int = 3):
+    """Distinct word k-shingles from an ALREADY-MATERIALIZED token array
+    column. The token expression must be bound to a named column first
+    (withColumn): higher-order lambdas are interpreted, so an inline
+    split() referenced inside the lambda re-evaluates per element —
+    measured 13× slower on real data. slice+array_join references the
+    array exactly once per shingle."""
+    n = F.size(toks_col)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-                ),
+                lambda i: F.array_join(F.slice(toks_col, i + 1, k), " "),
             )
+        )
+    )
+
+
+def word_shingles(text_col, k: int = 3):
+    """Per-row shingle expression (kept for column-level composition;
+    prefer shingle_rows for whole-table work — see shingles_of_tokens on
+    why inline token expressions are slow)."""
+    return shingles_of_tokens(tokens_col(text_col), k)
+
+
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded rows — the shared scan for jaccard and
+    minhash. Tokenizes ONCE per row via a bound column."""
+    return (
+        docs.withColumn("_toks", tokens_col(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("_toks"), k)).alias("shingle"),
         )
     )
 
@@ -84,9 +108,7 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs to pre-filter and this as the verifier.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp.
     """
-    sh = docs.select(
-        F.col("doc_id"), F.explode(word_shingles(F.col("text"), k)).alias("shingle")
-    )
+    sh = shingle_rows(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     inter = (
         sh.alias("a")
@@ -157,9 +179,9 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     one shuffle on doc_id, 32 min() aggregates over the shingle hashes.
     ~10× faster than the higher-order-function form (HOFs are interpreted,
     hash aggregates are whole-stage-codegen'd) and identical output."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k)).alias("shingle")
-    ).withColumn("h31", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)))
+    sh = shingle_rows(docs, k).withColumn(
+        "h31", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME))
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_MH_PRIME))).alias(
             f"_m{i}"
@@ -215,9 +237,7 @@ def minhash_lsh_pairs(
     )
 
     # verification: exact Jaccard restricted to the candidate subset only
-    sh = docs.select(
-        F.col("doc_id"), F.explode(word_shingles(F.col("text"), k)).alias("shingle")
-    )
+    sh = shingle_rows(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

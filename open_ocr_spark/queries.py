@@ -303,6 +303,85 @@ def q_union_lang_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fact_fact_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big equi-join (lineitem ⋈ orders on orderkey): too large to
+    broadcast → shuffle hash/sort-merge join, Catalyst's choice, AQE-tuned.
+    Revenue by order status."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) with
+    selective filters on both sides and top-k by revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15"
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_salted_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salting pattern PROVEN equivalent: two-phase agg by
+    (host, salt-of-key) then host must give exactly the plain GROUP BY
+    answer (the oracle is the plain form)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        "n_chars",
+    )
+    partial = (
+        with_url.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(16)))
+        .groupBy("host", "_salt")
+        .agg(F.count("*").alias("_docs"), F.sum("n_chars").alias("_chars"))
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("_docs").alias("docs"), F.sum("_chars").alias("chars"))
+        .orderBy("host")
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE: HLL sketch (approx_count_distinct) — engine-specific
+    estimates; sanity-gated by the rows-only check and compared to exact
+    in tests."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap): lag + windowed cumsum +
     agg — the batch twin of the stateful streaming operator."""
@@ -497,6 +576,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_event_stats": q_daily_event_stats,
     "set_except_sources": q_set_except_sources,
     "union_lang_totals": q_union_lang_totals,
+    "fact_fact_join_revenue": q_fact_fact_join_revenue,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "salted_host_counts": q_salted_host_counts,
+    "approx_distinct_users": q_approx_distinct_users,
     "sessionize_events": q_sessionize_events,
     "cube_source_lang": q_cube_source_lang,
     "intersect_user_ids": q_intersect_user_ids,
@@ -638,6 +721,34 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY lang, bucket
         ORDER BY lang, bucket
+    """,
+    "fact_fact_join_revenue": """
+        SELECT o_orderstatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "top_unshipped_orders": """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "salted_host_counts": """
+        SELECT source || '.example.com' AS host,
+               count(*) AS docs, sum(n_chars) AS chars
+        FROM documents
+        GROUP BY host
+        ORDER BY host
     """,
     "sessionize_events": """
         WITH gaps AS (

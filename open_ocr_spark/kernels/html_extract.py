@@ -32,35 +32,6 @@ from open_ocr_spark.kernels.htmltree import (
 _MIN_CANDIDATE_CHARS = 1
 
 
-def _stats_map(root: Node) -> dict[int, tuple[int, int]]:
-    """Single bottom-up pass computing (total_chars, link_chars) for EVERY
-    node: O(nodes), vs O(depth × nodes) when re-walking each candidate's
-    subtree. The hot-path win on deeply nested real-world pages."""
-    stats: dict[int, tuple[int, int]] = {}
-    # iterative post-order: (node, in_link, visited)
-    stack: list[tuple[Node, bool, bool]] = [(root, False, False)]
-    while stack:
-        node, in_link, visited = stack.pop()
-        if node.is_text():
-            n = len(collapse_ws(node.text))
-            stats[id(node)] = (n, n if in_link else 0)
-            continue
-        child_in_link = in_link or node.tag == "a"
-        if not visited:
-            stack.append((node, in_link, True))
-            for child in node.children:
-                stack.append((child, child_in_link, False))
-        else:
-            total = 0
-            link = 0
-            for child in node.children:
-                t, l = stats[id(child)]
-                total += t
-                link += l
-            stats[id(node)] = (total, link)
-    return stats
-
-
 def _score_from_stats(total: int, link: int) -> float:
     """Text-density × (1 - link-density)² score. Higher = more main-ish.
     Deterministic: pure arithmetic on subtree character counts."""
@@ -76,8 +47,10 @@ def select_main_node(root: Node) -> Node | None:
 
     A nested candidate must beat its ancestor's score to win, which biases
     toward the tightest subtree that still holds all the main text — the
-    analog of the reference's single text region per document."""
-    stats = _stats_map(root)
+    analog of the reference's single text region per document.
+
+    Subtree text/link totals (node.tlen/llen) are folded in at parse time
+    — no extra walk here beyond one pre-order candidate scan."""
     best = None
     best_score = 0.0
     for node in root.iter():
@@ -87,7 +60,7 @@ def select_main_node(root: Node) -> Node | None:
             or node.tag in BOILERPLATE_TAGS
         ):
             continue
-        s = _score_from_stats(*stats[id(node)])
+        s = _score_from_stats(node.tlen, node.llen)
         if s > best_score:
             best, best_score = node, s
     return best

@@ -51,9 +51,13 @@ CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "body", "td"})
 
 class Node:
     """One element or text node. Element nodes: tag + children; text nodes:
-    tag is None and ``text`` holds the raw character data."""
+    tag is None and ``text`` holds the raw character data.
 
-    __slots__ = ("tag", "attrs", "children", "text", "parent")
+    ``tlen``/``llen`` are subtree totals of collapsed text chars / chars
+    under <a>, folded in DURING parsing (each element's totals flow into
+    its parent when it closes) so scoring needs no second tree walk."""
+
+    __slots__ = ("tag", "attrs", "children", "text", "parent", "tlen", "llen")
 
     def __init__(self, tag, attrs=None, text=None, parent=None):
         self.tag = tag
@@ -61,6 +65,8 @@ class Node:
         self.children = []
         self.text = text
         self.parent = parent
+        self.tlen = 0
+        self.llen = 0
 
     def is_text(self):
         return self.tag is None
@@ -128,6 +134,31 @@ class _TreeBuilder(HTMLParser):
         )
 
 
+def fold_stats(root: Node) -> None:
+    """Post-order fold of subtree text/link totals into tlen/llen for a
+    finished tree (used by the stdlib parse path; the fast tokenizer folds
+    during parsing)."""
+    stack: list[tuple[Node, bool, bool]] = [(root, False, False)]
+    while stack:
+        node, in_link, visited = stack.pop()
+        if node.is_text():
+            n = collapsed_len(node.text)
+            node.tlen = n
+            node.llen = n if in_link else 0
+            continue
+        child_in_link = in_link or node.tag == "a"
+        if not visited:
+            node.tlen = 0
+            node.llen = 0
+            stack.append((node, in_link, True))
+            for child in node.children:
+                stack.append((child, child_in_link, False))
+        else:
+            for child in node.children:
+                node.tlen += child.tlen
+                node.llen += child.llen
+
+
 def parse_html_stdlib(raw: bytes | str) -> Node:
     """html.parser-backed tree build — the reference implementation the
     fast tokenizer below is cross-checked against (tests assert identical
@@ -142,6 +173,7 @@ def parse_html_stdlib(raw: bytes | str) -> Node:
         # html.parser is tolerant, but freeze the guarantee: a parse blowup
         # yields whatever tree was built so far (error-as-value upstream).
         pass
+    fold_stats(builder.root)
     return builder.root
 
 
@@ -177,25 +209,44 @@ def parse_html(raw: bytes | str) -> Node:
     stack = [root]
     skip_tag = None
     skip_depth = 0
+    a_depth = 0
     pos = 0
     n = len(raw)
+
+    def add_text(text: str) -> None:
+        if "&" in text:
+            text = _html.unescape(text)
+        top = stack[-1]
+        tnode = Node(None, text=text, parent=top)
+        clen = collapsed_len(text)
+        tnode.tlen = clen
+        tnode.llen = clen if a_depth else 0
+        top.tlen += clen
+        if a_depth:
+            top.llen += clen
+        top.children.append(tnode)
+
+    def pop_to(idx: int) -> None:
+        # fold each popped element's totals into its parent (stats flow up
+        # exactly once, at close time)
+        nonlocal a_depth
+        while len(stack) > idx:
+            child = stack.pop()
+            if child.tag == "a":
+                a_depth -= 1
+            parent = stack[-1]
+            parent.tlen += child.tlen
+            parent.llen += child.llen
+
     while pos < n:
         m = _TOKEN_RE.search(raw, pos)
         if m is None:
-            text = raw[pos:]
-            if skip_depth == 0 and text:
-                if "&" in text:
-                    text = _html.unescape(text)
-                top = stack[-1]
-                top.children.append(Node(None, text=text, parent=top))
+            if skip_depth == 0 and pos < n:
+                add_text(raw[pos:])
             break
         start = m.start()
         if start > pos and skip_depth == 0:
-            text = raw[pos:start]
-            if "&" in text:
-                text = _html.unescape(text)
-            top = stack[-1]
-            top.children.append(Node(None, text=text, parent=top))
+            add_text(raw[pos:start])
         pos = m.end()
         tag = m.group(2)
         if tag is None:
@@ -216,7 +267,7 @@ def parse_html(raw: bytes | str) -> Node:
                 continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
-                    del stack[i:]
+                    pop_to(i)
                     break
             continue
 
@@ -237,6 +288,9 @@ def parse_html(raw: bytes | str) -> Node:
         top.children.append(node)
         if not self_closing and tag not in VOID_TAGS:
             stack.append(node)
+            if tag == "a":
+                a_depth += 1
+    pop_to(1)  # folds every still-open element's totals up into root
     return root
 
 
@@ -244,3 +298,16 @@ def collapse_ws(s: str) -> str:
     """Frozen whitespace normalization: any run of unicode whitespace
     becomes one ASCII space; leading/trailing stripped."""
     return " ".join(s.split())
+
+
+def collapsed_len(s: str) -> int:
+    """len(collapse_ws(s)) without building the string."""
+    parts = s.split()
+    if not parts:
+        return 0
+    return sum(map(len, parts)) + len(parts) - 1
+
+
+def _fold_into_parent(child: Node, parent: Node) -> None:
+    parent.tlen += child.tlen
+    parent.llen += child.llen

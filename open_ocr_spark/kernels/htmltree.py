@@ -238,15 +238,27 @@ def parse_html(raw: bytes | str) -> Node:
             parent.tlen += child.tlen
             parent.llen += child.llen
 
+    find = raw.find
+    match = _TOKEN_RE.match
     while pos < n:
-        m = _TOKEN_RE.search(raw, pos)
+        # locate the next token with memchr-speed find('<') + an anchored
+        # match, instead of letting the regex engine walk the intervening
+        # text one char at a time (every token branch starts with '<', so
+        # this is equivalent to search() but ~2× faster on text-heavy docs;
+        # a stray '<' that matches no branch stays part of the text run)
+        lt = find("<", pos)
+        m = None
+        while lt != -1:
+            m = match(raw, lt)
+            if m is not None:
+                break
+            lt = find("<", lt + 1)
         if m is None:
             if skip_depth == 0 and pos < n:
                 add_text(raw[pos:])
             break
-        start = m.start()
-        if start > pos and skip_depth == 0:
-            add_text(raw[pos:start])
+        if lt > pos and skip_depth == 0:
+            add_text(raw[pos:lt])
         pos = m.end()
         tag = m.group(2)
         if tag is None:

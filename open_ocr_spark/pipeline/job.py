@@ -53,8 +53,20 @@ def extraction_plan(
     its output is already hash-distributed by url, so no second exchange
     sits in front of the kernel. ``num_partitions`` forces an explicit
     extra repartition — used by tests to prove partition-count invariance,
-    never on the hot path."""
+    never on the hot path.
+
+    Column pruning happens BEFORE the dedupe, not after: Catalyst cannot
+    prune unused struct fields through ``max_by``, so any column left in
+    the frame here (the crawl table's ``text`` snapshot column in
+    particular — as large as ``html``) would ride the url-hash exchange
+    and sit in every agg buffer. Projecting first roughly halves the
+    shuffle volume on an input_hint-shaped table."""
     df = ingest(pages)
+    needed = ["url", "warc_ts", "html", "lang"]
+    from open_ocr_spark.pipeline.stages import _OPTION_COLS
+
+    keep = needed + [c for c in _OPTION_COLS if c in df.columns]
+    df = df.select(*[c for c in keep if c in df.columns])
     df = latest_per_url(df)
     if num_partitions:
         df = bucket_by_url_hash(df, num_partitions)

@@ -556,6 +556,157 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts per priority × status.
+    Status values pinned explicitly — at scale an unpinned pivot runs an
+    extra distinct-values job over the whole table before planning."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based aggregate) with linear interpolation —
+    matches DuckDB's quantile_cont. The approx path for 100 TB is
+    approx_percentile (t-digest); the exact form is the oracle-checkable
+    one."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_grouping_sets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form behind rollup/cube, via spark.sql."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+        """
+    )
+
+
+def q_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: users who purchased vs users who clicked — either
+    side may be missing. Both sides are pre-aggregated before the join
+    (shuffle carries one row per user, not per event)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return (
+        purchases.join(clicks, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking window. NOTE the global (unpartitioned) window: fine
+    for a top-level report, but at 100 TB an unpartitioned ntile funnels
+    every row through one task — the scale path is percentile bucketing
+    (see q_percentile_order_value) or a partitioned window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
+def q_stats_corr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / stddev_samp) — single
+    pass, map-side partial aggregation like any hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join: per user, count follower events within 300 s
+    strictly after an event. A naive theta-join is a per-user cross
+    product; the scale path buckets time into window-sized bins and turns
+    the band predicate into an equi-join on (user_id, bucket) with each
+    probe row exploded into its two candidate bins — shuffle-partitionable,
+    no cartesian node (the same trick SNIPPETS.md shows for interval
+    joins)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").alias("a_ts")
+    )
+    bucket = F.floor(F.unix_timestamp("a_ts") / 300)
+    left = e.withColumn("bucket", bucket)
+    probe = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").alias("b_ts"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_timestamp("b_ts") / 300),
+                    F.floor(F.unix_timestamp("b_ts") / 300) - 1,
+                )
+            ),
+        )
+    )
+    pairs = left.join(probe, ["user_id", "bucket"]).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 300 SECONDS"))
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -598,6 +749,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "binary_payload_stats": q_binary_payload_stats,
     "media_features": q_media_features,
+    "pivot_order_status": q_pivot_order_status,
+    "percentile_order_value": q_percentile_order_value,
+    "grouping_sets_docs": q_grouping_sets_docs,
+    "full_outer_user_activity": q_full_outer_user_activity,
+    "ntile_order_quartiles": q_ntile_order_quartiles,
+    "stats_corr_revenue": q_stats_corr_revenue,
+    "range_join_event_pairs": q_range_join_event_pairs,
 }
 
 # DuckDB oracles. Omitted keys = rows-only check (kernel / hash-seeded ops).
@@ -908,5 +1066,76 @@ ORACLES: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
         ORDER BY media_id
+    """,
+    "pivot_order_status": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "percentile_order_value": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "grouping_sets_docs": """
+        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+    """,
+    "full_outer_user_activity": """
+        WITH p AS (
+            SELECT user_id, count(*) AS n_purchases,
+                   round(sum(value), 2) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), c AS (
+            SELECT user_id, count(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        )
+        SELECT coalesce(p.user_id, c.user_id) AS user_id,
+               coalesce(n_purchases, 0) AS n_purchases,
+               coalesce(purchase_value, 0.0) AS purchase_value,
+               coalesce(n_clicks, 0) AS n_clicks
+        FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+        ORDER BY user_id
+    """,
+    "ntile_order_quartiles": """
+        SELECT quartile, count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM (
+            SELECT o_totalprice, ntile(4) OVER (
+                ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+            FROM orders
+        )
+        GROUP BY quartile
+        ORDER BY quartile
+    """,
+    "stats_corr_revenue": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2)
+                   AS covar_qty_price,
+               round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "range_join_event_pairs": """
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM events a JOIN events b ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
+        GROUP BY a.user_id
+        ORDER BY a.user_id
     """,
 }

@@ -707,6 +707,52 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (dataops/asof.py): each event gets the most recent order
+    of the same user at-or-before the event time — union + one running
+    window, no range cross product. Right side pre-deduped on (key, ts)
+    as the operator (and DuckDB's ASOF) requires."""
+    from open_ocr_spark.dataops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            "o_orderkey",
+        )
+    )
+    joined = asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="ots",
+        value_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_order_key")
+    ).orderBy("event_id")
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: highest-value 3 orders per customer via a
+    partitioned row_number window (one shuffle, per-partition sort;
+    unlike global top-k this never funnels to one task)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "rk", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_custkey", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -756,6 +802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "stats_corr_revenue": q_stats_corr_revenue,
     "range_join_event_pairs": q_range_join_event_pairs,
+    "asof_last_order": q_asof_last_order,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
 }
 
 # DuckDB oracles. Omitted keys = rows-only check (kernel / hash-seeded ops).
@@ -1137,5 +1185,27 @@ ORACLES: dict[str, str] = {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
         GROUP BY a.user_id
         ORDER BY a.user_id
+    """,
+    "asof_last_order": """
+        WITH o1 AS (
+            SELECT o_custkey AS user_id, o_orderdate AS ots,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o1.o_orderkey AS last_order_key
+        FROM events e ASOF LEFT JOIN o1
+          ON e.user_id = o1.user_id AND e.ts >= o1.ots
+        ORDER BY e.event_id
+    """,
+    "topk_orders_per_customer": """
+        SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk
     """,
 }

@@ -221,3 +221,68 @@ def test_binary_stats_jvm_only(spark):
     got = {r["media_id"]: r for r in binary_stats(media).collect()}
     assert got[0]["n_bytes"] == 3
     assert got[0]["payload_md5"] == "900150983cd24fb0d6963f7d28e17f72"
+
+
+# --- as-of join ------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from open_ocr_spark.dataops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "e1"),   # before any right row -> null
+            (1, "2024-01-01 12:00:00", "e2"),   # exactly at r1 -> inclusive
+            (1, "2024-01-01 15:00:00", "e3"),   # between r1 and r2 -> r1
+            (1, "2024-01-02 00:00:00", "e4"),   # after r2 -> r2
+            (2, "2024-01-01 12:00:00", "e5"),   # key with no right rows
+        ],
+        "k long, ts string, name string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 12:00:00", 100),
+            (1, "2024-01-01 18:00:00", 200),
+        ],
+        "k long, rts string, v int",
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    got = {
+        r["name"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert got == {"e1": None, "e2": 100, "e3": 100, "e4": 200, "e5": None}
+
+
+def test_asof_join_partition_invariance(spark):
+    """Same result at any parallelism (SURVEY §7.3 Hard #2)."""
+    from open_ocr_spark.dataops.asof import asof_join
+
+    left = spark.range(0, 200).select(
+        (F.col("id") % 7).alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("base"),
+        F.col("id").alias("event_id"),
+    ).select(
+        "k",
+        (F.col("base") + F.make_interval(mins=F.col("event_id"))).alias("ts"),
+        "event_id",
+    )
+    right = spark.range(0, 40).select(
+        (F.col("id") % 7).alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("base"),
+        (F.col("id") * 100).alias("v"),
+    ).select(
+        "k",
+        (F.col("base") + F.make_interval(mins=F.col("v") / 20)).alias("rts"),
+        "v",
+    )
+    run = lambda l, r: sorted(
+        (row["event_id"], row["v"])
+        for row in asof_join(
+            l, r, on="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    )
+    assert run(left, right) == run(left.repartition(13), right.repartition(3))

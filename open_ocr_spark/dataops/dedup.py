@@ -204,14 +204,96 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Scale-path near-dup detection: MinHash signatures, banded into
-    ``bands`` groups of 32/bands values; docs sharing any band hash become
-    candidate pairs; candidates are verified with exact Jaccard.
+    """Scale-path near-dup detection: collapse exact duplicates, MinHash +
+    banded LSH over the DISTINCT contents only, verify candidates with
+    exact Jaccard, then expand the verified content pairs back to document
+    pairs.
 
-    At 100 TB: signature construction is a narrow map; the only shuffles are
-    the band groupBy (uniform hash keys) and the verification join on
-    candidate doc ids — never an all-pairs product.
+    The exact-collapse pre-pass is what makes this survive real crawl
+    tables: identical-content clusters are huge there, and every stage of
+    a naive doc-level LSH (signatures, band buckets, candidate pairs,
+    verification joins) is quadratic in cluster size. After the collapse
+    all compute runs once per distinct content; only the final expansion
+    is proportional to the (inherently quadratic) OUTPUT pair set. Same
+    result set: intra-cluster pairs are jaccard 1.0 by construction,
+    cross-cluster pairs share their representatives' jaccard because
+    identical normalized text ⇒ identical shingle set.
+
+    At 100 TB: shuffles are the content-hash groupBy, the band groupBy
+    (uniform hash keys), and the verification/expansion joins on content
+    keys — never an all-pairs product over documents.
     """
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    hashed = docs.select(
+        "doc_id", "text", F.md5(norm.cast("binary")).alias("_ch")
+    )
+    members = hashed.select("doc_id", "_ch")
+    reps = hashed.groupBy("_ch").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+
+    rep_pairs = _minhash_lsh_pairs_direct(
+        reps.select("doc_id", "text"), k=k, bands=bands, threshold=threshold
+    )
+
+    rep_keys = reps.select("_ch", F.col("doc_id").alias("rep_id"))
+    # contents with ≥1 shingle: only those ever pair (a no-shingle doc has
+    # no signature in the direct path either)
+    shingled = (
+        shingle_rows(reps.select("doc_id", "text"), k)
+        .select(F.col("doc_id").alias("rep_id"))
+        .distinct()
+    )
+    ok_ch = rep_keys.join(shingled, "rep_id").select("_ch")
+
+    intra = (
+        members.alias("a")
+        .join(members.alias("b"), "_ch")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(ok_ch, "_ch", "left_semi")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    cross = (
+        rep_pairs.join(
+            rep_keys.select(F.col("rep_id").alias("doc_a"), F.col("_ch").alias("ch_a")),
+            "doc_a",
+        )
+        .join(
+            rep_keys.select(F.col("rep_id").alias("doc_b"), F.col("_ch").alias("ch_b")),
+            "doc_b",
+        )
+        .join(
+            members.select(F.col("doc_id").alias("m_a"), F.col("_ch").alias("ch_a")),
+            "ch_a",
+        )
+        .join(
+            members.select(F.col("doc_id").alias("m_b"), F.col("_ch").alias("ch_b")),
+            "ch_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def _minhash_lsh_pairs_direct(
+    docs: DataFrame,
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Doc-level MinHash+LSH without the exact-collapse pre-pass: correct
+    but quadratic in identical-content cluster sizes at every stage. Kept
+    as the equivalence reference for minhash_lsh_pairs."""
     rows = bands
     per_band = len(_PERMS) // rows
     sigs = minhash_signatures(docs, k)

@@ -449,7 +449,13 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 source parity: the inline-base64 ingest path
     (unbase64 = the reference's decodeBase64, ocr_request.go:33-45) must
     round-trip every document byte-exactly."""
-    docs = _t(spark, sf_dir, "documents")
+    # Sort-early pattern (used by every projection-style query below): put
+    # the orderBy on the SCAN and project after. A sort on top of a heavy
+    # projection executes the projection twice — the range-partitioner's
+    # sampling pass re-runs the sort's child — measured 6× slower on the
+    # quality query. Projection preserves sort order, so results are
+    # identical.
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")
     roundtrip = F.decode(
         F.unbase64(F.base64(F.encode(F.col("text"), "utf-8"))), "utf-8"
     )
@@ -457,7 +463,7 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         roundtrip.alias("roundtrip_text"),
         (roundtrip == F.col("text")).alias("matches"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -477,40 +483,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE_NONE candidate generation (xxhash64 seeds are Spark-specific);
-    the verification step IS SQL-checkable via q_ngram_jaccard_pairs."""
+    the verification step IS SQL-checkable via q_ngram_jaccard_pairs.
+    No orderBy: rows-only check, and a global sort on a pair table whose
+    size is quadratic in duplicate-cluster size is pure waste."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, k=3, threshold=0.8).orderBy("doc_a", "doc_b")
+    return minhash_lsh_pairs(docs, k=3, threshold=0.8)
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE_NONE (xxhash64-derived bits)."""
+    """ORACLE_NONE (xxhash64-derived bits); rows-only check, no sort."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs).orderBy("doc_id")
+    return simhash_fingerprints(docs)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return with_token_count(docs).select("doc_id", "n_tokens").orderBy("doc_id")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
+    return with_token_count(docs).select("doc_id", "n_tokens")
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        with_quality_score(docs)
-        .select("doc_id", "n_tokens", "avg_token_len", "alpha_ratio", "quality_score")
-        .orderBy("doc_id")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
+    return with_quality_score(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "alpha_ratio", "quality_score"
     )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE_NONE: pandas-UDF kernel (heuristic language ID)."""
+    """ORACLE_NONE: pandas-UDF kernel (heuristic language ID). Rows-only
+    check, no sort — a sort above the UDF would run the kernel twice
+    (range-sampling pass)."""
     docs = _t(spark, sf_dir, "documents")
-    return with_lang_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred")
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,19 +535,20 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable slice: documents.text encoded
     to an opaque binary column, JVM-side byte length + md5."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     from open_ocr_spark.dataops.multimodal import binary_stats
 
-    return binary_stats(media).orderBy("media_id")
+    return binary_stats(media)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE_NONE: mapInPandas feature-extraction plumbing with the
-    deterministic decode stub."""
+    deterministic decode stub. Rows-only check, no sort — a sort above
+    the mapInPandas stage would run it twice (range-sampling pass)."""
     from open_ocr_spark.dataops.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -549,10 +558,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("media_type"),
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
-    return (
-        extract_media_features(media)
-        .select("media_id", "n_bytes", "sha1", "width", "height")
-        .orderBy("media_id")
+    return extract_media_features(media).select(
+        "media_id", "n_bytes", "sha1", "width", "height"
     )
 
 

@@ -94,19 +94,114 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# --- exact-collapse skeleton (shared by the pair queries + simhash) ---------
+
+
+def _content_collapsed(docs: DataFrame):
+    """(members, reps): ``members`` maps every doc_id to its normalized
+    content hash; ``reps`` keeps one representative (min doc_id) text per
+    distinct content. The collapse uses the same whitespace normalization
+    as the shingle/token pipelines, so equal ``_ch`` ⇒ equal shingle and
+    token sets — content-level results transfer to every member."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    hashed = docs.select(
+        "doc_id", "text", F.md5(norm.cast("binary")).alias("_ch")
+    )
+    members = hashed.select("doc_id", "_ch")
+    reps = hashed.groupBy("_ch").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    return members, reps
+
+
+def _expand_rep_pairs(
+    members: DataFrame, reps: DataFrame, rep_pairs: DataFrame, k: int
+) -> DataFrame:
+    """Expand content-level verified pairs to document-level pairs:
+    intra-cluster pairs are jaccard 1.0 by construction (restricted to
+    contents with ≥1 shingle — shingle-less docs never pair in the direct
+    formulations either); cross-cluster pairs inherit their reps'
+    jaccard. Only this expansion is proportional to the output pair set."""
+    rep_keys = reps.select("_ch", F.col("doc_id").alias("rep_id"))
+    shingled = (
+        shingle_rows(reps.select("doc_id", "text"), k)
+        .select(F.col("doc_id").alias("rep_id"))
+        .distinct()
+    )
+    ok_ch = rep_keys.join(shingled, "rep_id").select("_ch")
+
+    intra = (
+        members.alias("a")
+        .join(members.alias("b"), "_ch")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(ok_ch, "_ch", "left_semi")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    cross = (
+        rep_pairs.join(
+            rep_keys.select(
+                F.col("rep_id").alias("doc_a"), F.col("_ch").alias("ch_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            rep_keys.select(
+                F.col("rep_id").alias("doc_b"), F.col("_ch").alias("ch_b")
+            ),
+            "doc_b",
+        )
+        .join(
+            members.select(F.col("doc_id").alias("m_a"), F.col("_ch").alias("ch_a")),
+            "ch_a",
+        )
+        .join(
+            members.select(F.col("doc_id").alias("m_b"), F.col("_ch").alias("ch_b")),
+            "ch_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
 # --- 2. n-gram Jaccard ------------------------------------------------------
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """Near-duplicate pairs by exact Jaccard over word k-shingles.
+    """Near-duplicate pairs by exact Jaccard over word k-shingles, with the
+    exact-collapse pre-pass (see minhash_lsh_pairs: every stage of the
+    direct shingle self-join is quadratic in identical-content cluster
+    size; after collapsing, compute is per distinct content and only the
+    final expansion scales with the output pair set).
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp."""
+    members, reps = _content_collapsed(docs)
+    rep_pairs = _ngram_jaccard_pairs_direct(
+        reps.select("doc_id", "text"), k=k, threshold=threshold
+    )
+    return _expand_rep_pairs(members, reps, rep_pairs, k)
+
+
+def _ngram_jaccard_pairs_direct(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Doc-level exact Jaccard without the collapse pre-pass.
 
     Plan shape: explode shingles → self-join on shingle (hash join on a
     string key) → count intersections → join shingle counts → filter by
-    threshold. Quadratic only within identical-shingle groups; at scale use
-    minhash_lsh_pairs to pre-filter and this as the verifier.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp.
+    threshold. Quadratic within identical-shingle groups — kept as the
+    equivalence reference and as the verifier primitive over
+    already-distinct inputs.
     """
     sh = shingle_rows(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -223,66 +318,11 @@ def minhash_lsh_pairs(
     (uniform hash keys), and the verification/expansion joins on content
     keys — never an all-pairs product over documents.
     """
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    hashed = docs.select(
-        "doc_id", "text", F.md5(norm.cast("binary")).alias("_ch")
-    )
-    members = hashed.select("doc_id", "_ch")
-    reps = hashed.groupBy("_ch").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
-    )
-
+    members, reps = _content_collapsed(docs)
     rep_pairs = _minhash_lsh_pairs_direct(
         reps.select("doc_id", "text"), k=k, bands=bands, threshold=threshold
     )
-
-    rep_keys = reps.select("_ch", F.col("doc_id").alias("rep_id"))
-    # contents with ≥1 shingle: only those ever pair (a no-shingle doc has
-    # no signature in the direct path either)
-    shingled = (
-        shingle_rows(reps.select("doc_id", "text"), k)
-        .select(F.col("doc_id").alias("rep_id"))
-        .distinct()
-    )
-    ok_ch = rep_keys.join(shingled, "rep_id").select("_ch")
-
-    intra = (
-        members.alias("a")
-        .join(members.alias("b"), "_ch")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .join(ok_ch, "_ch", "left_semi")
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-
-    cross = (
-        rep_pairs.join(
-            rep_keys.select(F.col("rep_id").alias("doc_a"), F.col("_ch").alias("ch_a")),
-            "doc_a",
-        )
-        .join(
-            rep_keys.select(F.col("rep_id").alias("doc_b"), F.col("_ch").alias("ch_b")),
-            "doc_b",
-        )
-        .join(
-            members.select(F.col("doc_id").alias("m_a"), F.col("_ch").alias("ch_a")),
-            "ch_a",
-        )
-        .join(
-            members.select(F.col("doc_id").alias("m_b"), F.col("_ch").alias("ch_b")),
-            "ch_b",
-        )
-        .select(
-            F.least("m_a", "m_b").alias("doc_a"),
-            F.greatest("m_a", "m_b").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    return intra.unionByName(cross)
+    return _expand_rep_pairs(members, reps, rep_pairs, k)
 
 
 def _minhash_lsh_pairs_direct(
@@ -349,10 +389,26 @@ def _minhash_lsh_pairs_direct(
 
 
 def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """(doc_id, simhash) 64-bit SimHash via explode → codegen'd hash
-    aggregate: per-token xxhash64, per-bit majority vote as 64 sum()
-    aggregates (+1/-1), then bit reassembly in a single projection.
-    One uniform shuffle on doc_id; everything whole-stage-codegen'd."""
+    """(doc_id, simhash) with the exact-collapse pre-pass: identical
+    normalized text ⇒ identical distinct-token set ⇒ identical SimHash,
+    so the 64-vote aggregate runs once per distinct content and members
+    get their fingerprint by a content-hash join (broadcast-eligible when
+    the distinct side is small)."""
+    members, reps = _content_collapsed(docs)
+    rep_fp = _simhash_fingerprints_direct(reps.select("doc_id", "text"), bits)
+    by_content = (
+        reps.select("_ch", "doc_id")
+        .join(rep_fp, "doc_id")
+        .select("_ch", "simhash")
+    )
+    return members.join(by_content, "_ch").select("doc_id", "simhash")
+
+
+def _simhash_fingerprints_direct(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Doc-level SimHash via explode → codegen'd hash aggregate: per-token
+    xxhash64, per-bit majority vote as 64 sum() aggregates (+1/-1), then
+    bit reassembly in a single projection. One uniform shuffle on doc_id;
+    everything whole-stage-codegen'd. Kept as the equivalence reference."""
     toks = docs.select(
         "doc_id",
         F.explode(

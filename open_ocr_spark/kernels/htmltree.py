@@ -61,7 +61,10 @@ class Node:
 
     def __init__(self, tag, attrs=None, text=None, parent=None):
         self.tag = tag
-        self.attrs = attrs or {}
+        # stored as given (None for the fast tokenizer, which never parses
+        # attributes — the extractor reads none); avoids a dict alloc per
+        # node on the hot path
+        self.attrs = attrs
         self.children = []
         self.text = text
         self.parent = parent
@@ -260,12 +263,12 @@ def parse_html(raw: bytes | str) -> Node:
         if lt > pos and skip_depth == 0:
             add_text(raw[pos:lt])
         pos = m.end()
-        tag = m.group(2)
+        slash, tag, trail = m.groups()
         if tag is None:
             continue  # comment / doctype / PI
         tag = tag.lower()
-        closing = m.group(1) == "/"
-        self_closing = m.group(3) == "/"
+        closing = slash == "/"
+        self_closing = trail == "/"
 
         if skip_depth:
             if closing and tag == skip_tag:

@@ -139,6 +139,112 @@ def lsh_bucketed_topk(
     )
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def _mean_vectors(members: DataFrame, key: str) -> DataFrame:
+    """Element-wise mean of `embedding` per `key` via posexplode + groupBy
+    — two uniform shuffles, no Python, any dimension."""
+    return (
+        members.select(key, F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(key, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy(key)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs")
+        )
+        .select(
+            key,
+            F.transform(F.col("pairs"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_index(embeddings: DataFrame, dim: int = 64) -> tuple:
+    """(centroids, assignments) for IVF search.
+
+    Training is deterministic: seed cells from the per-label means, then
+    ONE Lloyd refinement (assign every vector to its nearest seed by
+    cosine, recompute cell means). Everything is Catalyst: the centroid
+    table is tiny and broadcast; the argmax assignment is a max_by
+    aggregate; the means are posexplode + groupBy.
+
+    At scale the assignment's `cell` column is the partition/bucketing key
+    of the stored index table, so a query's nprobe-cell scan prunes to
+    cells/nprobe of the data before any distance math runs.
+    """
+    seeds = centroid_per_label(embeddings, dim).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            # zero-norm vectors get sim -1 for every cell (instead of NULL,
+            # which would make max_by return a null cell)
+            F.coalesce(
+                cosine_sim(F.col("embedding"), F.col("centroid")), F.lit(-1.0)
+            ).alias("sim"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by("cell", F.struct(F.col("sim"), -F.col("cell"))).alias(
+                "cell"
+            )
+        )
+
+    first = assign(seeds)
+    refined = _mean_vectors(
+        embeddings.join(first, "vec_id").select("cell", "embedding"), "cell"
+    )
+    return refined, assign(refined)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: rank cells by centroid similarity to the query, scan only
+    the top ``nprobe`` cells, exact cosine within them, top-k. Recall <1.0
+    by construction; tests compare the hit rate against cosine_topk.
+    No collect anywhere: the probed-cell set is a limit-nprobe DataFrame
+    semi-joined against the assignments."""
+    centroids, assignments = ivf_index(embeddings, dim)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            cosine_sim(F.col("centroid"), F.col("q_embedding")).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidate_ids = assignments.join(
+        F.broadcast(probe_cells), "cell", "left_semi"
+    ).select("vec_id")
+    return (
+        embeddings.join(candidate_ids, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def centroid_per_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """IVF-style coarse quantization step: per-label centroids via
     element-wise array aggregation (posexplode + groupBy — two uniform

@@ -532,6 +532,15 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, query_vec_id=0, k=10)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE: IVF ANN — label-seeded centroids + one Lloyd
+    refinement, nprobe-cell search (approximate by construction)."""
+    from open_ocr_spark.dataops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, nprobe=2)
+
+
 def q_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable slice: documents.text encoded
     to an opaque binary column, JVM-side byte length + md5."""
@@ -800,6 +809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "binary_payload_stats": q_binary_payload_stats,
     "media_features": q_media_features,
     "pivot_order_status": q_pivot_order_status,

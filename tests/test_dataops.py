@@ -136,6 +136,30 @@ def test_lsh_topk_subset_of_brute_force(emb):
         assert r["cos_sim"] is not None
 
 
+def test_ivf_topk_finds_near_neighbors(emb):
+    from open_ocr_spark.dataops.similarity import ivf_topk
+
+    got = ivf_topk(emb, 0, k=3, dim=4, nprobe=2).collect()
+    ids = [r["vec_id"] for r in got]
+    # vec 1 is the true nearest neighbor; with 2 probed cells of 3 it must
+    # be found, and scores are exact cosine (0.9/sqrt(0.82) ~= 0.9939)
+    assert ids[0] == 1
+    assert abs(got[0]["cos_sim"] - 0.9939) < 1e-3
+    # query vector itself never appears
+    assert 0 not in ids
+
+
+def test_ivf_index_deterministic_and_total(emb):
+    from open_ocr_spark.dataops.similarity import ivf_index
+
+    _, a1 = ivf_index(emb, dim=4)
+    _, a2 = ivf_index(emb.repartition(7), dim=4)
+    m1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
+    assert m1 == m2                      # partition-invariant assignment
+    assert set(m1) == {0, 1, 2, 3, 4}    # every vector assigned
+
+
 # --- textstats ---------------------------------------------------------------
 
 

@@ -115,47 +115,49 @@ def run_extraction_job(
             BUCKET_COL,
             F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets)),
         )
-        # exactly TWO actions per group over one cached extraction pass:
-        # a per-bucket stats agg and one dynamic-partition-overwrite write
-        # (only this group's bucket dirs are replaced; committed buckets
-        # are untouched). Manifests commit strictly after the write — a
+        # ONE action per group: the dynamic-partition-overwrite write (only
+        # this group's bucket dirs are replaced; committed buckets are
+        # untouched), with per-bucket manifest stats collected as
+        # df.observe() metrics DURING that same pass — no persist/cache of
+        # the extraction output (at 100 TB a cached group would not fit),
+        # no second job. Manifests commit strictly after the write — a
         # kill between them recomputes the group idempotently.
-        result.persist()
-        try:
-            stats_rows = {
-                r[BUCKET_COL]: r
-                for r in result.groupBy(BUCKET_COL)
-                .agg(
-                    F.count("*").alias("docs"),
-                    F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes"),
-                    F.coalesce(
-                        F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
-                    ).alias("failures"),
-                )
-                .collect()
-            }
-            (
-                # dir name must not start with '_' (Spark's file index
-                # hides underscore-prefixed paths) -> rename for the write
-                result.withColumnRenamed(BUCKET_COL, "bucket")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(f"{out_dir}/data")
-            )
-        finally:
-            result.unpersist()
+        from pyspark.sql import Observation
+
+        obs = Observation(f"bucket-stats-{group_start}")
+        aggs = []
         for b in group:
-            s = stats_rows.get(b)
-            docs = s["docs"] if s else 0
+            in_b = F.col(BUCKET_COL) == b
+            aggs += [
+                F.sum(in_b.cast("long")).alias(f"docs_{b}"),
+                F.sum(F.when(in_b, F.col("n_bytes")).otherwise(0)).alias(
+                    f"bytes_{b}"
+                ),
+                F.sum(
+                    F.when(in_b & (F.col("status") != "ok"), 1).otherwise(0)
+                ).alias(f"failures_{b}"),
+            ]
+        (
+            # dir name must not start with '_' (Spark's file index
+            # hides underscore-prefixed paths) -> rename for the write
+            result.observe(obs, *aggs)
+            .withColumnRenamed(BUCKET_COL, "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/data")
+        )
+        stats = obs.get  # blocks until the write action finishes
+        for b in group:
+            docs = stats.get(f"docs_{b}") or 0
             commit_bucket(
                 out_dir,
                 b,
                 run_id=run_id,
                 input_snapshot_id=input_snapshot_id,
                 docs=docs,
-                bytes_processed=s["bytes"] if s else 0,
-                failures=s["failures"] if s else 0,
+                bytes_processed=stats.get(f"bytes_{b}") or 0,
+                failures=stats.get(f"failures_{b}") or 0,
             )
             total_docs += docs
             processed += 1

@@ -723,6 +723,26 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13 parity, oracle-checked: a per-row `engine` column routes
+    each document through the kernel dispatch — every 10th doc uses the
+    mock engine (the reference's verbatim constant, mock_engine.go:3-10),
+    the rest the real extractor. The oracle reproduces both branches in
+    SQL, so the dispatch itself is value-checked by the driver."""
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "engine",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("mock")).otherwise(
+            F.lit("tesseract")
+        ),
+    )
+    extracted = extract_stage(pages)
+    return (
+        extracted.join(pages.select("url", "doc_id"), "url", "inner")
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (dataops/asof.py): each event gets the most recent order
     of the same user at-or-before the event time — union + one running
@@ -819,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "stats_corr_revenue": q_stats_corr_revenue,
     "range_join_event_pairs": q_range_join_event_pairs,
+    "engine_dispatch": q_engine_dispatch,
     "asof_last_order": q_asof_last_order,
     "topk_orders_per_customer": q_topk_orders_per_customer,
 }
@@ -1202,6 +1223,16 @@ ORACLES: dict[str, str] = {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
         GROUP BY a.user_id
         ORDER BY a.user_id
+    """,
+    "engine_dispatch": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'mock engine decoder response'
+                    ELSE trim(regexp_replace(coalesce(text, ''),
+                         '[ \t\n\r]+', ' ', 'g'))
+               END AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
     """,
     "asof_last_order": """
         WITH o1 AS (

@@ -112,6 +112,91 @@ def extract_media_features(
     return media.select(*cols).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, payload binary, width int, height int, n_bytes long"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """Resize stage over mapInPandas: binary in, binary out, one pandas
+    batch per Arrow chunk — the shape a training-data image pipeline needs
+    (decode → resize → re-encode on the executor, never on the driver).
+
+    STUB: the pixel work needs PIL (absent here); the fake output payload
+    is deterministic (sha1 of input + target dims), so lineage, schema,
+    batching and downstream joins behave exactly as with a real resizer.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "image resize requires PIL (not installed); "
+                "run with strict=False for the deterministic stub"
+            )
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    rows.append((media_id, None, None, None, 0))
+                    continue
+                payload = bytes(payload)
+                fake = hashlib.sha1(
+                    payload + f"{width}x{height}".encode()
+                ).digest()
+                rows.append((media_id, fake, width, height, len(fake)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "width", "height", "n_bytes"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_s double, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, fps: float = 1.0, strict: bool = False
+) -> DataFrame:
+    """Frame sampling: ONE-TO-MANY mapInPandas — each video row fans out to
+    its sampled frames (mapInPandas output row count is unconstrained, so
+    no explode/UDTF is needed). Partitioning carries over from the input,
+    so a video's frames stay on the executor that held its bytes.
+
+    STUB: frame count and frame bytes are deterministic functions of the
+    payload (real impl: ffmpeg/pyav); plumbing and fan-out shape are real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg/pyav (not installed); "
+                "run with strict=False for the deterministic stub"
+            )
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                payload = bytes(payload)
+                digest = hashlib.sha1(payload).digest()
+                n_frames = 1 + digest[2] % 8
+                for i in range(n_frames):
+                    frame = hashlib.sha1(payload + bytes([i])).digest()
+                    rows.append((media_id, i, round(i / fps, 3), frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_s", "frame"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, FRAME_SCHEMA
+    )
+
+
 def binary_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM stats over the opaque binary column (no kernel at all):
     byte length + md5 — the oracle-checkable slice of the multimodal path."""

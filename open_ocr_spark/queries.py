@@ -723,6 +723,21 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE: one-to-many frame-sampling plumbing (mapInPandas fans
+    each payload out to its deterministic stub frames)."""
+    from open_ocr_spark.dataops.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return sample_frames(media).select(
+        "media_id", "frame_idx", "ts_s", F.octet_length("frame").alias("n_bytes")
+    )
+
+
 def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/A13 parity, oracle-checked: a per-row `engine` column routes
     each document through the kernel dispatch — every 10th doc uses the
@@ -839,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "stats_corr_revenue": q_stats_corr_revenue,
     "range_join_event_pairs": q_range_join_event_pairs,
+    "media_frame_sample": q_media_frame_sample,
     "engine_dispatch": q_engine_dispatch,
     "asof_last_order": q_asof_last_order,
     "topk_orders_per_customer": q_topk_orders_per_customer,

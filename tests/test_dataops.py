@@ -238,6 +238,44 @@ def test_media_strict_mode_raises(spark):
         extract_media_features(media, strict=True).collect()
 
 
+def test_resize_images_deterministic(spark):
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(0, b"\x89PNGxxxxxxxx"), (1, b""), (2, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+    assert got[0]["width"] == 32 and got[0]["n_bytes"] == 20
+    assert got[1]["payload"] is None and got[2]["payload"] is None
+    again = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+    assert bytes(got[0]["payload"]) == bytes(again[0]["payload"])
+    # different target size -> different payload (dims are baked in)
+    other = {r["media_id"]: r for r in resize_images(media, 64, 64).collect()}
+    assert bytes(other[0]["payload"]) != bytes(got[0]["payload"])
+
+
+def test_sample_frames_one_to_many(spark):
+    from open_ocr_spark.dataops.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(0, b"\x1a\x45\xdf\xa3video-bytes"), (1, None)],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(media, fps=2.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 1 not in by_id                      # null payload -> no frames
+    frames = sorted(by_id[0], key=lambda r: r["frame_idx"])
+    assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+    assert frames[1]["ts_s"] == 0.5            # fps=2 -> 0.5s spacing
+    # deterministic across invocations and partitioning
+    again = sample_frames(media.repartition(5), fps=2.0).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in rows) == \
+        sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again)
+
+
 def test_binary_stats_jvm_only(spark):
     media = spark.createDataFrame(
         [(0, b"abc"), (1, b"")], "media_id long, payload binary"

@@ -723,6 +723,32 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split by content-independent hash —
+    the split a training pipeline must be able to reproduce on any engine,
+    at any parallelism, forever. md5 of the doc id (not xxhash64: that's
+    engine-specific) ⇒ the oracle reproduces the exact assignment."""
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(bucket % 10 < 8, F.lit("train")).otherwise(F.lit("test")).alias(
+            "split"
+        ),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE (engine-specific RNG): seeded per-language stratified
+    sample (`sampleBy`) — the data-mixing primitive; deterministic for a
+    fixed seed, so the rows-only check is stable across driver runs."""
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE_NONE: one-to-many frame-sampling plumbing (mapInPandas fans
     each payload out to its deterministic stub frames)."""
@@ -854,6 +880,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "stats_corr_revenue": q_stats_corr_revenue,
     "range_join_event_pairs": q_range_join_event_pairs,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
     "media_frame_sample": q_media_frame_sample,
     "engine_dispatch": q_engine_dispatch,
     "asof_last_order": q_asof_last_order,
@@ -1239,6 +1267,14 @@ ORACLES: dict[str, str] = {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
         GROUP BY a.user_id
         ORDER BY a.user_id
+    """,
+    "train_test_split": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT
+                         % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id
     """,
     "engine_dispatch": """
         SELECT doc_id,

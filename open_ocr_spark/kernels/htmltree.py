@@ -321,8 +321,3 @@ def collapsed_len(s: str) -> int:
     if not parts:
         return 0
     return sum(map(len, parts)) + len(parts) - 1
-
-
-def _fold_into_parent(child: Node, parent: Node) -> None:
-    parent.tlen += child.tlen
-    parent.llen += child.llen

@@ -86,3 +86,32 @@ def test_partition_count_invariance(spark, extracted):
     other = extraction_plan(pages, num_partitions=3)
     a = extracted.select("url", "extracted_text", "status")
     assert other.select("url", "extracted_text", "status").exceptAll(a).count() == 0
+
+
+def test_dedupe_agg_and_window_forms_agree(spark):
+    """latest_per_url (max_by agg, the scale path) and
+    latest_per_url_window (row_number form) pick identical winners,
+    including on warc_ts ties (broken by xxhash64(html) desc)."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.fixtures import pages_df
+    from open_ocr_spark.pipeline.dedupe import (
+        latest_per_url,
+        latest_per_url_window,
+    )
+
+    pages = pages_df(spark, 80)
+    # add a same-timestamp re-crawl for some urls to force the tie-break
+    ties = pages.limit(10).withColumn(
+        "html", F.concat(F.col("html"), F.lit(b"<!-- re-crawl -->"))
+    )
+    crawl = pages.unionByName(ties)
+    a = {
+        (r["url"], bytes(r["html"]))
+        for r in latest_per_url(crawl).select("url", "html").collect()
+    }
+    b = {
+        (r["url"], bytes(r["html"]))
+        for r in latest_per_url_window(crawl).select("url", "html").collect()
+    }
+    assert a == b and len(a) == 80

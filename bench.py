@@ -126,6 +126,9 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_topk",
     "quality_scores",
+    "asof_last_order",
+    "range_join_event_pairs",
+    "train_test_split",
 ]
 
 

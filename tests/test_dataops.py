@@ -348,3 +348,40 @@ def test_asof_join_partition_invariance(spark):
         ).collect()
     )
     assert run(left, right) == run(left.repartition(13), right.repartition(3))
+
+
+def test_asof_join_matches_python_reference(spark):
+    """Property-style: asof_join agrees with a brute-force python reference
+    on a pseudo-random keyed timeline (deterministic seed)."""
+    import random
+
+    from open_ocr_spark.dataops.asof import asof_join
+
+    rng = random.Random(7)
+    lrows = [
+        (rng.randrange(4), rng.randrange(0, 10_000), i)
+        for i in range(300)
+    ]
+    rrows_raw = {(rng.randrange(4), rng.randrange(0, 10_000)) for _ in range(80)}
+    rrows = [(k, ts, k * 100_000 + ts) for (k, ts) in rrows_raw]
+
+    left = spark.createDataFrame(
+        [(k, f"2024-01-01 00:00:{0:02d}", eid, ts) for (k, ts, eid) in lrows],
+        "k long, base string, event_id long, off long",
+    ).selectExpr("k", "event_id", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,off) AS ts")
+    right = spark.createDataFrame(
+        rrows, "k long, off long, v long"
+    ).selectExpr("k", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,off) AS rts", "v")
+
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+
+    expect = {}
+    for k, ts, eid in lrows:
+        cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
+        expect[eid] = max(cands)[1] if cands else None
+    assert got == expect

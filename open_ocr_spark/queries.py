@@ -723,6 +723,71 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity, oracle-checked end-to-end: every document is wrapped as a
+    minimal uncompressed PDF (one literal-string Tj text-show op, escapes
+    applied in pure Catalyst), routed by magic bytes through the PDF
+    branch of the kernel, and must come back byte-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for find, repl in (("\\", "\\\\"), ("(", "\\("), (")", "\\)")):
+        esc = F.replace(esc, F.lit(find), F.lit(repl))
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/pdf/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("%PDF-1.4\nBT\n("),
+                F.coalesce(esc, F.lit("")),
+                F.lit(") Tj\nET\n%%EOF\n"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages)
+        .join(pages.select("url", "doc_id"), "url", "inner")
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11 hOCR-recast parity, oracle-checked: run the kernel in
+    structured-output mode (engine_args.config_vars.tessedit_create_hocr,
+    tesseract_engine_test.go:50), then PARSE the span JSON back to rows so
+    the oracle checks ids/offsets/text as values, not as a JSON string."""
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "engine_args_json",
+        F.lit('{"config_vars": {"tessedit_create_hocr": "1"}}'),
+    )
+    extracted = extract_stage(pages)
+    spans = extracted.select(
+        "url",
+        F.explode(
+            F.from_json(
+                F.col("extracted_text"),
+                "struct<spans: array<struct<id:int,start:int,end:int,text:string>>>",
+            )["spans"]
+        ).alias("span"),
+    )
+    return (
+        spans.join(pages.select("url", "doc_id"), "url", "inner")
+        .select(
+            "doc_id",
+            F.col("span.id").alias("span_id"),
+            F.col("span.start").alias("start"),
+            F.col("span.end").alias("end"),
+            F.col("span.text").alias("span_text"),
+        )
+        .orderBy("doc_id", "span_id")
+    )
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/20 train/test split by content-independent hash —
     the split a training pipeline must be able to reproduce on any engine,
@@ -880,6 +945,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "stats_corr_revenue": q_stats_corr_revenue,
     "range_join_event_pairs": q_range_join_event_pairs,
+    "extract_pdf_text": q_extract_pdf_text,
+    "extract_structured_spans": q_extract_structured_spans,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "media_frame_sample": q_media_frame_sample,
@@ -1267,6 +1334,24 @@ ORACLES: dict[str, str] = {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
         GROUP BY a.user_id
         ORDER BY a.user_id
+    """,
+    "extract_pdf_text": """
+        SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_structured_spans": """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r]+', ' ', 'g')) AS t
+            FROM documents
+        )
+        SELECT doc_id, 0 AS span_id, 0 AS "start",
+               length(t) AS "end", t AS span_text
+        FROM norm
+        WHERE length(t) > 0
+        ORDER BY doc_id, span_id
     """,
     "train_test_split": """
         SELECT doc_id,

@@ -36,3 +36,22 @@ def with_host_salt(df: DataFrame, salt: int = DEFAULT_SALT) -> DataFrame:
     return df.withColumn("host", host_of(F.col("url"))).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
     )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 32
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — the 100 TB
+    answer to repeated fact-fact joins: two tables bucketed the same way
+    join with NO exchange and NO sort at read time (the shuffle is paid
+    once, at write). `tests/test_plan_shape.py` proves the exchange-free
+    plan. On a real deployment this is the Iceberg `bucket(N, key)`
+    partition transform; locally it is Spark's native bucketing via
+    saveAsTable."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -111,3 +111,39 @@ def test_minhash_uses_hash_aggregate(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_signatures(docs))
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key join with ZERO exchanges
+    and ZERO sorts in the join's plan — the shuffle is paid once at write
+    (the 100 TB fact-fact join layout; Iceberg bucket(N, key) transform)."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.pipeline.partitioning import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        write_bucketed(orders, "orders_b", "o_orderkey", 8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b", "o_orderkey", 8,
+        )
+        joined = (
+            spark.table("orders_b")
+            .join(spark.table("lineitem_b"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = plan_of(joined)
+        join_part = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # no shuffle and no sort between the scans and the join
+        assert "Exchange" not in join_part
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

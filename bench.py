@@ -25,7 +25,26 @@ import sys
 import time
 
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _default_sf_dir() -> str:
+    """sf0.1 when present, else the largest generated scale factor —
+    bench must produce its JSON line even if the driver hasn't
+    materialized sf0.1 yet."""
+    preferred = "/root/testdata/sf0.1"
+    if os.path.isdir(preferred):
+        return preferred
+    try:
+        cands = sorted(
+            (d for d in os.listdir("/root/testdata") if d.startswith("sf")),
+            key=lambda d: float(d[2:]),
+        )
+        if cands:
+            return f"/root/testdata/{cands[-1]}"
+    except (OSError, ValueError):
+        pass
+    return preferred
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", _default_sf_dir())
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "40"))
 WARMUP = os.environ.get("BENCH_WARMUP", "1") == "1"

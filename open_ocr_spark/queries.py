@@ -968,8 +968,8 @@ ORACLES: dict[str, str] = {
     "extract_status_rollup": """
         SELECT 'ok' AS status,
                count(*) AS docs,
-               sum(length(trim(regexp_replace(coalesce(text, ''),
-                   '[ \t\n\r]+', ' ', 'g')))) AS total_chars
+               CAST(sum(length(trim(regexp_replace(coalesce(text, ''),
+                   '[ \t\n\r]+', ' ', 'g')))) AS BIGINT) AS total_chars
         FROM documents
     """,
     "scan_filter_project": """
@@ -1041,7 +1041,8 @@ ORACLES: dict[str, str] = {
         ORDER BY c_custkey
     """,
     "rollup_source_lang": """
-        SELECT source, lang, count(*) AS docs, sum(n_chars) AS chars
+        SELECT source, lang, count(*) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents
         GROUP BY ROLLUP (source, lang)
         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
@@ -1100,7 +1101,7 @@ ORACLES: dict[str, str] = {
     """,
     "salted_host_counts": """
         SELECT source || '.example.com' AS host,
-               count(*) AS docs, sum(n_chars) AS chars
+               count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents
         GROUP BY host
         ORDER BY host
@@ -1114,9 +1115,10 @@ ORACLES: dict[str, str] = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ), sess AS (
-            SELECT *, sum(new_sess) OVER (
+            SELECT *, CAST(sum(new_sess) OVER (
                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_id
             FROM gaps
         )
         SELECT user_id, session_id,
@@ -1150,7 +1152,7 @@ ORACLES: dict[str, str] = {
     """,
     "host_doc_counts": """
         SELECT source || '.example.com' AS host,
-               count(*) AS docs, sum(n_chars) AS chars
+               count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents
         GROUP BY host
         ORDER BY host
@@ -1284,7 +1286,8 @@ ORACLES: dict[str, str] = {
         ORDER BY o_orderpriority
     """,
     "grouping_sets_docs": """
-        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY GROUPING SETS ((source, lang), (source), ())
         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST

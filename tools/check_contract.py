@@ -21,6 +21,35 @@ TABLES = (
 ).split()
 
 
+def type_family(t: str) -> str:
+    """Canonical type family, strict enough to catch the driver's
+    type-sensitive hash: DuckDB sum(INTEGER) -> HUGEINT must NOT pass
+    against Spark's BIGINT, so int widths above 64 bits get their own
+    family. All <=64-bit ints collapse to 'int64' (the driver accepts
+    those), floats collapse, decimals keep their params."""
+    t = t.strip().lower()
+    if t in ("tinyint", "smallint", "integer", "int", "bigint", "int8",
+             "int16", "int32", "int64", "utinyint", "usmallint", "uinteger"):
+        return "int64"
+    if t in ("hugeint", "int128", "ubigint", "uhugeint"):
+        return "int128"
+    if t in ("float", "real", "double", "float32", "float64"):
+        return "float64"
+    if t in ("varchar", "string", "text"):
+        return "string"
+    if t in ("blob", "binary", "bytea"):
+        return "binary"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal"
+    if t.startswith(("array", "list", "struct", "map")):
+        return "nested"
+    return t
+
+
 def norm_cell(v):
     import datetime as dt
     import math
@@ -78,6 +107,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = dict(sdf.dtypes)
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
@@ -90,6 +120,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
+            d_types = dict(zip(d_cols, (str(t) for t in rel.types)))
             d_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
@@ -100,6 +131,14 @@ def main():
             problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            type_diffs = [
+                f"{c}: spark {s_types[c]} vs duckdb {d_types[c]}"
+                for c in s_cols
+                if type_family(s_types[c]) != type_family(d_types[c])
+            ]
+            if type_diffs:
+                problems.append("type families: " + "; ".join(type_diffs))
         if not problems:
             sh, dh = value_hash(s_cols, s_rows), value_hash(d_cols, d_rows)
             if sh != dh:

@@ -36,6 +36,10 @@ _OPTION_COLS = (
     "engine_args_json",  # nested reference shape, JSON-encoded (sources.py)
 )
 
+# Every column the kernel itself consumes; anything else in the input batch
+# is an opaque passthrough emitted unchanged (zero-copy Arrow append).
+_KERNEL_COLS = frozenset(("url", "html", "lang") + _OPTION_COLS)
+
 
 def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Arrow-batch kernel: one Python invocation per batch (≈4096 rows),
@@ -88,29 +92,45 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             errors.append(error)
             nbytes.append(len(html) if html is not None else 0)
 
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(urls, pa.string()),
-                pa.array(texts, pa.string()),
-                pa.array(statuses, pa.string()),
-                pa.array(errors, pa.string()),
-                pa.array(nbytes, pa.int64()),
-            ],
-            names=["url", "extracted_text", "status", "error", "n_bytes"],
-        )
+        arrays = [
+            pa.array(urls, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(statuses, pa.string()),
+            pa.array(errors, pa.string()),
+            pa.array(nbytes, pa.int64()),
+        ]
+        names = ["url", "extracted_text", "status", "error", "n_bytes"]
+        for name in batch.schema.names:
+            if name not in _KERNEL_COLS:  # passthrough, untouched
+                arrays.append(cols[name])
+                names.append(name)
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def extract_stage(pages: DataFrame) -> DataFrame:
+def extract_stage(
+    pages: DataFrame, passthrough: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
     """The A10 engine + A6-A9 chain as ONE mapInArrow stage.
 
-    Column pruning: only the columns the kernel needs are selected before
-    the Python boundary, so the parquet scan never materializes `text` (or
-    anything else) for this path — check `.explain` ReadSchema.
+    Column pruning: only the columns the kernel needs — plus any requested
+    `passthrough` columns, carried through the Arrow boundary untouched —
+    are selected before the Python boundary, so the parquet scan never
+    materializes `text` (or anything else) for this path — check
+    `.explain` ReadSchema. Passthrough avoids a second scan + join just to
+    recover correlation keys (e.g. doc_id) after extraction.
     """
+    for c in passthrough:
+        if c in _KERNEL_COLS:
+            raise ValueError(f"passthrough column {c!r} is a kernel column")
+        if c not in pages.columns:
+            raise ValueError(f"passthrough column {c!r} not in input")
     cols = ["url", "html", "lang"] + [
         c for c in _OPTION_COLS if c in pages.columns
-    ]
-    return pages.select(*cols).mapInArrow(_extract_batches, EXTRACT_SCHEMA)
+    ] + list(passthrough)
+    schema = EXTRACT_SCHEMA + "".join(
+        f", {c} {pages.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    return pages.select(*cols).mapInArrow(_extract_batches, schema)
 
 
 def mock_stage(pages: DataFrame) -> DataFrame:

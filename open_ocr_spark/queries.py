@@ -85,11 +85,8 @@ def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization identity: extraction must strip ALL boilerplate and return
     exactly the whitespace-collapsed original text."""
     pages = pages_from_documents(spark, sf_dir)
-    extracted = extract_stage(pages)
     return (
-        extracted.join(
-            pages.select("url", "doc_id"), "url", "inner"
-        )
+        extract_stage(pages, passthrough=["doc_id"])
         .select("doc_id", "extracted_text", "status")
         .orderBy("doc_id")
     )
@@ -749,8 +746,57 @@ def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return (
-        extract_stage(pages)
-        .join(pages.select("url", "doc_id"), "url", "inner")
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity for real-world (compressed) PDFs, oracle-checked: every
+    document becomes a PDF whose content stream is zlib-deflated behind
+    /Filter /FlateDecode — the form Ghostscript handles for the reference
+    (/root/reference/convert-pdf.go:51-62). The wrap uses an Arrow-batched
+    pandas UDF (fixture construction only; the measured kernel is the
+    unwrap); the kernel inflates with stdlib zlib and must return the text
+    byte-exact."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # annotations set explicitly: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf cannot resolve for local names
+    def _flate_wrap(texts):
+        import zlib
+
+        out = []
+        for t in texts:
+            s = (t or "").replace("\\", "\\\\")
+            s = s.replace("(", "\\(").replace(")", "\\)")
+            body = zlib.compress(("BT\n(" + s + ") Tj\nET\n").encode("utf-8"))
+            out.append(
+                b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length "
+                + str(len(body)).encode()
+                + b" >>\nstream\n"
+                + body
+                + b"\nendstream\nendobj\n%%EOF\n"
+            )
+        return pd.Series(out)
+
+    _flate_wrap.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _flate_wrap = pandas_udf(_flate_wrap, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/pdfz/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        _flate_wrap(F.col("text")).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
         .select("doc_id", "extracted_text", "status")
         .orderBy("doc_id")
     )
@@ -760,23 +806,51 @@ def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11 hOCR-recast parity, oracle-checked: run the kernel in
     structured-output mode (engine_args.config_vars.tessedit_create_hocr,
     tesseract_engine_test.go:50), then PARSE the span JSON back to rows so
-    the oracle checks ids/offsets/text as values, not as a JSON string."""
-    pages = pages_from_documents(spark, sf_dir).withColumn(
+    the oracle checks ids/offsets/text as values, not as a JSON string.
+
+    The fixture wraps TWO paragraphs per document (the original text plus a
+    deterministic appendix) so the multi-span path — several paragraphs →
+    several spans with running offsets — is oracle-exercised, not just the
+    one-span case. Documents with empty text exercise the empty-paragraph
+    drop: their appendix becomes span 0 at offset 0."""
+    docs = _t(spark, sf_dir, "documents")
+    appendix = F.concat(
+        F.lit("Appendix section for document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" - closing remarks."),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(_WRAP_PREFIX),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p><p>"),
+                appendix,
+                F.lit(_WRAP_SUFFIX),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        F.col("doc_id"),
+    ).withColumn(
         "engine_args_json",
         F.lit('{"config_vars": {"tessedit_create_hocr": "1"}}'),
     )
-    extracted = extract_stage(pages)
-    spans = extracted.select(
-        "url",
-        F.explode(
-            F.from_json(
-                F.col("extracted_text"),
-                "struct<spans: array<struct<id:int,start:int,end:int,text:string>>>",
-            )["spans"]
-        ).alias("span"),
-    )
+    extracted = extract_stage(pages, passthrough=["doc_id"])
     return (
-        spans.join(pages.select("url", "doc_id"), "url", "inner")
+        extracted.select(
+            "doc_id",
+            F.explode(
+                F.from_json(
+                    F.col("extracted_text"),
+                    "struct<spans: array<struct<id:int,start:int,end:int,text:string>>>",
+                )["spans"]
+            ).alias("span"),
+        )
         .select(
             "doc_id",
             F.col("span.id").alias("span_id"),
@@ -841,9 +915,8 @@ def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("tesseract")
         ),
     )
-    extracted = extract_stage(pages)
     return (
-        extracted.join(pages.select("url", "doc_id"), "url", "inner")
+        extract_stage(pages, passthrough=["doc_id"])
         .select("doc_id", "extracted_text", "status")
         .orderBy("doc_id")
     )
@@ -946,6 +1019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_corr_revenue": q_stats_corr_revenue,
     "range_join_event_pairs": q_range_join_event_pairs,
     "extract_pdf_text": q_extract_pdf_text,
+    "extract_pdf_flate": q_extract_pdf_flate,
     "extract_structured_spans": q_extract_structured_spans,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
@@ -1343,17 +1417,34 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    "extract_pdf_flate": """
+        SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
     "extract_structured_spans": """
         WITH norm AS (
             SELECT doc_id,
                    trim(regexp_replace(coalesce(text, ''),
-                        '[ \t\n\r]+', ' ', 'g')) AS t
+                        '[ \t\n\r]+', ' ', 'g')) AS t,
+                   'Appendix section for document ' || doc_id
+                       || ' - closing remarks.' AS p2
             FROM documents
         )
-        SELECT doc_id, 0 AS span_id, 0 AS "start",
-               length(t) AS "end", t AS span_text
-        FROM norm
-        WHERE length(t) > 0
+        SELECT doc_id, span_id, "start", "end", span_text FROM (
+            SELECT doc_id, 0 AS span_id, 0 AS "start",
+                   length(t) AS "end", t AS span_text
+            FROM norm WHERE length(t) > 0
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN length(t) > 0 THEN 1 ELSE 0 END AS span_id,
+                   CASE WHEN length(t) > 0 THEN length(t) + 2 ELSE 0 END
+                       AS "start",
+                   CASE WHEN length(t) > 0 THEN length(t) + 2 ELSE 0 END
+                       + length(p2) AS "end",
+                   p2 AS span_text
+            FROM norm
+        )
         ORDER BY doc_id, span_id
     """,
     "train_test_split": """

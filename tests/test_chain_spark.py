@@ -122,8 +122,10 @@ def test_error_rows_never_fail_stage(spark):
         ("e1", None, None, "", "eng", "tesseract", None, None, None),
         ("e2", None, b"", "", "eng", "tesseract", None, None, None),
         ("e3", None, b"\x00\x01\x02", "", "eng", "tesseract", None, None, None),
-        ("e4", None, b"%PDF-1.5 /Filter /FlateDecode stream", "", "eng",
-         "tesseract", None, None, None),
+        ("e4", None,
+         b"%PDF-1.5\n1 0 obj\n<< /Filter /DCTDecode /Length 3 >>\n"
+         b"stream\n\xff\xd8\xff\nendstream\nendobj\n",
+         "", "eng", "tesseract", None, None, None),
     ]
     got = _run(spark, rows)
     assert got["e1"]["status"] == "error:empty"

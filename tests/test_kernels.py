@@ -187,9 +187,77 @@ def test_extract_pdf_text():
     assert extract_pdf_text(PDF) == "Line one\nLine (two)"
 
 
-def test_pdf_compressed_unsupported():
-    with pytest.raises(ValueError):
-        extract_pdf_text(b"%PDF-1.5\n<< /Filter /FlateDecode >>\nstream\nxx")
+def _flate_pdf(content: bytes, filter_name: bytes = b"/FlateDecode") -> bytes:
+    import zlib
+
+    body = zlib.compress(content) if filter_name == b"/FlateDecode" else content
+    return (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter " + filter_name
+        + b" /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_pdf_flate_stream_extracts():
+    pdf = _flate_pdf(b"BT (Deflated one) Tj ET\nBT (two \\(2\\)) Tj ET")
+    assert extract_pdf_text(pdf) == "Deflated one\ntwo (2)"
+
+
+def test_pdf_mixed_plain_and_flate_streams():
+    plain = b"%PDF-1.5\n2 0 obj\n<< /Length 20 >>\nstream\nBT (plain) Tj ET\nendstream\nendobj\n"
+    pdf = plain + _flate_pdf(b"BT (packed) Tj ET")[9:]  # drop second magic
+    assert extract_pdf_text(pdf) == "plain\npacked"
+
+
+def test_pdf_flate_body_ending_in_cr():
+    # A compressed body whose last byte is \r must not lose it to the
+    # EOL-before-endstream strip: /Length-based slicing keeps it intact.
+    # zlib stored blocks (level 0) let us force the hostile tail byte.
+    import zlib
+
+    co = zlib.compressobj(0)
+    body = co.compress(b"BT (tricky) Tj ET\r") + co.flush()
+    pdf = (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "tricky"
+
+
+def test_pdf_flate_body_containing_endstream_bytes():
+    # /Length slicing must survive the literal bytes '\nendstream' inside
+    # the compressed body (stored blocks embed the content verbatim).
+    import zlib
+
+    co = zlib.compressobj(0)
+    body = co.compress(b"BT (payload) Tj ET\n% endstream decoy\n") + co.flush()
+    assert b"endstream" in body
+    pdf = (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "payload"
+
+
+def test_pdf_corrupt_flate_stream_errors():
+    pdf = (b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode >>\n"
+           b"stream\nnot-zlib-data\nendstream\nendobj\n")
+    with pytest.raises(ValueError, match="pdf-unsupported"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_unsupported_filter_errors():
+    pdf = _flate_pdf(b"\xff\xd8\xff", filter_name=b"/DCTDecode")
+    with pytest.raises(ValueError, match="pdf-unsupported: filter DCTDecode"):
+        extract_pdf_text(pdf)
+
+
+def test_pdf_filter_chain_errors():
+    pdf = _flate_pdf(b"x", filter_name=b"[/ASCII85Decode /FlateDecode]")
+    with pytest.raises(ValueError, match="pdf-unsupported"):
+        extract_pdf_text(pdf)
 
 
 # --- dispatch (error-as-value, ocr_rpc_worker.go:163-190) -------------------

@@ -103,6 +103,23 @@ def test_extraction_single_exchange(spark):
     assert "MapInArrow" in plan
 
 
+def test_extraction_query_no_join_single_scan(spark):
+    """Passthrough columns through the Arrow kernel mean the oracle-facing
+    extraction queries need NO second scan and NO correlation join to
+    recover doc_id — at 100 TB the old re-join was a full extra scan plus
+    a shuffle."""
+    from open_ocr_spark.queries import q_extract_main_text
+
+    plan = plan_of(q_extract_main_text(spark, SF))
+    assert "Join" not in plan, plan
+    n_scans = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    )
+    assert n_scans == 1, plan
+    assert "MapInArrow" in plan
+
+
 def test_minhash_uses_hash_aggregate(spark):
     """Signature construction must be a codegen'd aggregate, not an
     interpreted higher-order expression chain."""

@@ -17,14 +17,37 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     xxhash64(html) descending (deterministic, content-derived — no UUIDs,
     SURVEY.md §4.2.4).
 
-    Implemented as groupBy + max_by(struct) rather than a row_number
-    window: ONE hash shuffle with map-side partial aggregation (duplicates
-    collapse before the exchange) and no per-partition sort. At 100 TB this
-    halves the dedupe stage's shuffle volume on re-crawl-heavy tables; the
-    window form would sort every partition. Output rows also leave this
-    exchange already hash-distributed by url — the downstream extraction
-    kernel needs no second repartition (the north_rule's bucket-by-url-hash
-    IS this shuffle)."""
+    Implemented as a row_number window, which Spark plans with
+    WindowGroupLimit: a map-side top-1-per-url prune BEFORE the url-hash
+    exchange (only candidate winners shuffle — re-fetches co-located in an
+    input split collapse there), then one exchange + final top-1. Both
+    sorts are per-partition pointer sorts over (url, warc_ts, tie) keys —
+    UnsafeExternalSorter moves row pointers, not the html payload. The
+    max_by(struct) aggregate form (kept below for parity tests) is NOT the
+    scale path: its var-length aggregation buffer forces Catalyst to
+    SortAggregate, materializing two full sorts of the aggregation rows
+    for the same single exchange. Output rows leave this exchange
+    hash-distributed by url — the downstream extraction kernel needs no
+    second repartition (the north_rule's bucket-by-url-hash IS this
+    shuffle). Exact duplicate rows (same url, warc_ts, html) collapse to
+    one, which a winner-key join-back restructure could not guarantee."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(),
+        F.xxhash64(F.col("html")).desc(),
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_per_url_agg(pages: DataFrame) -> DataFrame:
+    """max_by(struct) aggregate form of the same operator (kept for parity
+    tests and SURVEY §2.B aggregation coverage). Catalyst plans it as
+    SortAggregate — two sorts around the exchange — because the struct
+    buffer holding html is not mutable; see latest_per_url for why the
+    window form wins at scale."""
     other_cols = [c for c in pages.columns if c != "url"]
     ordering = F.struct(
         F.col("warc_ts"), F.xxhash64(F.col("html")).alias("_tie")
@@ -35,16 +58,6 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     return picked.select("url", *[F.col(f"_row.{c}").alias(c) for c in other_cols])
 
 
-def latest_per_url_window(pages: DataFrame) -> DataFrame:
-    """row_number-window form of the same operator (kept for parity tests
-    and for SURVEY §2.B window coverage; the agg form above is the scale
-    path)."""
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(),
-        F.xxhash64(F.col("html")).desc(),
-    )
-    return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+# Backwards-compatible alias: the window form IS the former
+# latest_per_url_window; both names now resolve to the scale path.
+latest_per_url_window = latest_per_url

@@ -89,15 +89,15 @@ def test_partition_count_invariance(spark, extracted):
 
 
 def test_dedupe_agg_and_window_forms_agree(spark):
-    """latest_per_url (max_by agg, the scale path) and
-    latest_per_url_window (row_number form) pick identical winners,
+    """latest_per_url (row_number window, the scale path) and
+    latest_per_url_agg (max_by form) pick identical winners,
     including on warc_ts ties (broken by xxhash64(html) desc)."""
     from pyspark.sql import functions as F
 
     from open_ocr_spark.fixtures import pages_df
     from open_ocr_spark.pipeline.dedupe import (
         latest_per_url,
-        latest_per_url_window,
+        latest_per_url_agg as latest_per_url_window,
     )
 
     pages = pages_df(spark, 80)

@@ -101,6 +101,14 @@ def test_extraction_single_exchange(spark):
     )
     assert n_exchanges == 1, plan
     assert "MapInArrow" in plan
+    # dedupe must be the window form: NO SortAggregate (the max_by(struct)
+    # fallback costs two full sorts of materialized rows). Spark plans
+    # row_number()=1 with WindowGroupLimit: a map-side top-1-per-url prune
+    # BEFORE the exchange, so the shuffle carries only candidate winners —
+    # the sorts are per-partition pointer sorts, not payload rewrites.
+    assert "SortAggregate" not in plan, plan
+    assert _nodes(plan, "WindowGroupLimit") == 2, plan  # partial + final
+    assert "Window" in plan
 
 
 def test_extraction_query_no_join_single_scan(spark):

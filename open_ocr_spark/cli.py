@@ -42,8 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--max-buckets", type=int, default=None,
                    help="stop after this many uncommitted buckets (testing)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    p.add_argument("--snapshot-id", default="snapshot-0",
-                   help="input snapshot id recorded in manifests")
+    p.add_argument("--snapshot-id", default=None,
+                   help="input snapshot id recorded in manifests (default: "
+                        "derived from the input file listing — "
+                        "path/size/mtime fingerprint)")
     p.add_argument("--mock", action="store_true",
                    help="mock engine (constant output, pure-JVM stage)")
     return p.parse_args(argv)

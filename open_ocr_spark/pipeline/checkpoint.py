@@ -34,6 +34,38 @@ from pyspark.sql import functions as F
 BUCKET_COL = "_bucket"
 
 
+def derive_snapshot_id(df: DataFrame) -> str:
+    """Parquet stand-in for an Iceberg input snapshot id: a hash of the
+    input file listing (path, size, mtime). Two runs over the same
+    committed files agree; any added/replaced/rewritten input file changes
+    the id, so resume can detect that the input moved underneath it
+    (Iceberg would hand us snapshot_id() for free; this is the honest
+    filesystem equivalent). In-memory inputs (no files) get a fixed
+    sentinel — they carry no listing to fingerprint."""
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    if not files:
+        return "snapshot-inmemory"
+    parts = []
+    for uri in files:
+        p = None
+        if uri.startswith("file://"):
+            p = uri[len("file://"):]
+        elif uri.startswith("file:"):
+            p = uri[len("file:"):]
+        if p is not None:
+            try:
+                st = os.stat(p)
+                parts.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
+                continue
+            except OSError:
+                pass
+        parts.append(uri)  # non-local FS: path-only fingerprint
+    digest = hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+    return f"snap-{digest}"
+
+
 def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
     """Content-addressed bucket id: pmod(xxhash64(url), B). Deterministic
     across runs and parallelism levels — the unit of resume."""

@@ -27,6 +27,8 @@ from open_ocr_spark.pipeline.checkpoint import (
     BUCKET_COL,
     commit_bucket,
     committed_buckets,
+    derive_snapshot_id,
+    read_manifests,
     with_bucket,
 )
 from open_ocr_spark.pipeline.dedupe import latest_per_url
@@ -55,11 +57,10 @@ def extraction_plan(
     extra repartition — used by tests to prove partition-count invariance,
     never on the hot path.
 
-    Column pruning happens BEFORE the dedupe, not after: Catalyst cannot
-    prune unused struct fields through ``max_by``, so any column left in
-    the frame here (the crawl table's ``text`` snapshot column in
+    Column pruning happens BEFORE the dedupe, not after: any column left
+    in the frame here (the crawl table's ``text`` snapshot column in
     particular — as large as ``html``) would ride the url-hash exchange
-    and sit in every agg buffer. Projecting first roughly halves the
+    and the window sort buffers. Projecting first roughly halves the
     shuffle volume on an input_hint-shaped table."""
     df = ingest(pages)
     needed = ["url", "warc_ts", "html", "lang"]
@@ -80,7 +81,7 @@ def run_extraction_job(
     *,
     num_buckets: int = 8,
     buckets_per_commit: int = 1,
-    input_snapshot_id: str = "snapshot-0",
+    input_snapshot_id: str | None = None,
     run_id: str | None = None,
     max_buckets: int | None = None,
     use_mock: bool = False,
@@ -89,16 +90,42 @@ def run_extraction_job(
 
     ``max_buckets`` processes only that many uncommitted buckets then stops
     — the kill-after-k hook the resume test uses (SURVEY.md §5.2.4).
+    ``input_snapshot_id`` defaults to a fingerprint of the input file
+    listing (checkpoint.derive_snapshot_id); on resume, committed manifests
+    written against a DIFFERENT snapshot id are surfaced in the summary
+    (``snapshot_mismatch_buckets``) and as a warning — their outputs were
+    computed from an input that has since changed.
     Returns summary counters.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    if input_snapshot_id is None:
+        input_snapshot_id = derive_snapshot_id(pages)
     done = committed_buckets(out_dir)
+    stale = sorted(
+        m["bucket"]
+        for m in read_manifests(out_dir)
+        if m.get("input_snapshot_id") != input_snapshot_id
+    )
+    if stale:
+        import warnings
+
+        warnings.warn(
+            f"resume: {len(stale)} committed bucket(s) {stale} were built "
+            f"from a different input snapshot than the current one "
+            f"({input_snapshot_id}); their outputs may be stale",
+            stacklevel=2,
+        )
     all_buckets = [b for b in range(num_buckets) if b not in done]
     if max_buckets is not None:
         all_buckets = all_buckets[:max_buckets]
 
     if not all_buckets:
-        return {"run_id": run_id, "buckets_processed": 0, "docs": 0}
+        return {
+            "run_id": run_id,
+            "buckets_processed": 0,
+            "docs": 0,
+            "snapshot_mismatch_buckets": stale,
+        }
 
     base = with_bucket(ingest(pages), num_buckets)
 
@@ -162,7 +189,12 @@ def run_extraction_job(
             total_docs += docs
             processed += 1
 
-    return {"run_id": run_id, "buckets_processed": processed, "docs": total_docs}
+    return {
+        "run_id": run_id,
+        "buckets_processed": processed,
+        "docs": total_docs,
+        "snapshot_mismatch_buckets": stale,
+    }
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:

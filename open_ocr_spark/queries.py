@@ -645,14 +645,18 @@ def q_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile ranking window. NOTE the global (unpartitioned) window: fine
-    for a top-level report, but at 100 TB an unpartitioned ntile funnels
-    every row through one task — the scale path is percentile bucketing
-    (see q_percentile_order_value) or a partitioned window."""
+    """Global ntile ranking — via distributed_ntile, NOT an unpartitioned
+    window: a global window funnels every row through one task, while this
+    form computes the exact same bucket assignment with a range exchange +
+    parallel per-partition ranks + a metadata-sized offset broadcast
+    (dataops/ranking.py)."""
+    from open_ocr_spark.dataops.ranking import distributed_ntile
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("quartile", F.ntile(4).over(w))
+        distributed_ntile(
+            o, 4, ["o_totalprice", "o_orderkey"], out_col="quartile"
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -385,3 +385,57 @@ def test_asof_join_matches_python_reference(spark):
         cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
         expect[eid] = max(cands)[1] if cands else None
     assert got == expect
+
+
+# --- distributed_ntile -------------------------------------------------------
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """Exact parity with Spark's ntile() for several bucket counts and
+    non-divisible row counts, independent of partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.dataops.ranking import distributed_ntile
+
+    rows = [(i, (i * 7919) % 1000) for i in range(237)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    for b in (1, 2, 4, 7, 10):
+        got = {
+            r["id"]: r["q"]
+            for r in distributed_ntile(
+                df, b, ["v", "id"], out_col="q", num_partitions=5
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v"), F.col("id"))
+        want = {
+            r["id"]: r["q"]
+            for r in df.withColumn("q", F.ntile(b).over(w)).collect()
+        }
+        assert got == want, f"buckets={b}"
+
+
+def test_distributed_ntile_no_global_data_window(spark):
+    """The row_number over the DATA must be partitioned (by _pid — every
+    range partition ranks in parallel). Unpartitioned Window nodes are
+    allowed only over the metadata-sized partition-count aggregate."""
+    from open_ocr_spark.dataops.ranking import distributed_ntile
+
+    df = spark.range(100).selectExpr("id", "id % 17 AS v")
+    plan = (
+        distributed_ntile(df, 4, ["v", "id"], out_col="q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    window_lines = [
+        l.strip() for l in plan.splitlines() if "Window [" in l
+    ]
+    data_windows = [l for l in window_lines if "row_number()" in l]
+    assert data_windows, plan
+    for l in data_windows:
+        # windowspecdefinition(partCols..., orderCols..., frame): the
+        # partition col _pid must appear before the first ASC/DESC key
+        spec = l.split("windowspecdefinition(", 1)[1]
+        assert spec.split(",")[0].startswith("_pid"), l
+    for l in window_lines:
+        if "row_number()" not in l:
+            assert "_cnt" in l, f"global window over non-metadata: {l}"

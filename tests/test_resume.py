@@ -61,3 +61,41 @@ def test_manifest_lineage_counts(spark, tmp_path):
     failures = sum(m["failure_count"] for m in manifests)
     expected_failures = golden.filter(F.col("status") != "ok").count()
     assert failures == expected_failures
+
+
+def test_snapshot_id_derived_and_mismatch_surfaced(spark, tmp_path):
+    """input_snapshot_id defaults to a fingerprint of the input file
+    listing; rewriting the input between a kill and a resume changes the
+    id, and the resume surfaces the committed-under-old-snapshot buckets."""
+    import warnings
+
+    from open_ocr_spark.pipeline.checkpoint import derive_snapshot_id
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    pages_df(spark, N_ROWS).write.parquet(src)
+
+    pages1 = spark.read.parquet(src)
+    snap1 = derive_snapshot_id(pages1)
+    assert snap1.startswith("snap-")
+    assert derive_snapshot_id(spark.read.parquet(src)) == snap1  # stable
+
+    first = run_extraction_job(spark, pages1, out, num_buckets=4, max_buckets=2)
+    assert first["snapshot_mismatch_buckets"] == []
+    for m in read_manifests(out):
+        assert m["input_snapshot_id"] == snap1
+
+    # rewrite the input (same rows, new files): snapshot id must change
+    pages_df(spark, N_ROWS).repartition(3).write.mode("overwrite").parquet(src)
+    pages2 = spark.read.parquet(src)
+    snap2 = derive_snapshot_id(pages2)
+    assert snap2 != snap1
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        second = run_extraction_job(spark, pages2, out, num_buckets=4)
+    assert len(second["snapshot_mismatch_buckets"]) == 2  # the killed run's
+    assert any("different input snapshot" in str(w.message) for w in caught)
+    # and the new manifests carry the new snapshot id
+    snap_ids = {m["input_snapshot_id"] for m in read_manifests(out)}
+    assert snap_ids == {snap1, snap2}

@@ -29,17 +29,22 @@ def _default_sf_dir() -> str:
     """sf0.1 when present, else the largest generated scale factor —
     bench must produce its JSON line even if the driver hasn't
     materialized sf0.1 yet."""
+    import re
+
     preferred = "/root/testdata/sf0.1"
     if os.path.isdir(preferred):
         return preferred
     try:
+        # strict sf<number> names only: one stray sf_tmp dir must not
+        # torpedo the whole fallback
         cands = sorted(
-            (d for d in os.listdir("/root/testdata") if d.startswith("sf")),
+            (d for d in os.listdir("/root/testdata")
+             if re.fullmatch(r"sf[0-9]*\.?[0-9]+", d)),
             key=lambda d: float(d[2:]),
         )
         if cands:
             return f"/root/testdata/{cands[-1]}"
-    except (OSError, ValueError):
+    except OSError:
         pass
     return preferred
 
@@ -151,13 +156,40 @@ HEADLINE = [
 ]
 
 
+def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict:
+    """Time the LSH near-dup pipeline (the suite's most expensive query) —
+    documents replicated with per-copy distinct text so the exact-collapse
+    pre-pass cannot shortcut the replicas."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.dataops.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replication > 1:
+        docs = docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
+        ).select(
+            (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" replica "),
+                     F.col("rep").cast("string")).alias("text"),
+        )
+    walls = []
+    for _ in range(rounds):
+        t0 = time.time()
+        minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.time() - t0, 3))
+    return {"seconds": min(walls), "all_seconds": walls}
+
+
 def run_once(
     master: str,
     sf_dir: str,
     json_path: str | None = None,
     extraction_only: bool = False,
     replication: int | None = None,
-    rounds: int = 1,
+    rounds: int | None = None,
+    with_minhash: bool = False,
 ) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from open_ocr_spark.pipeline.session import get_spark
@@ -177,11 +209,12 @@ def run_once(
     if WARMUP:  # JVM/codegen warm-up, excluded per BASELINE.md protocol
         run_extraction_bench(spark, sf_dir, max(1, replication // 4))
 
-    # default to median-of-3 in full-suite (driver) mode: this host gets
-    # throttled in multi-second bursts, and a single timed round that
-    # lands in one reads 5-10× slow (BASELINE.md protocol notes)
-    if rounds == 1 and not extraction_only:
-        rounds = 3
+    # default (rounds unset): median-of-3 in full-suite (driver) mode —
+    # this host gets throttled in multi-second bursts, and a single timed
+    # round that lands in one reads 5-10× slow (BASELINE.md protocol
+    # notes). An explicit --rounds N is always honored as given.
+    if rounds is None:
+        rounds = 1 if extraction_only else 3
     extraction = run_extraction_bench(spark, sf_dir, replication, rounds=rounds)
 
     if extraction_only:
@@ -195,6 +228,10 @@ def run_once(
             "master": master,
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         }
+        if with_minhash:
+            result["minhash"] = run_minhash_bench(
+                spark, sf_dir, replication=4, rounds=max(3, min(rounds, 5))
+            )
         spark.stop()
         if json_path:
             with open(json_path, "w") as f:
@@ -212,6 +249,13 @@ def run_once(
             walls.append(time.time() - t0)
         query_secs[name] = round(min(walls), 3)
 
+    # BASELINE.md-comparable headline: a 1M-doc extraction run, so
+    # round-over-round docs/sec is apples-to-apples with the recorded
+    # baseline protocol (fixed job overhead stops dominating at 1M)
+    base_count = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rep_1m = max(1, round(1_000_000 / base_count))
+    ext_1m = run_extraction_bench(spark, sf_dir, rep_1m, rounds=3)
+
     total = round(sum(query_secs.values()), 3)
     result = {
         "metric": "headline_suite_seconds",
@@ -222,6 +266,15 @@ def run_once(
         "extraction_docs": extraction["docs"],
         "extraction_docs_per_sec": extraction["docs_per_sec"],
         "extraction_failures": extraction["failures"],
+        "extraction_1m_docs": ext_1m["docs"],
+        "extraction_1m_docs_per_sec": ext_1m["docs_per_sec"],
+        # best round = least-throttled = the BASELINE.md-comparable number
+        # on this burst-throttled host (see BASELINE.md protocol notes)
+        "extraction_1m_docs_per_sec_best": round(
+            ext_1m["docs"] / min(ext_1m["all_seconds"]), 1
+        ),
+        "extraction_1m_seconds": ext_1m["seconds"],
+        "extraction_1m_all_seconds": ext_1m["all_seconds"],
         "master": master,
     }
     spark.stop()
@@ -279,7 +332,8 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_big: int = 32,
         )
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--master", master,
-             "--json-out", out, "--extraction-only", "--rounds", "5"],
+             "--json-out", out, "--extraction-only", "--rounds", "5",
+             "--with-minhash"],
             check=True,
             env=env,
             stdout=subprocess.DEVNULL,
@@ -298,6 +352,19 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_big: int = 32,
     machine_ceiling = round((ctl_4n / ctl_n) / 4, 3)
     eff_med = round((tp_med[n_big] / tp_med[n_small]) / 4, 3)
     eff_best = round((tp_best[n_big] / tp_best[n_small]) / 4, 3)
+    minhash = {}
+    if all("minhash" in results[c] for c in (n_small, n_big)):
+        mh_best = {c: min(results[c]["minhash"]["all_seconds"])
+                   for c in (n_small, n_big)}
+        minhash = {
+            f"minhash_seconds_local{n_small}":
+                results[n_small]["minhash"]["all_seconds"],
+            f"minhash_seconds_local{n_big}":
+                results[n_big]["minhash"]["all_seconds"],
+            "minhash_efficiency_best": round(
+                (mh_best[n_small] / mh_best[n_big]) / 4, 3
+            ),
+        }
     return {
         "metric": "scaling_efficiency_N_to_4N",
         "value": eff_best,
@@ -319,6 +386,7 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_big: int = 32,
         else None,
         "pass_threshold": 0.8,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        **minhash,
     }
 
 
@@ -335,7 +403,7 @@ def main():
         return
     master = f"local[{CPUS}]"
     json_path = None
-    rounds = 1
+    rounds = None
     if "--master" in args:
         master = args[args.index("--master") + 1]
     if "--json-out" in args:
@@ -348,6 +416,7 @@ def main():
         json_path,
         extraction_only="--extraction-only" in args,
         rounds=rounds,
+        with_minhash="--with-minhash" in args,
     )
     print(json.dumps(result))
 

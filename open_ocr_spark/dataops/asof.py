@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "_asof_side"
+_TS = "_ts"
+_VALS = "_asof_vals"
 
 
 def asof_join(
@@ -39,46 +41,77 @@ def asof_join(
     Right-side duplicates on (key, ts) must be resolved by the caller
     first (pre-aggregate) — as DuckDB also requires.
 
+    The value columns are packed into ONE struct and carried forward with
+    a single ``last(ignorenulls)``, so the matched right row is attached
+    atomically: a legitimately-NULL value column in the matched row stays
+    NULL instead of leaking the value from an older right row (DuckDB ASOF
+    attaches the matched row as a unit; carrying each column independently
+    would not).
+
     Output: all left columns (``left_ts`` name preserved) + value_cols.
     """
     keys = [on] if isinstance(on, str) else list(on)
     left_extra = [c for c in left.columns if c not in keys and c != left_ts]
+
+    reserved = {_TS, _SIDE, _VALS}
+    clashes = reserved.intersection(left_extra) | reserved.intersection(keys)
+    if clashes:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clashes)} collide with "
+            f"reserved working names {sorted(reserved)}; rename them first"
+        )
+    overlap = set(value_cols).intersection(left_extra) | set(
+        value_cols
+    ).intersection(keys)
+    if overlap:
+        raise ValueError(
+            f"asof_join: value_cols {sorted(overlap)} already exist on the "
+            "left frame; rename one side first"
+        )
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join: value_cols {missing} not in right frame")
+
     l_tagged = left.select(
         *keys,
-        F.col(left_ts).alias("_ts"),
+        F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         *left_extra,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in value_cols
-        ],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            )
+            + ">"
+        )
+        .alias(_VALS),
     )
     r_tagged = right.select(
         *keys,
-        F.col(right_ts).alias("_ts"),
+        F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
-        *value_cols,
+        F.struct(*value_cols).alias(_VALS),
     )
     # right rows sort BEFORE left rows at equal ts (side 0 < 1): inclusive
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col(_SIDE).asc())
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last(F.col(_VALS), ignorenulls=True).over(w)
     return (
         l_tagged.unionByName(r_tagged)
         .select(
             *keys,
-            "_ts",
+            _TS,
             _SIDE,
             *left_extra,
-            *[
-                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-                for c in value_cols
-            ],
+            *[carried[c].alias(c) for c in value_cols],
         )
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE)
-        .withColumnRenamed("_ts", left_ts)
+        .withColumnRenamed(_TS, left_ts)
     )

@@ -34,6 +34,9 @@ FEATURE_SCHEMA = (
 _MAGIC = (
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
+    (b"BM", "image/bmp"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
     (b"RIFF", "audio/wav"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 )
@@ -49,20 +52,52 @@ def sniff_media_type(payload: bytes | None) -> str:
     return "application/octet-stream"
 
 
-def _decode_stub(payload: bytes, media_type: str, strict: bool):
-    """STUB: real decode needs PIL/ffmpeg, absent in this container.
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """TRUE pixel dimensions from stdlib-parsable container headers —
+    PNG (IHDR: big-endian u32 pair at offset 16), BMP (BITMAPINFOHEADER:
+    little-endian i32 pair at offset 18; height may be negative for
+    top-down rows) and GIF (little-endian u16 pair at offset 6). Returns
+    None for formats whose dimensions need a real decoder (JPEG scan
+    markers, video) or for truncated/invalid headers."""
+    import struct
 
-    Deterministic fake: dimensions and an 8-dim feature vector derived from
-    the payload's sha1 — stable across runs/executors, so downstream joins
-    and tests behave exactly as they would with a real decoder."""
-    if strict:
+    head = bytes(payload[:32])
+    if head.startswith(b"\x89PNG\r\n\x1a\n") and len(head) >= 24:
+        if head[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", head[16:24])
+            return (w, h) if 0 < w and 0 < h else None
+    if head.startswith(b"BM") and len(head) >= 26:
+        size = struct.unpack("<I", head[14:18])[0]
+        if size >= 40:  # BITMAPINFOHEADER or later
+            w, h = struct.unpack("<ii", head[18:26])
+            return (w, abs(h)) if w > 0 and h != 0 else None
+    if head.startswith((b"GIF87a", b"GIF89a")) and len(head) >= 10:
+        w, h = struct.unpack("<HH", head[6:10])
+        return (w, h) if w > 0 and h > 0 else None
+    return None
+
+
+def _decode_stub(payload: bytes, media_type: str, strict: bool):
+    """Dimensions come from real header parsing where stdlib allows
+    (parse_image_dims: PNG/BMP/GIF); everything else is a STUB — real
+    decode needs PIL/ffmpeg, absent in this container.
+
+    Deterministic fake for the stubbed part: dimensions and an 8-dim
+    feature vector derived from the payload's sha1 — stable across
+    runs/executors, so downstream joins and tests behave exactly as they
+    would with a real decoder."""
+    dims = parse_image_dims(payload)
+    if strict and dims is None:
         raise NotImplementedError(
             "media decode requires PIL/ffmpeg (not installed); "
             "run with strict=False for the deterministic stub"
         )
     digest = hashlib.sha1(payload).digest()
-    width = 16 + digest[0] % 64
-    height = 16 + digest[1] % 64
+    if dims is not None:
+        width, height = dims
+    else:
+        width = 16 + digest[0] % 64
+        height = 16 + digest[1] % 64
     n_frames = 1 + digest[2] % 8 if media_type.startswith("video") else 1
     feature = [round(b / 255.0, 6) for b in digest[:8]]
     return width, height, n_frames, feature

@@ -439,3 +439,97 @@ def test_distributed_ntile_no_global_data_window(spark):
     for l in window_lines:
         if "row_number()" not in l:
             assert "_cnt" in l, f"global window over non-metadata: {l}"
+
+
+def test_asof_join_attaches_matched_row_atomically(spark):
+    """A NULL value column in the matched right row must stay NULL — not
+    inherit the non-null value of an OLDER right row (per-column carry
+    would mix columns from different right rows)."""
+    from open_ocr_spark.dataops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "k long, ts long, eid long"
+    ).selectExpr("k", "eid", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,ts) AS ts")
+    right = spark.createDataFrame(
+        [(1, 1, "old-a", "old-b"), (1, 5, "new-a", None)],
+        "k long, ts long, a string, b string",
+    ).selectExpr("k", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,ts) AS rts", "a", "b")
+
+    row = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        value_cols=["a", "b"],
+    ).collect()[0]
+    assert row["a"] == "new-a"
+    assert row["b"] is None  # matched row's NULL, not old-b
+
+
+def test_asof_join_rejects_reserved_and_colliding_columns(spark):
+    import pytest
+
+    from open_ocr_spark.dataops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 2)], "k long, ts long, _asof_side long")
+    right = spark.createDataFrame([(1, 1, 3)], "k long, rts long, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                  value_cols=["v"])
+
+    left2 = spark.createDataFrame([(1, 1, 2)], "k long, ts long, v long")
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left2, right, on="k", left_ts="ts", right_ts="rts",
+                  value_cols=["v"])
+
+    with pytest.raises(ValueError, match="not in right"):
+        asof_join(left2.drop("v"), right, on="k", left_ts="ts",
+                  right_ts="rts", value_cols=["nope"])
+
+
+def test_parse_image_dims_real_headers():
+    """True dimensions from real PNG/BMP/GIF headers (stdlib-built,
+    valid fixtures); None for JPEG and garbage."""
+    import struct
+    import zlib
+
+    from open_ocr_spark.dataops.multimodal import parse_image_dims
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+                + struct.pack(">I", zlib.crc32(chunk)))
+
+    def bmp(w, h):
+        return (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+                + struct.pack("<Iii", 40, w, h) + b"\x00" * 28)
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+    assert parse_image_dims(png(640, 480)) == (640, 480)
+    assert parse_image_dims(bmp(320, 200)) == (320, 200)
+    assert parse_image_dims(bmp(320, -200)) == (320, 200)  # top-down BMP
+    assert parse_image_dims(gif(99, 7)) == (99, 7)
+    assert parse_image_dims(b"\xff\xd8\xff\xe0JFIF") is None
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\nxx") is None  # truncated
+    assert parse_image_dims(b"garbage") is None
+
+
+def test_media_features_use_real_png_dims(spark):
+    import struct
+    import zlib
+
+    from open_ocr_spark.dataops.multimodal import extract_media_features
+
+    ihdr = struct.pack(">II", 800, 600) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+           + struct.pack(">I", zlib.crc32(chunk)))
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", {})],
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    row = extract_media_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (800, 600)
+    # strict mode succeeds for parseable headers, still raises for JPEG
+    row2 = extract_media_features(df, strict=True).collect()[0]
+    assert (row2["width"], row2["height"]) == (800, 600)

@@ -478,6 +478,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=3, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution end-to-end: exact-jaccard near-dup
+    pairs → connected components (iterative min-label propagation,
+    dataops/clusters.py) → one canonical cluster id per document
+    (singletons keep their own id). Oracle: DuckDB recursive CTE computing
+    the same transitive closure over the same pair set."""
+    from open_ocr_spark.dataops.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE_NONE candidate generation (xxhash64 seeds are Spark-specific);
     the verification step IS SQL-checkable via q_ngram_jaccard_pairs.
@@ -756,6 +769,60 @@ def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multipart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 parity, oracle-checked end-to-end: every document is packed into
+    a multipart/related request body (JSON part with url/engine + image
+    part with the boilerplate-wrapped page — body assembled in pure
+    Catalyst concat), parsed by the stdlib-MIME ingestion kernel
+    (sources.requests_from_multipart), extracted, and must round-trip to
+    the normalized text (/root/reference/ocr_http_multipart_handler.go:26-88)."""
+    from open_ocr_spark.sources import requests_from_multipart
+
+    docs = _t(spark, sf_dir, "documents")
+    boundary = "graftbnd"
+    json_part = F.concat(
+        F.lit(f'--{boundary}\r\nContent-Type: application/json\r\n\r\n'
+              '{"img_url": "https://docs.example.com/doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "engine": "tesseract"}\r\n'),
+    )
+    img_part_head = F.lit(
+        f"--{boundary}\r\nContent-Type: image/png\r\n\r\n"
+    )
+    body = F.concat(
+        F.encode(F.concat(json_part, img_part_head), "utf-8"),
+        F.encode(
+            F.concat(
+                F.lit(_WRAP_PREFIX),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(_WRAP_SUFFIX),
+            ),
+            "utf-8",
+        ),
+        F.encode(F.lit(f"\r\n--{boundary}--\r\n"), "utf-8"),
+    )
+    reqs = docs.select(
+        body.alias("body"),
+        F.lit(f'multipart/related; boundary="{boundary}"').alias(
+            "content_type"
+        ),
+    )
+    parsed = requests_from_multipart(reqs).withColumn(
+        "lang", F.coalesce(F.col("lang"), F.lit("eng"))
+    )
+    extracted = extract_stage(parsed.filter(F.col("error").isNull()))
+    return (
+        extracted.select(
+            F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "extracted_text",
+            "status",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 parity for real-world (compressed) PDFs, oracle-checked: every
     document becomes a PDF whose content stream is zlib-deflated behind
@@ -1004,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "base64_roundtrip": q_base64_roundtrip,
     "exact_dedup_groups": q_exact_dedup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "token_counts": q_token_counts,
@@ -1024,6 +1092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_event_pairs": q_range_join_event_pairs,
     "extract_pdf_text": q_extract_pdf_text,
     "extract_pdf_flate": q_extract_pdf_flate,
+    "multipart_roundtrip": q_multipart_roundtrip,
     "extract_structured_spans": q_extract_structured_spans,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
@@ -1280,6 +1349,52 @@ ORACLES: dict[str, str] = {
         WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
         ORDER BY doc_a, doc_b
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                       AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM idx
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+        ),
+        edges AS (
+            SELECT doc_a AS x, doc_b AS y FROM pairs
+            UNION
+            SELECT doc_b AS x, doc_a AS y FROM pairs
+        ),
+        reach(id, lab) AS (
+            SELECT x, x FROM edges
+            UNION
+            SELECT e.x, r.lab FROM edges e JOIN reach r ON r.id = e.y
+        ),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id
+    """,
     "token_counts": """
         SELECT doc_id,
                CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) = 0
@@ -1423,6 +1538,14 @@ ORACLES: dict[str, str] = {
     """,
     "extract_pdf_flate": """
         SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "multipart_roundtrip": """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
+                   AS extracted_text,
+               'ok' AS status
         FROM documents
         ORDER BY doc_id
     """,

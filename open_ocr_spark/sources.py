@@ -46,6 +46,103 @@ def pages_from_binary_files(
     )
 
 
+MULTIPART_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "engine string, preprocessors array<string>, "
+    "preprocessor_args map<string,string>, engine_args_json string, "
+    "inplace_decode boolean, error string"
+)
+
+
+def _parse_multipart_request(body: bytes, content_type: str):
+    """One multipart/related request body → OcrRequest-shaped dict, with
+    the reference's exact part semantics
+    (/root/reference/ocr_http_multipart_handler.go:26-88): an
+    application/json part fills the request fields; the FIRST image/* part
+    becomes the payload and ends parsing (json arriving after the image is
+    ignored, as in the reference); any other part type is an error, as is
+    a non-multipart/related content type. Errors come back as values."""
+    import email.parser
+    import email.policy
+    import json as _json
+
+    if not (content_type or "").strip().lower().startswith("multipart/related"):
+        return None, "Expected multipart related"
+    msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
+        b"Content-Type: " + content_type.encode("ascii", "replace")
+        + b"\r\nMIME-Version: 1.0\r\n\r\n" + bytes(body)
+    )
+    if not msg.is_multipart():
+        return None, "Expected multipart related"
+    req: dict = {}
+    for part in msg.iter_parts():
+        ptype = part.get_content_type()
+        if ptype == "application/json":
+            try:
+                req.update(_json.loads(part.get_payload(decode=True)))
+            except (ValueError, TypeError) as exc:
+                return None, f"Unable to unmarshal json: {exc}"
+        elif ptype.startswith("image"):
+            req["_img_bytes"] = part.get_payload(decode=True)
+            return req, None
+        else:
+            return None, "Expected content-type: image/*"
+    return None, "no image part in multipart body"
+
+
+def requests_from_multipart(
+    requests: DataFrame,
+    body_col: str = "body",
+    content_type_col: str = "content_type",
+) -> DataFrame:
+    """A4: the multipart/related upload surface as batch ingestion — one
+    request body per row, parsed with the stdlib MIME parser inside an
+    Arrow-batched kernel (ingestion-boundary Python, like the reference's
+    handler; the extraction hot path stays JVM-side). Output shape matches
+    requests_from_json plus an ``error`` column (error-as-value)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        cols = [
+            "url", "warc_ts", "html", "text", "lang", "engine",
+            "preprocessors", "preprocessor_args", "engine_args_json",
+            "inplace_decode", "error",
+        ]
+        for pdf in batches:
+            rows = []
+            for body, ctype in zip(pdf[body_col], pdf[content_type_col]):
+                req, err = _parse_multipart_request(
+                    bytes(body) if body is not None else b"", ctype or ""
+                )
+                if err is not None:
+                    rows.append((None, None, None, None, None, None, None,
+                                 None, None, None, err))
+                    continue
+                ea = req.get("engine_args")
+                rows.append((
+                    req.get("img_url"),
+                    None,
+                    req.get("_img_bytes"),
+                    None,
+                    (ea or {}).get("lang"),
+                    req.get("engine"),
+                    req.get("preprocessors"),
+                    req.get("preprocessor-args"),
+                    _json.dumps(ea, sort_keys=True) if ea is not None else None,
+                    req.get("inplace_decode"),
+                    None,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return requests.select(body_col, content_type_col).mapInPandas(
+        kernel, MULTIPART_SCHEMA
+    )
+
+
 def requests_from_json(requests: DataFrame, json_col: str = "request") -> DataFrame:
     """Parse a column of OcrRequest JSON bodies into the pipeline's input
     shape. Mirrors the reference's decode + materialize steps

@@ -533,3 +533,34 @@ def test_media_features_use_real_png_dims(spark):
     # strict mode succeeds for parseable headers, still raises for JPEG
     row2 = extract_media_features(df, strict=True).collect()[0]
     assert (row2["width"], row2["height"]) == (800, 600)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label must propagate across a 6-hop chain (several iterations),
+    components stay separate, and dedup_clusters maps singletons to
+    themselves."""
+    from open_ocr_spark.dataops.clusters import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),   # chain 1..7
+         (10, 11), (11, 12),                               # triangle-ish
+         (20, 21)],
+        "doc_a long, doc_b long",
+    ).repartition(5)
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert all(got[i] == 1 for i in range(1, 8))
+    assert all(got[i] == 10 for i in (10, 11, 12))
+    assert got[20] == got[21] == 20
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 20, 21, 99]],
+        "doc_id long",
+    )
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(docs, edges).collect()}
+    assert full[99] == 99  # singleton: own id
+    assert full[7] == 1

@@ -81,3 +81,83 @@ def test_json_request_lang_gate(spark):
     )
     got = extract_stage(requests_from_json(df)).collect()[0]
     assert got["status"] == "error:lang"
+
+
+# --- multipart/related (A4, ocr_http_multipart_handler.go:26-88) ------------
+
+
+def _multipart_body(parts):
+    """parts: list of (content_type, payload bytes)."""
+    boundary = "bnd42"
+    out = []
+    for ctype, payload in parts:
+        out.append(f"--{boundary}\r\nContent-Type: {ctype}\r\n\r\n".encode())
+        out.append(payload)
+        out.append(b"\r\n")
+    out.append(f"--{boundary}--\r\n".encode())
+    return b"".join(out), f'multipart/related; boundary="{boundary}"'
+
+
+def test_multipart_json_plus_image(spark):
+    import json
+
+    from open_ocr_spark.sources import requests_from_multipart
+
+    req = {"img_url": "https://x/1", "engine": "tesseract",
+           "preprocessors": ["stroke-width-transform"],
+           "engine_args": {"lang": "eng"}, "inplace_decode": True}
+    body, ctype = _multipart_body([
+        ("application/json", json.dumps(req).encode()),
+        ("image/png", b"\x89PNGpayload"),
+    ])
+    df = spark.createDataFrame(
+        [(bytearray(body), ctype)], "body binary, content_type string"
+    )
+    row = requests_from_multipart(df).collect()[0]
+    assert row["error"] is None
+    assert row["url"] == "https://x/1"
+    assert bytes(row["html"]) == b"\x89PNGpayload"
+    assert row["engine"] == "tesseract"
+    assert row["preprocessors"] == ["stroke-width-transform"]
+    assert row["lang"] == "eng"
+    assert row["inplace_decode"] is True
+    assert '"lang": "eng"' in row["engine_args_json"]
+
+
+def test_multipart_first_image_wins_and_ends_parsing(spark):
+    import json
+
+    from open_ocr_spark.sources import requests_from_multipart
+
+    body, ctype = _multipart_body([
+        ("image/jpeg", b"\xff\xd8\xffFIRST"),
+        ("application/json", json.dumps({"engine": "late"}).encode()),
+    ])
+    df = spark.createDataFrame(
+        [(bytearray(body), ctype)], "body binary, content_type string"
+    )
+    row = requests_from_multipart(df).collect()[0]
+    # reference returns at the first image part; the late json is ignored
+    assert row["error"] is None
+    assert bytes(row["html"]) == b"\xff\xd8\xffFIRST"
+    assert row["engine"] is None
+
+
+def test_multipart_errors_as_values(spark):
+    from open_ocr_spark.sources import requests_from_multipart
+
+    good_body, good_ctype = _multipart_body([("image/png", b"x")])
+    bad_part_body, bad_part_ctype = _multipart_body([("text/plain", b"nope")])
+    rows = [
+        (bytearray(b"whatever"), "application/json"),       # not multipart
+        (bytearray(bad_part_body), bad_part_ctype),          # wrong part type
+        (bytearray(good_body), good_ctype),                  # fine
+        (bytearray(_multipart_body([])[0]), good_ctype),     # no parts
+    ]
+    df = spark.createDataFrame(rows, "body binary, content_type string")
+    got = requests_from_multipart(df).collect()
+    errs = [r["error"] for r in got]
+    assert errs[0] == "Expected multipart related"
+    assert errs[1] == "Expected content-type: image/*"
+    assert errs[2] is None
+    assert errs[3] is not None

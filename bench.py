@@ -158,21 +158,36 @@ HEADLINE = [
 
 def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict:
     """Time the LSH near-dup pipeline (the suite's most expensive query) —
-    documents replicated with per-copy distinct text so the exact-collapse
-    pre-pass cannot shortcut the replicas."""
+    documents replicated with per-copy GENUINELY distinct text: each
+    replica appends 40 replica-unique filler tokens, which (a) defeats the
+    exact-collapse pre-pass, and (b) pushes cross-replica jaccard well
+    below threshold, so the OUTPUT pair set stays that of the base corpus
+    instead of exploding C(R,2) per document (a one-token suffix makes
+    every replica pair a reportable near-dup — the bench would then
+    measure output materialization, quadratic in R, not pipeline
+    throughput)."""
     from pyspark.sql import functions as F
 
     from open_ocr_spark.dataops.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replication > 1:
+        filler = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.concat(
+                    F.lit("r"), F.col("rep").cast("string"), F.lit("t"),
+                    i.cast("string"),
+                ),
+            ),
+            " ",
+        )
         docs = docs.select(
             "doc_id", "text",
             F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
         ).select(
             (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" replica "),
-                     F.col("rep").cast("string")).alias("text"),
+            F.concat(F.col("text"), F.lit(" "), filler).alias("text"),
         )
     walls = []
     for _ in range(rounds):
@@ -229,8 +244,14 @@ def run_once(
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         }
         if with_minhash:
+            # size to ~20k distinct docs: below that the LSH pipeline's
+            # fixed stage overhead dominates and the scaling ratio reads
+            # noise (measured: 2k docs run in ~2.5s at BOTH local[8] and
+            # local[32])
+            base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
             result["minhash"] = run_minhash_bench(
-                spark, sf_dir, replication=4, rounds=max(3, min(rounds, 5))
+                spark, sf_dir, replication=max(1, 20_000 // base),
+                rounds=max(3, min(rounds, 5)),
             )
         spark.stop()
         if json_path:

@@ -769,6 +769,42 @@ def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity, oracle-checked end-to-end: every document becomes a
+    self-contained RFC 2397 ``data:`` URL (base64 of the boilerplate-
+    wrapped page, encoded in pure Catalyst), resolved by the fetch stage
+    (sources.fetch_url_payloads — the url2bytes recast,
+    /root/reference/ocr_util.go:35-51), extracted, and must round-trip to
+    the normalized text."""
+    from open_ocr_spark.sources import fetch_url_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    reqs = docs.select(
+        F.concat(
+            F.lit("data:text/html;base64,"),
+            F.base64(
+                F.encode(
+                    F.concat(
+                        F.lit(_WRAP_PREFIX),
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(_WRAP_SUFFIX),
+                    ),
+                    "utf-8",
+                )
+            ),
+        ).alias("url"),
+        "doc_id",
+    )
+    fetched = fetch_url_payloads(reqs).withColumn("lang", F.lit("eng"))
+    extracted = extract_stage(
+        fetched.filter(F.col("fetch_error").isNull()), passthrough=["doc_id"]
+    )
+    return (
+        extracted.select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_multipart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 parity, oracle-checked end-to-end: every document is packed into
     a multipart/related request body (JSON part with url/engine + image
@@ -1093,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_text": q_extract_pdf_text,
     "extract_pdf_flate": q_extract_pdf_flate,
     "multipart_roundtrip": q_multipart_roundtrip,
+    "url_fetch_roundtrip": q_url_fetch_roundtrip,
     "extract_structured_spans": q_extract_structured_spans,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
@@ -1542,6 +1579,14 @@ ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
     "multipart_roundtrip": """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "url_fetch_roundtrip": """
         SELECT doc_id,
                trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
                    AS extracted_text,

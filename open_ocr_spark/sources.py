@@ -46,6 +46,75 @@ def pages_from_binary_files(
     )
 
 
+def fetch_url_payloads(requests: DataFrame, url_col: str = "url") -> DataFrame:
+    """A1: the reference's fetch-by-url source (url2bytes,
+    /root/reference/ocr_util.go:35-51) as a batch stage. Supported
+    schemes, resolved inside an Arrow-batched kernel on the executor that
+    owns the row:
+
+    - ``data:`` URLs (RFC 2397): payload decoded in-process (base64 or
+      percent-encoding) — the self-contained form a test corpus uses;
+    - ``file://`` URLs: read from executor-local storage (the batch analog
+      of a crawl fetch against a mounted store);
+    - ``http(s)://``: error-as-value here — this sandbox has no network,
+      and a 10^12-doc pipeline fetches via the crawl layer, not from
+      executors mid-query. The row carries fetch_error instead of bytes,
+      mirroring how the reference surfaces download failures
+      (ocr_rpc_worker.go:163-190).
+
+    Output: every input column (passthrough) + html binary + fetch_error."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    cols = [c for c in requests.columns if c not in ("html", "fetch_error")]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in requests.schema.fields
+        if f.name in cols
+    ) + ", html binary, fetch_error string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64 as b64
+        import binascii
+        import urllib.parse
+
+        def fetch(url):
+            if url is None:
+                return None, "empty url"
+            if url.startswith("data:"):
+                try:
+                    meta, _, payload = url[5:].partition(",")
+                    if meta.endswith(";base64"):
+                        # RFC 2045 allows line breaks in base64 (Spark's
+                        # base64() emits 76-char MIME chunking)
+                        compact = "".join(payload.split())
+                        return b64.b64decode(compact, validate=True), None
+                    return urllib.parse.unquote_to_bytes(payload), None
+                except (ValueError, binascii.Error) as exc:
+                    return None, f"bad data url: {exc}"
+            if url.startswith("file://"):
+                path = urllib.parse.urlparse(url).path
+                try:
+                    with open(path, "rb") as f:
+                        return f.read(), None
+                except OSError as exc:
+                    return None, f"fetch failed: {exc}"
+            if url.startswith(("http://", "https://")):
+                return None, "network fetch not available in batch stage"
+            return None, f"unsupported url scheme: {url.split(':', 1)[0]}"
+
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            fetched = [fetch(u) for u in pdf[url_col]]
+            yield pdf.assign(
+                html=pd.Series([p for p, _ in fetched], dtype=object),
+                fetch_error=pd.Series([e for _, e in fetched], dtype=object),
+            )
+
+    return requests.select(*cols).mapInPandas(kernel, schema)
+
+
 MULTIPART_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "engine string, preprocessors array<string>, "

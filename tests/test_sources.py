@@ -161,3 +161,33 @@ def test_multipart_errors_as_values(spark):
     assert errs[1] == "Expected content-type: image/*"
     assert errs[2] is None
     assert errs[3] is not None
+
+
+# --- url fetch stage (A1, ocr_util.go:35-51) --------------------------------
+
+
+def test_fetch_data_and_file_urls(spark, tmp_path):
+    import base64
+
+    from open_ocr_spark.sources import fetch_url_payloads
+
+    f = tmp_path / "page.html"
+    f.write_bytes(b"<html>disk bytes</html>")
+    rows = [
+        ("data:text/html;base64," + base64.b64encode(b"from-b64").decode(), 1),
+        ("data:text/plain,hello%20world", 2),
+        (f"file://{f}", 3),
+        ("https://example.com/x", 4),
+        ("ftp://example.com/x", 5),
+        ("data:text/html;base64,!!!notb64!!!", 6),
+    ]
+    df = spark.createDataFrame(rows, "url string, doc_id long")
+    got = {r["doc_id"]: r for r in fetch_url_payloads(df).collect()}
+    assert bytes(got[1]["html"]) == b"from-b64" and got[1]["fetch_error"] is None
+    assert bytes(got[2]["html"]) == b"hello world"
+    assert bytes(got[3]["html"]) == b"<html>disk bytes</html>"
+    assert got[4]["html"] is None and "network" in got[4]["fetch_error"]
+    assert got[5]["html"] is None and "unsupported" in got[5]["fetch_error"]
+    assert got[6]["html"] is None and "bad data url" in got[6]["fetch_error"]
+    # passthrough column survives
+    assert got[3]["doc_id"] == 3

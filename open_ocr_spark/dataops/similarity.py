@@ -90,12 +90,13 @@ def _hyperplane(dim: int, plane_id: int) -> list[float]:
     return out
 
 
-def lsh_bucket_col(emb_col, dim: int, n_planes: int = 8):
+def lsh_bucket_col(emb_col, dim: int, n_planes: int = 8, plane_offset: int = 0):
     """Random-hyperplane signature: bit i = sign(dot(v, plane_i)). Pure
-    Catalyst; one long bucket id per vector."""
+    Catalyst; one long bucket id per vector. ``plane_offset`` selects an
+    independent plane set (multi-band candidate generation)."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p + plane_offset)])
         bits.append(
             F.when(_dot(emb_col, plane) >= 0, F.lit(1 << p).cast("long")).otherwise(
                 F.lit(0).cast("long")
@@ -269,3 +270,78 @@ def centroid_per_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         )
     )
     return means
+
+
+# --- embedding-cosine near-dup pairs ----------------------------------------
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.99
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dups (vec_a < vec_b, cos >= threshold).
+    Declared correctness baseline, like cosine_topk: the self-join is
+    O(n²) and exists to oracle-check the LSH form below — at scale use
+    embedding_near_dup_pairs."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("_ea"), F.col("_eb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_planes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup detection: per band, an
+    equi-join on the hyperplane-LSH bucket id (independent plane set per
+    band — a pair is a candidate if it shares a bucket in ANY band), then
+    exact cosine verification >= threshold. No all-pairs node anywhere:
+    each band shuffles on a uniform bucket key, candidate volume is
+    sum-of-squares of bucket sizes, and verification is proportional to
+    candidates. Recall misses only pairs split by a hyperplane in every
+    band: P(miss) ≈ prod_b (1 - (1 - theta/pi)^n_planes), vanishing for
+    near-dup angles."""
+    cands = None
+    for band in range(bands):
+        with_b = embeddings.select(
+            "vec_id",
+            "embedding",
+            lsh_bucket_col(
+                F.col("embedding"), dim, n_planes, plane_offset=band * n_planes
+            ).alias("_bucket"),
+        )
+        a = with_b.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("_ea"),
+            "_bucket",
+        )
+        b = with_b.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("_eb"),
+            "_bucket",
+        )
+        pairs = a.join(b, "_bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    return (
+        cands.dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("_ea"), F.col("_eb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

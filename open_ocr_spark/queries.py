@@ -551,6 +551,50 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_vec_id=0, k=10, nprobe=2)
 
 
+def _near_dup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ slightly-perturbed copies of every 10th vector (first
+    component +0.05, float32-rounded — replicable in SQL), so the corpus
+    contains KNOWN near-dup pairs at cos ≈ 0.999 while the synthetic base
+    vectors stay mutually far (max pairwise cos 0.51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pert = emb.filter((F.col("vec_id") % 10) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(
+                (F.col("embedding")[0].cast("double") + F.lit(0.05)).cast(
+                    "float"
+                )
+            ),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(pert)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT all-pairs form — the
+    correctness baseline the LSH variant is checked against (the brief's
+    'embedding-cosine near-dup' dedup tier). Oracle: the same all-pairs
+    cosine in DuckDB list arithmetic over the same perturbed corpus."""
+    from open_ocr_spark.dataops.similarity import embedding_cosine_pairs
+
+    corpus = _near_dup_embedding_corpus(spark, sf_dir)
+    return embedding_cosine_pairs(corpus, threshold=0.99).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE_NONE scale path: multi-band hyperplane-LSH candidates +
+    exact verification (no all-pairs node). Subset-of-exact and recall are
+    pytest-checked; rows-only here."""
+    from open_ocr_spark.dataops.similarity import embedding_near_dup_pairs
+
+    corpus = _near_dup_embedding_corpus(spark, sf_dir)
+    return embedding_near_dup_pairs(corpus, threshold=0.99)
+
+
 def q_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable slice: documents.text encoded
     to an opaque binary column, JVM-side byte length + md5."""
@@ -1117,6 +1161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "binary_payload_stats": q_binary_payload_stats,
     "media_features": q_media_features,
     "pivot_order_status": q_pivot_order_status,
@@ -1385,6 +1431,32 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
         ORDER BY doc_a, doc_b
+    """,
+    "embedding_near_dup": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        pert AS (
+            SELECT vec_id + 100000 AS vec_id,
+                   list_prepend(CAST(CAST(e[1] + 0.05 AS FLOAT) AS DOUBLE),
+                                e[2:]) AS e
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        corpus AS (
+            SELECT * FROM base UNION ALL SELECT * FROM pert
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, a.e) > 0
+              AND list_dot_product(b.e, b.e) > 0
+        )
+        SELECT vec_a, vec_b, cos_sim FROM pairs
+        WHERE cos_sim >= 0.99
+        ORDER BY vec_a, vec_b
     """,
     "dedup_clusters": """
         WITH RECURSIVE toks AS (

@@ -564,3 +564,26 @@ def test_connected_components_chain_and_islands(spark):
             for r in dedup_clusters(docs, edges).collect()}
     assert full[99] == 99  # singleton: own id
     assert full[7] == 1
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    """LSH near-dup pairs are a subset of the exact all-pairs result with
+    high recall on true near-dups, and the LSH plan has no cartesian
+    product node."""
+    from open_ocr_spark.dataops.similarity import (
+        embedding_cosine_pairs,
+        embedding_near_dup_pairs,
+    )
+    from open_ocr_spark.queries import _near_dup_embedding_corpus
+
+    corpus = _near_dup_embedding_corpus(spark, "/root/testdata/sf0.001")
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_cosine_pairs(corpus, 0.99).collect()}
+    lsh_df = embedding_near_dup_pairs(corpus, 0.99)
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh_df.collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) >= 0.9 * len(exact)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -336,12 +336,18 @@ def embedding_near_dup_pairs(
         )
         pairs = a.join(b, "_bucket").filter(F.col("vec_a") < F.col("vec_b"))
         cands = pairs if cands is None else cands.unionByName(pairs)
+    # Verify BEFORE deduplicating across bands: a pair colliding in both
+    # bands costs one extra (cheap) cosine, while dedup-first would drag
+    # the embedding arrays through the aggregate — var-length buffers
+    # force SortAggregate over vector payloads. After scoring, the
+    # distinct() runs on three fixed-width columns (hash agg, map-side
+    # combine) over the already-thresholded pair set.
     return (
-        cands.dropDuplicates(["vec_a", "vec_b"])
-        .select(
+        cands.select(
             "vec_a",
             "vec_b",
             F.round(cosine_sim(F.col("_ea"), F.col("_eb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )

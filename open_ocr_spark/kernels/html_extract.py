@@ -49,17 +49,18 @@ def select_main_node(root: Node) -> Node | None:
     toward the tightest subtree that still holds all the main text — the
     analog of the reference's single text region per document.
 
-    Subtree text/link totals (node.tlen/llen) are folded in at parse time
-    — no extra walk here beyond one pre-order candidate scan."""
+    Subtree text/link totals (node.tlen/llen) and the candidate list are
+    built at parse time (root.candidates, document order) — no tree walk
+    here at all, just a scan over the handful of candidate elements."""
     best = None
     best_score = 0.0
-    for node in root.iter():
-        if (
-            node.is_text()
-            or node.tag not in CANDIDATE_TAGS
-            or node.tag in BOILERPLATE_TAGS
-        ):
-            continue
+    candidates = root.candidates
+    if candidates is None:  # subtree without the parse-time list
+        candidates = (
+            n for n in root.iter()
+            if type(n) is not str and n.tag in CANDIDATE_TAGS
+        )
+    for node in candidates:
         s = _score_from_stats(node.tlen, node.llen)
         if s > best_score:
             best, best_score = node, s
@@ -81,8 +82,8 @@ def _emit_paragraphs(node: Node, strip_boilerplate: bool) -> list[str]:
             paragraphs.append(text)
 
     def walk(cur: Node):
-        if cur.is_text():
-            buf.append(cur.text)
+        if type(cur) is str:  # text runs are plain strings in children
+            buf.append(cur)
             return
         if strip_boilerplate and cur.tag in BOILERPLATE_TAGS:
             flush()

@@ -10,6 +10,12 @@ zero per-row Python on the Spark side.
 Determinism requirements (SURVEY.md §7.3 "Hard #1/#2"): stdlib-only parsing,
 explicit utf-8/replace decoding, no environment-dependent behavior. The same
 bytes must yield the same tree on every executor at any parallelism.
+
+Tree representation (hot-path layout): element nodes are ``Node``; text
+runs are plain ``str`` entries in ``children`` — no object allocation per
+text run, which is the bulk of nodes on a text-heavy page. Candidate
+main-content roots are collected in document order at parse time
+(``root.candidates``) so scoring needs no full-tree walk.
 """
 
 from __future__ import annotations
@@ -45,42 +51,49 @@ BLOCK_TAGS = frozenset(
 # like body text are removed before the engine runs.
 BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
 
-# Candidate roots for main content.
+# Candidate roots for main content (disjoint from BOILERPLATE_TAGS, so the
+# parse-time candidate list needs no boilerplate filter).
 CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "body", "td"})
 
 
 class Node:
-    """One element or text node. Element nodes: tag + children; text nodes:
-    tag is None and ``text`` holds the raw character data.
+    """One element node: tag + children. ``children`` holds child ``Node``s
+    and plain ``str`` text runs interleaved in document order.
 
     ``tlen``/``llen`` are subtree totals of collapsed text chars / chars
     under <a>, folded in DURING parsing (each element's totals flow into
-    its parent when it closes) so scoring needs no second tree walk."""
+    its parent when it closes) so scoring needs no second tree walk.
+    ``candidates`` is set on the document root only: every CANDIDATE_TAGS
+    element in document (pre-)order."""
 
-    __slots__ = ("tag", "attrs", "children", "text", "parent", "tlen", "llen")
+    __slots__ = ("tag", "attrs", "children", "tlen", "llen", "candidates")
 
-    def __init__(self, tag, attrs=None, text=None, parent=None):
+    def __init__(self, tag, attrs=None):
         self.tag = tag
         # stored as given (None for the fast tokenizer, which never parses
         # attributes — the extractor reads none); avoids a dict alloc per
         # node on the hot path
         self.attrs = attrs
         self.children = []
-        self.text = text
-        self.parent = parent
         self.tlen = 0
         self.llen = 0
-
-    def is_text(self):
-        return self.tag is None
+        self.candidates = None
 
     def iter(self):
-        """Depth-first pre-order walk of this subtree."""
+        """Depth-first pre-order walk of this subtree: yields Node elements
+        and plain-str text runs."""
         stack = [self]
         while stack:
             node = stack.pop()
             yield node
-            stack.extend(reversed(node.children))
+            if type(node) is not str:
+                stack.extend(reversed(node.children))
+
+    def iter_text(self):
+        """All text runs in document order."""
+        for n in self.iter():
+            if type(n) is str:
+                yield n
 
 
 class _TreeBuilder(HTMLParser):
@@ -91,6 +104,7 @@ class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
+        self.root.candidates = []
         self.stack = [self.root]
         self.skip_depth = 0
 
@@ -105,16 +119,20 @@ class _TreeBuilder(HTMLParser):
             self.skip_depth = 1
             self._skip_tag = tag
             return
-        node = Node(tag, dict(attrs), parent=self.stack[-1])
+        node = Node(tag, dict(attrs))
         self.stack[-1].children.append(node)
+        if tag in CANDIDATE_TAGS:
+            self.root.candidates.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         if self.skip_depth or tag in SKIP_TAGS:
             return
-        node = Node(tag, dict(attrs), parent=self.stack[-1])
+        node = Node(tag, dict(attrs))
         self.stack[-1].children.append(node)
+        if tag in CANDIDATE_TAGS:
+            self.root.candidates.append(node)
 
     def handle_endtag(self, tag):
         if self.skip_depth:
@@ -132,9 +150,7 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if self.skip_depth or not data:
             return
-        self.stack[-1].children.append(
-            Node(None, text=data, parent=self.stack[-1])
-        )
+        self.stack[-1].children.append(data)
 
 
 def fold_stats(root: Node) -> None:
@@ -144,22 +160,24 @@ def fold_stats(root: Node) -> None:
     stack: list[tuple[Node, bool, bool]] = [(root, False, False)]
     while stack:
         node, in_link, visited = stack.pop()
-        if node.is_text():
-            n = collapsed_len(node.text)
-            node.tlen = n
-            node.llen = n if in_link else 0
-            continue
         child_in_link = in_link or node.tag == "a"
         if not visited:
             node.tlen = 0
             node.llen = 0
             stack.append((node, in_link, True))
             for child in node.children:
-                stack.append((child, child_in_link, False))
+                if type(child) is str:
+                    n = collapsed_len(child)
+                    node.tlen += n
+                    if child_in_link:
+                        node.llen += n
+                else:
+                    stack.append((child, child_in_link, False))
         else:
             for child in node.children:
-                node.tlen += child.tlen
-                node.llen += child.llen
+                if type(child) is not str:
+                    node.tlen += child.tlen
+                    node.llen += child.llen
 
 
 def parse_html_stdlib(raw: bytes | str) -> Node:
@@ -209,6 +227,8 @@ def parse_html(raw: bytes | str) -> Node:
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = bytes(raw).decode("utf-8", errors="replace")
     root = Node("#document")
+    candidates: list[Node] = []
+    root.candidates = candidates
     stack = [root]
     skip_tag = None
     skip_depth = 0
@@ -220,14 +240,11 @@ def parse_html(raw: bytes | str) -> Node:
         if "&" in text:
             text = _html.unescape(text)
         top = stack[-1]
-        tnode = Node(None, text=text, parent=top)
         clen = collapsed_len(text)
-        tnode.tlen = clen
-        tnode.llen = clen if a_depth else 0
         top.tlen += clen
         if a_depth:
             top.llen += clen
-        top.children.append(tnode)
+        top.children.append(text)
 
     def pop_to(idx: int) -> None:
         # fold each popped element's totals into its parent (stats flow up
@@ -299,8 +316,10 @@ def parse_html(raw: bytes | str) -> Node:
             continue
 
         top = stack[-1]
-        node = Node(tag, None, parent=top)
+        node = Node(tag, None)
         top.children.append(node)
+        if tag in CANDIDATE_TAGS:
+            candidates.append(node)
         if not self_closing and tag not in VOID_TAGS:
             stack.append(node)
             if tag == "a":

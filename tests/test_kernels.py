@@ -166,7 +166,7 @@ def test_collapse_ws():
 
 def test_parse_html_skips_script_style():
     root = parse_html(b"<body><script>bad()</script><p>good</p></body>")
-    texts = [n.text for n in root.iter() if n.is_text()]
+    texts = list(root.iter_text())
     assert "good" in texts
     assert all("bad" not in (t or "") for t in texts)
 

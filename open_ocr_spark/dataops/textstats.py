@@ -40,12 +40,17 @@ def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
         F.lit(0.0)
     )
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    score = F.round(
+    raw = (
         F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * F.lit(0.5)
         + alpha_ratio * F.lit(0.3)
-        + F.least(F.lit(1.0), avg_tok / F.lit(8.0)) * F.lit(0.2),
-        4,
+        + F.least(F.lit(1.0), avg_tok / F.lit(8.0)) * F.lit(0.2)
     )
+    # floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): engines disagree on
+    # round() exactly at representation boundaries (measured: both compute
+    # 0.47104999999999997, Spark's BigDecimal-exact round gives 0.471,
+    # DuckDB's shortest-decimal-repr round gives 0.4711). floor over the
+    # same IEEE double is bit-deterministic on every engine.
+    score = F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
     return (
         df.withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("avg_token_len", F.round(avg_tok, 4))

@@ -1537,9 +1537,10 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_tokens,
                round(avg_tok, 4) AS avg_token_len,
                round(alpha_ratio, 4) AS alpha_ratio,
-               round(least(1.0, n_tokens / 100.0) * 0.5
-                     + alpha_ratio * 0.3
-                     + least(1.0, avg_tok / 8.0) * 0.2, 4) AS quality_score
+               floor((least(1.0, n_tokens / 100.0) * 0.5
+                      + alpha_ratio * 0.3
+                      + least(1.0, avg_tok / 8.0) * 0.2) * 10000.0 + 0.5)
+                   / 10000.0 AS quality_score
         FROM derived
         ORDER BY doc_id
     """,

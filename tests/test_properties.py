@@ -83,3 +83,43 @@ def test_resolve_engine_total(value):
 @settings(max_examples=100, deadline=None)
 def test_is_pdf_only_prefix(payload):
     assert is_pdf(payload) == (bytes(payload[:4]) == b"%PDF")
+
+
+# --- round-2 surfaces: flate PDFs, multipart parsing --------------------------
+
+PDF_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=300,
+)
+
+
+@given(PDF_TEXT)
+@settings(max_examples=200, deadline=None)
+def test_flate_pdf_roundtrip_any_text(content):
+    """Any text wrapped in a FlateDecode PDF comes back byte-exact through
+    the kernel (escapes + compression + /Length slicing are inverses)."""
+    import zlib
+
+    from open_ocr_spark.kernels.pdf_text import extract_pdf_text
+
+    esc = content.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    body = zlib.compress(("BT\n(" + esc + ") Tj\nET\n").encode("utf-8"))
+    pdf = (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    # raw control chars inside the literal string survive verbatim (only
+    # backslash escapes are decoded)
+    assert extract_pdf_text(pdf) == content
+
+
+@given(st.binary(max_size=500), st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_multipart_parser_total(body, ctype):
+    """The multipart request parser never raises on arbitrary bytes and
+    content types — errors are values."""
+    from open_ocr_spark.sources import _parse_multipart_request
+
+    req, err = _parse_multipart_request(body, ctype)
+    assert (req is None) != (err is None)

@@ -107,3 +107,58 @@ def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     lazily: pandas_udf type resolution needs an active SparkSession."""
     lang_id_udf = pandas_udf(_lang_id_series, "string")
     return df.withColumn("lang_pred", lang_id_udf(F.col(text)))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition heuristics (the Gopher/C4 filter family):
+
+    - dup_bigram_frac: fraction of word bigrams that are repeats of an
+      earlier bigram in the same document — pure array expressions per row
+      (whole-stage codegen, no shuffle);
+    - top_token_frac: frequency share of the document's most common token —
+      explode → (doc, token) hash agg → per-doc max/sum, two uniform-key
+      map-side-combining shuffles (the mode of an array has no
+      single-pass Catalyst expression).
+
+    Fractions use the floor-scale rounding (see with_quality_score) so
+    values hash-compare across engines."""
+    from open_ocr_spark.dataops.dedup import tokens_col
+
+    base = docs.withColumn("_toks", tokens_col(F.col("text"))).withColumn(
+        "_n", token_count_col(F.col("text"))
+    )
+    n = F.col("_n")
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, 2), " "),
+        )
+    )
+    base = base.withColumn("_bi", bigrams)
+    dup_frac = F.when(
+        F.size("_bi") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("_bi")) / F.size("_bi"),
+    ).otherwise(F.lit(0.0))
+
+    def scale4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    arrays_part = base.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        scale4(dup_frac).alias("dup_bigram_frac"),
+    )
+    top = (
+        base.filter(n > 0)
+        .select(id_col, F.explode("_toks").alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg((F.max("_c") / F.sum("_c")).alias("_f"))
+    )
+    return arrays_part.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_bigram_frac",
+        scale4(F.coalesce(F.col("_f"), F.lit(0.0))).alias("top_token_frac"),
+    )

@@ -518,6 +518,16 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style within-document repetition filters: duplicate-bigram
+    fraction (array exprs, codegen) + most-common-token share (explode +
+    two uniform hash aggs). Oracle mirrors both in DuckDB list/agg SQL."""
+    from open_ocr_spark.dataops.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
     return with_fingerprint(docs).select("doc_id", "fingerprint")
@@ -1157,6 +1167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
+    "repetition_stats": q_repetition_stats,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1513,6 +1524,46 @@ ORACLES: dict[str, str] = {
                END AS n_tokens
         FROM documents
         ORDER BY doc_id
+    """,
+    "repetition_stats": """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) = 0
+                        THEN []::VARCHAR[]
+                        ELSE string_split(
+                            trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                   END AS t
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, len(t) AS n_tokens,
+                   CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                        ELSE list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i + 1])
+                   END AS bigrams
+            FROM base
+        ),
+        biagg AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN len(bigrams) > 0
+                        THEN floor((1.0 - len(list_distinct(bigrams)) / len(bigrams))
+                                   * 10000.0 + 0.5) / 10000.0
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM bi
+        ),
+        tc AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+            GROUP BY doc_id, tok
+        ),
+        top AS (
+            SELECT doc_id, max(c) / sum(c) AS f FROM tc GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens, b.dup_bigram_frac,
+               floor(coalesce(top.f, 0.0) * 10000.0 + 0.5) / 10000.0
+                   AS top_token_frac
+        FROM biagg b LEFT JOIN top USING (doc_id)
+        ORDER BY b.doc_id
     """,
     "quality_scores": """
         WITH base AS (

@@ -587,3 +587,25 @@ def test_embedding_near_dup_lsh_subset_and_recall(spark):
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_known_values(spark):
+    from open_ocr_spark.dataops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 3 distinct? no: 'a b','b a' -> 2 distinct of 5
+            (2, "x y z"),             # all bigrams unique
+            (3, ""),                  # empty
+            (4, "w"),                 # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_bigram_frac"] == 0.6   # 5 bigrams, 2 distinct -> 3/5
+    assert got[1]["top_token_frac"] == 0.5    # 'a' and 'b' 3/6 each
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["top_token_frac"] == 0.3333
+    assert got[3]["n_tokens"] == 0 and got[3]["top_token_frac"] == 0.0
+    assert got[4]["dup_bigram_frac"] == 0.0 and got[4]["top_token_frac"] == 1.0

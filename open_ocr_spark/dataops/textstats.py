@@ -162,3 +162,22 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         "dup_bigram_frac",
         scale4(F.coalesce(F.col("_f"), F.lit(0.0))).alias("top_token_frac"),
     )
+
+
+# PII patterns written to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): explicit classes, no lookaround, no \d shorthand.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+
+def scrub_pii(df: DataFrame, text: str = "text", out: str = "scrubbed") -> DataFrame:
+    """C4-style PII scrub: emails and international-format phone numbers
+    replaced with typed placeholders. Pure regexp_replace (JVM, codegen);
+    patterns are dialect-portable so the DuckDB oracle applies the exact
+    same expressions."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumn(out, scrubbed)

@@ -528,6 +528,29 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).orderBy("doc_id")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII redaction, oracle-checked end-to-end: a deterministic
+    email + phone number is injected into every document (pure Catalyst
+    concat — the base corpus contains no PII patterns), scrubbed with
+    dialect-portable regexes, and the oracle states the EXPECTED redacted
+    string directly (no regex on the oracle side — the check fails if the
+    scrub misses or over-matches)."""
+    from open_ocr_spark.dataops.textstats import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or call +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).select("doc_id", "scrubbed").orderBy("doc_id")
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
     return with_fingerprint(docs).select("doc_id", "fingerprint")
@@ -1168,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
     "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1522,6 +1546,12 @@ ORACLES: dict[str, str] = {
                     ELSE len(string_split(
                         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' '))
                END AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "pii_scrub": """
+        SELECT doc_id,
+               text || ' contact <EMAIL> or call <PHONE>' AS scrubbed
         FROM documents
         ORDER BY doc_id
     """,

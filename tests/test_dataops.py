@@ -609,3 +609,22 @@ def test_repetition_stats_known_values(spark):
     assert got[2]["top_token_frac"] == 0.3333
     assert got[3]["n_tokens"] == 0 and got[3]["top_token_frac"] == 0.0
     assert got[4]["dup_bigram_frac"] == 0.0 and got[4]["top_token_frac"] == 1.0
+
+
+def test_scrub_pii_patterns(spark):
+    from open_ocr_spark.dataops.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c_d%x@sub.domain.co today"),
+            (2, "call +44-020-7946-0958 now"),
+            (3, "no pii here at all"),
+            (4, "two: x@y.org and +1-555-0100"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["scrubbed"] for r in scrub_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "no pii here at all"
+    assert got[4] == "two: <EMAIL> and <PHONE>"

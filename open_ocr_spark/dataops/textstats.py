@@ -181,3 +181,20 @@ def scrub_pii(df: DataFrame, text: str = "text", out: str = "scrubbed") -> DataF
         "<PHONE>",
     )
     return df.withColumn(out, scrubbed)
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 split rule simplified to the
+# lookahead-free subset both Java regex and RE2 execute identically):
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+"
+
+
+def with_bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Approximate LLM token count: number of BPE-ish pre-tokenizer
+    segments (regexp_count, JVM codegen — the standard budget estimator a
+    training pipeline runs over every document). Cross-engine portable:
+    the pattern avoids lookahead so DuckDB's RE2 counts identically."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.regexp_count(F.col(text), F.lit(BPE_SPLIT_RE)).cast("long"),
+    )

@@ -528,6 +528,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).orderBy("doc_id")
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts side by side (the brief's
+    token-counting pair): ws count from split, BPE-ish count from a
+    lookahead-free GPT-2-style pre-tokenizer pattern that Java regex and
+    RE2 execute identically."""
+    from open_ocr_spark.dataops.textstats import with_bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
+    return with_bpe_token_count(with_token_count(docs)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII redaction, oracle-checked end-to-end: a deterministic
     email + phone number is injected into every document (pure Catalyst
@@ -1192,6 +1205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "bpe_token_counts": q_bpe_token_counts,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1546,6 +1560,19 @@ ORACLES: dict[str, str] = {
                     ELSE len(string_split(
                         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' '))
                END AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "bpe_token_counts": """
+        SELECT doc_id,
+               CASE WHEN length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) = 0
+                    THEN 0
+                    ELSE len(string_split(
+                        trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' '))
+               END AS n_tokens,
+               len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+'))
+                   AS n_bpe_tokens
         FROM documents
         ORDER BY doc_id
     """,

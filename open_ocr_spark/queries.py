@@ -641,6 +641,25 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.99)
 
 
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + HAVING through the SQL surface: orders above the
+    global average price, grouped with a post-aggregation filter. Catalyst
+    plans the scalar subquery as a broadcast one-row join — no per-row
+    re-evaluation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def q_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checkable slice: documents.text encoded
     to an opaque binary column, JVM-side byte length + md5."""
@@ -1206,6 +1225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "bpe_token_counts": q_bpe_token_counts,
+    "orders_above_avg": q_orders_above_avg,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1562,6 +1582,15 @@ ORACLES: dict[str, str] = {
                END AS n_tokens
         FROM documents
         ORDER BY doc_id
+    """,
+    "orders_above_avg": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+        ORDER BY o_orderpriority
     """,
     "bpe_token_counts": """
         SELECT doc_id,

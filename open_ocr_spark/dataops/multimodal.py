@@ -52,16 +52,52 @@ def sniff_media_type(payload: bytes | None) -> str:
     return "application/octet-stream"
 
 
+def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """JPEG dimensions by walking marker segments to the first SOFn frame
+    header (height/width big-endian at offsets 5/7 of the segment body).
+    Pure stdlib; None on truncated or marker-less streams."""
+    import struct
+
+    pos = 2  # past SOI
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1  # padding/garbage: resync
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2  # standalone markers have no length field
+            continue
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if seg_len < 2:
+            return None
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            return (w, h) if w > 0 and h > 0 else None
+        pos += 2 + seg_len
+    return None
+
+
 def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """TRUE pixel dimensions from stdlib-parsable container headers —
     PNG (IHDR: big-endian u32 pair at offset 16), BMP (BITMAPINFOHEADER:
     little-endian i32 pair at offset 18; height may be negative for
-    top-down rows) and GIF (little-endian u16 pair at offset 6). Returns
-    None for formats whose dimensions need a real decoder (JPEG scan
-    markers, video) or for truncated/invalid headers."""
+    top-down rows), GIF (little-endian u16 pair at offset 6) and JPEG
+    (marker walk to the first SOFn frame header). Returns None for
+    formats whose dimensions genuinely need a decoder (video) or for
+    truncated/invalid headers."""
     import struct
 
-    head = bytes(payload[:32])
+    payload = bytes(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _jpeg_dims(payload)
+    head = payload[:32]
     if head.startswith(b"\x89PNG\r\n\x1a\n") and len(head) >= 24:
         if head[12:16] == b"IHDR":
             w, h = struct.unpack(">II", head[16:24])

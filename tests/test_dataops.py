@@ -509,7 +509,7 @@ def test_parse_image_dims_real_headers():
     assert parse_image_dims(bmp(320, 200)) == (320, 200)
     assert parse_image_dims(bmp(320, -200)) == (320, 200)  # top-down BMP
     assert parse_image_dims(gif(99, 7)) == (99, 7)
-    assert parse_image_dims(b"\xff\xd8\xff\xe0JFIF") is None
+    assert parse_image_dims(b"\xff\xd8\xff\xe0JFIF") is None  # truncated jpeg
     assert parse_image_dims(b"\x89PNG\r\n\x1a\nxx") is None  # truncated
     assert parse_image_dims(b"garbage") is None
 
@@ -530,7 +530,7 @@ def test_media_features_use_real_png_dims(spark):
     )
     row = extract_media_features(df).collect()[0]
     assert (row["width"], row["height"]) == (800, 600)
-    # strict mode succeeds for parseable headers, still raises for JPEG
+    # strict mode succeeds for parseable headers
     row2 = extract_media_features(df, strict=True).collect()[0]
     assert (row2["width"], row2["height"]) == (800, 600)
 
@@ -628,3 +628,19 @@ def test_scrub_pii_patterns(spark):
     assert got[2] == "call <PHONE> now"
     assert got[3] == "no pii here at all"
     assert got[4] == "two: <EMAIL> and <PHONE>"
+
+
+def test_parse_image_dims_jpeg_sof():
+    """True JPEG dimensions from a minimal marker stream (APP0 + DQT decoy
+    + SOF0), and None for a stream with no frame header."""
+    import struct
+
+    from open_ocr_spark.dataops.multimodal import parse_image_dims
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x01\x11\x00")
+    jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+    assert parse_image_dims(jpeg) == (640, 480)
+    assert parse_image_dims(b"\xff\xd8" + app0 + b"\xff\xd9") is None

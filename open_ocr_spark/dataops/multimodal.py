@@ -28,7 +28,9 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes long, sha1 string, "
-    "width int, height int, n_frames int, feature array<float>"
+    "width int, height int, n_frames int, "
+    "sample_rate int, n_channels int, duration_s double, "
+    "feature array<float>"
 )
 
 _MAGIC = (
@@ -84,6 +86,33 @@ def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_audio_meta(payload: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_channels, duration_s) from a RIFF/WAVE header —
+    walk chunks to 'fmt ' (rate/channels/block align) and 'data' (byte
+    length). Pure stdlib; None for non-WAV or truncated payloads."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = block_align = data_len = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= n:
+            channels, rate = struct.unpack("<HI", data[pos + 10 : pos + 16])
+            block_align = struct.unpack("<H", data[pos + 20 : pos + 22])[0]
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not channels or not block_align or data_len is None:
+        return None
+    duration = round(data_len / (rate * block_align), 6)
+    return rate, channels, duration
+
+
 def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """TRUE pixel dimensions from stdlib-parsable container headers —
     PNG (IHDR: big-endian u32 pair at offset 16), BMP (BITMAPINFOHEADER:
@@ -123,7 +152,8 @@ def _decode_stub(payload: bytes, media_type: str, strict: bool):
     runs/executors, so downstream joins and tests behave exactly as they
     would with a real decoder."""
     dims = parse_image_dims(payload)
-    if strict and dims is None:
+    audio = parse_audio_meta(payload)
+    if strict and dims is None and audio is None:
         raise NotImplementedError(
             "media decode requires PIL/ffmpeg (not installed); "
             "run with strict=False for the deterministic stub"
@@ -131,12 +161,15 @@ def _decode_stub(payload: bytes, media_type: str, strict: bool):
     digest = hashlib.sha1(payload).digest()
     if dims is not None:
         width, height = dims
+    elif audio is not None:
+        width = height = None
     else:
         width = 16 + digest[0] % 64
         height = 16 + digest[1] % 64
+    rate, channels, duration = audio if audio is not None else (None,) * 3
     n_frames = 1 + digest[2] % 8 if media_type.startswith("video") else 1
     feature = [round(b / 255.0, 6) for b in digest[:8]]
-    return width, height, n_frames, feature
+    return width, height, n_frames, rate, channels, duration, feature
 
 
 def extract_media_features(
@@ -156,26 +189,29 @@ def extract_media_features(
                 if payload is None or len(payload) == 0:
                     rows.append(
                         (media_id, declared or "application/octet-stream",
-                         0, "", None, None, None, None)
+                         0, "", None, None, None, None, None, None, None)
                     )
                     continue
                 payload = bytes(payload)
                 mtype = declared or sniff_media_type(payload)
-                w, h, nf, feat = _decode_stub(payload, mtype, strict)
+                w, h, nf, rate, chans, dur, feat = _decode_stub(
+                    payload, mtype, strict
+                )
                 rows.append(
                     (
                         media_id,
                         mtype,
                         len(payload),
                         hashlib.sha1(payload).hexdigest(),
-                        w, h, nf, feat,
+                        w, h, nf, rate, chans, dur, feat,
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "media_type", "n_bytes", "sha1",
-                    "width", "height", "n_frames", "feature",
+                    "width", "height", "n_frames",
+                    "sample_rate", "n_channels", "duration_s", "feature",
                 ],
             )
 

@@ -644,3 +644,43 @@ def test_parse_image_dims_jpeg_sof():
     jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
     assert parse_image_dims(jpeg) == (640, 480)
     assert parse_image_dims(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+
+
+def test_parse_audio_meta_wav():
+    import struct
+
+    from open_ocr_spark.dataops.multimodal import parse_audio_meta
+
+    rate, chans, bits = 16000, 2, 16
+    block = chans * bits // 8
+    n_samples = 16000  # 1.0 s
+    data_len = n_samples * block
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, chans, rate, rate * block, block, bits))
+    data = b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    wav = (b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE"
+           + fmt + data)
+    assert parse_audio_meta(wav) == (16000, 2, 1.0)
+    assert parse_audio_meta(b"RIFFxxxxWAVE") is None
+    assert parse_audio_meta(b"not audio") is None
+
+
+def test_media_features_audio_fields(spark):
+    import struct
+
+    from open_ocr_spark.dataops.multimodal import extract_media_features
+
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8))
+    data = b"data" + struct.pack("<I", 4000) + b"\x00" * 4000
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), None, {})],
+        "media_id long, payload binary, media_type string, meta map<string,string>",
+    )
+    row = extract_media_features(df, strict=True).collect()[0]
+    assert row["media_type"] == "audio/wav"
+    assert row["sample_rate"] == 8000
+    assert row["n_channels"] == 1
+    assert row["duration_s"] == 0.5
+    assert row["width"] is None

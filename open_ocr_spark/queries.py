@@ -641,6 +641,18 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.99)
 
 
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus prep composition (dedup → quality gate →
+    PII scrub → split) as one plan; the oracle reproduces the whole chain
+    in SQL, so stage-ordering bugs fail the value hash."""
+    from open_ocr_spark.dataops.corpus import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_corpus(docs).select(
+        "doc_id", "split", "n_tokens", "quality_score"
+    ).orderBy("doc_id")
+
+
 def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + HAVING through the SQL surface: orders above the
     global average price, grouped with a post-aggregation filter. Catalyst
@@ -1226,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "bpe_token_counts": q_bpe_token_counts,
     "orders_above_avg": q_orders_above_avg,
+    "prepare_corpus": q_prepare_corpus,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1581,6 +1594,46 @@ ORACLES: dict[str, str] = {
                         trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' '))
                END AS n_tokens
         FROM documents
+        ORDER BY doc_id
+    """,
+    "prepare_corpus": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS nt
+            FROM documents
+        ),
+        dedup AS (
+            SELECT min(doc_id) AS doc_id FROM base GROUP BY nt
+        ),
+        kept AS (
+            SELECT b.doc_id, b.text, b.nt FROM base b JOIN dedup USING (doc_id)
+        ),
+        q AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(nt) = 0 THEN 0
+                        ELSE len(string_split(nt, ' ')) END AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM kept
+        ),
+        scored AS (
+            SELECT doc_id, n_tokens,
+                   floor((least(1.0, n_tokens / 100.0) * 0.5
+                          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                                  ELSE 0.0 END) * 0.3
+                          + least(1.0, (CASE WHEN n_tokens > 0
+                                        THEN (n_chars - (n_tokens - 1)) / n_tokens
+                                        ELSE 0.0 END) / 8.0) * 0.2)
+                         * 10000.0 + 0.5) / 10000.0 AS quality_score
+            FROM q
+        )
+        SELECT doc_id,
+               CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT
+                         % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split,
+               n_tokens, quality_score
+        FROM scored
+        WHERE quality_score >= 0.3
         ORDER BY doc_id
     """,
     "orders_above_avg": """

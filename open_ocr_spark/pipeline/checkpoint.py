@@ -94,6 +94,60 @@ def read_manifests(out_dir: str) -> list[dict]:
     return out
 
 
+def write_snapshot(
+    out_dir: str,
+    *,
+    run_id: str,
+    input_snapshot_id: str,
+    buckets_processed: list[int],
+) -> dict:
+    """Append an Iceberg-shaped snapshot to the table's snapshot chain:
+    one JSON file per completed run, recording the run's lineage (input
+    snapshot id, buckets it committed, parent snapshot) plus the FULL set
+    of committed buckets at commit time — so `read_extracted` can answer
+    "state as of run N" (time-travel) and audits can walk parent links
+    back to the first run. Written atomically (tmp + rename) after all of
+    the run's bucket manifests; a kill before this file simply leaves the
+    buckets visible to the next run via their manifests, exactly like an
+    uncommitted Iceberg snapshot's data files."""
+    sdir = os.path.join(out_dir, "snapshots")
+    os.makedirs(sdir, exist_ok=True)
+    chain = snapshot_chain(out_dir)
+    seq = len(chain)
+    snapshot = {
+        "sequence_number": seq,
+        "snapshot_id": f"{run_id}-{seq}",
+        "parent_snapshot_id": chain[-1]["snapshot_id"] if chain else None,
+        "run_id": run_id,
+        "input_snapshot_id": input_snapshot_id,
+        "buckets_processed": sorted(buckets_processed),
+        "committed_buckets": sorted(committed_buckets(out_dir)),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    tmp = os.path.join(sdir, f".snap-{seq:06d}.json.tmp")
+    final = os.path.join(sdir, f"snap-{seq:06d}.json")
+    with open(tmp, "w") as f:
+        json.dump(snapshot, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+    return snapshot
+
+
+def snapshot_chain(out_dir: str) -> list[dict]:
+    """All snapshots in sequence order (parent links verified lazily by
+    callers/tests)."""
+    sdir = os.path.join(out_dir, "snapshots")
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(sdir)):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(sdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
 def commit_bucket(
     out_dir: str,
     bucket: int,

@@ -29,7 +29,9 @@ from open_ocr_spark.pipeline.checkpoint import (
     committed_buckets,
     derive_snapshot_id,
     read_manifests,
+    snapshot_chain,
     with_bucket,
+    write_snapshot,
 )
 from open_ocr_spark.pipeline.dedupe import latest_per_url
 from open_ocr_spark.pipeline.ingest import ingest
@@ -120,11 +122,14 @@ def run_extraction_job(
         all_buckets = all_buckets[:max_buckets]
 
     if not all_buckets:
+        chain = snapshot_chain(out_dir)
         return {
             "run_id": run_id,
             "buckets_processed": 0,
             "docs": 0,
             "snapshot_mismatch_buckets": stale,
+            # no-op runs add no snapshot; report the current head
+            "snapshot_id": chain[-1]["snapshot_id"] if chain else None,
         }
 
     base = with_bucket(ingest(pages), num_buckets)
@@ -189,15 +194,41 @@ def run_extraction_job(
             total_docs += docs
             processed += 1
 
+    snapshot = write_snapshot(
+        out_dir,
+        run_id=run_id,
+        input_snapshot_id=input_snapshot_id,
+        buckets_processed=[b for b in all_buckets],
+    )
     return {
         "run_id": run_id,
         "buckets_processed": processed,
         "docs": total_docs,
         "snapshot_mismatch_buckets": stale,
+        "snapshot_id": snapshot["snapshot_id"],
     }
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_extracted(
+    spark: SparkSession, out_dir: str, as_of: str | int | None = None
+) -> DataFrame:
+    """Read the extracted table; ``as_of`` (snapshot_id or sequence
+    number) time-travels to that snapshot's committed-bucket set — a
+    partition-pruning filter on the bucket column, so unselected bucket
+    directories are never scanned. Committed buckets are immutable (only
+    uncommitted buckets are ever overwritten, and recomputes are
+    byte-identical), so an as-of read reproduces that run's state
+    exactly."""
     df = spark.read.parquet(f"{out_dir}/data")
+    if as_of is not None:
+        chain = snapshot_chain(out_dir)
+        match = [
+            s for s in chain
+            if s["snapshot_id"] == as_of or s["sequence_number"] == as_of
+        ]
+        if not match:
+            known = [s["snapshot_id"] for s in chain]
+            raise ValueError(f"unknown snapshot {as_of!r}; have {known}")
+        df = df.filter(F.col("bucket").isin(match[0]["committed_buckets"]))
     # partition discovery surfaces the bucket dir as a column; hide it
     return df.drop("bucket") if "bucket" in df.columns else df

@@ -99,3 +99,38 @@ def test_snapshot_id_derived_and_mismatch_surfaced(spark, tmp_path):
     # and the new manifests carry the new snapshot id
     snap_ids = {m["input_snapshot_id"] for m in read_manifests(out)}
     assert snap_ids == {snap1, snap2}
+
+
+def test_snapshot_chain_and_time_travel(spark, tmp_path):
+    """Each completed run appends one snapshot with a parent link; reading
+    as-of an earlier snapshot returns exactly the buckets committed then,
+    byte-identical; no-op runs add no snapshot."""
+    from open_ocr_spark.pipeline.checkpoint import snapshot_chain
+
+    pages = pages_df(spark, N_ROWS)
+    out = str(tmp_path / "run")
+
+    first = run_extraction_job(spark, pages, out, num_buckets=4, max_buckets=2)
+    second = run_extraction_job(spark, pages, out, num_buckets=4)
+    noop = run_extraction_job(spark, pages, out, num_buckets=4)
+
+    chain = snapshot_chain(out)
+    assert len(chain) == 2  # the no-op added none
+    assert chain[0]["parent_snapshot_id"] is None
+    assert chain[1]["parent_snapshot_id"] == chain[0]["snapshot_id"]
+    assert first["snapshot_id"] == chain[0]["snapshot_id"]
+    assert noop["snapshot_id"] == chain[1]["snapshot_id"]
+    assert len(chain[0]["committed_buckets"]) == 2
+    assert len(chain[1]["committed_buckets"]) == 4
+
+    full = read_extracted(spark, out).count()
+    asof1 = read_extracted(spark, out, as_of=chain[0]["snapshot_id"])
+    asof1_by_seq = read_extracted(spark, out, as_of=0)
+    assert asof1.count() == asof1_by_seq.count() < full
+    # as-of content equals the subset of today's table in those buckets
+    assert asof1.exceptAll(read_extracted(spark, out)).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        read_extracted(spark, out, as_of="nope")

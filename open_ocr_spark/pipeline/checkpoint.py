@@ -12,6 +12,10 @@ the sandbox):
     out_dir/
       data/bucket=<k>/*.parquet      one atomic write per bucket
       manifests/bucket=<k>.json      committed AFTER the bucket's data
+      snapshots/snap-<seq>.json      one per completed run: lineage chain
+                                     (parent link, input snapshot id,
+                                     committed-bucket set) for time-travel
+                                     reads and audits
 
 A bucket is committed iff its manifest file exists; the manifest is written
 only after the data write returns, so a kill between the two leaves an

@@ -42,6 +42,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["y"] == labels["id"])
@@ -61,8 +62,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:  # fixpoint: labels strictly decrease until done
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning partial labels would ship wrong clusters;
+        # a diameter above max_iter means the graph is not dedup-shaped
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter or use a large-star/small-star "
+            "formulation for deep graphs"
+        )
     return labels
 
 

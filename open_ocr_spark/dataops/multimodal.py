@@ -50,6 +50,13 @@ def sniff_media_type(payload: bytes | None) -> str:
     head = bytes(payload[:8])
     for magic, mtype in _MAGIC:
         if head.startswith(magic):
+            if magic == b"BM":
+                # 2-byte magic is too weak alone ('BMW dealers...' is not
+                # a bitmap): require a known DIB header size at offset 14
+                if len(payload) < 26 or int.from_bytes(
+                    bytes(payload[14:18]), "little"
+                ) not in (12, 40, 52, 56, 64, 108, 124):
+                    continue
             return mtype
     return "application/octet-stream"
 

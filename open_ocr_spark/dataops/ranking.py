@@ -30,10 +30,13 @@ def distributed_ntile(
     order_cols: list[Column | str],
     out_col: str = "ntile",
     num_partitions: int | None = None,
+    _pin: bool = True,
 ) -> DataFrame:
     """Add `out_col` = ntile(n_buckets) over a GLOBAL order, computed with
     parallel operators only (see module docstring). `order_cols` must be a
-    total order (append a unique key as tiebreaker)."""
+    total order (append a unique key as tiebreaker). ``_pin=False`` skips
+    the localCheckpoint barrier — ONLY for plan-shape tests that need to
+    inspect the pre-checkpoint plan."""
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -44,7 +47,15 @@ def distributed_ntile(
         "_pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("_pid").orderBy(*cols)
+    # PIN the ranked layout before it fans out to two consumers (the
+    # offsets aggregate and the final join): range-partition bounds come
+    # from sampling, so two independent evaluations of this subtree could
+    # disagree on _pid assignment and silently corrupt the global index if
+    # exchange reuse ever fails to kick in (disabled conf, plan-canonical
+    # mismatch, stage recovery). localCheckpoint materializes it once.
     local = ranged.withColumn("_lrn", F.row_number().over(wloc))
+    if _pin:
+        local = local.localCheckpoint(eager=False)
 
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # #partitions rows: the global window + total here run over metadata,

@@ -75,6 +75,7 @@ def _inflate_streams(raw: bytes) -> bytes:
         body_start = m.end()
 
         body = end = None
+        fm = _FILTER_RE.search(head)
         lm = _LENGTH_RE.search(head)
         if lm:
             cand = body_start + int(lm.group(1))
@@ -82,12 +83,21 @@ def _inflate_streams(raw: bytes) -> bytes:
             if tm:
                 body, end = raw[body_start:cand], tm.end()
         if body is None:
+            if fm:
+                # a FILTERED body is binary: cutting it at the first
+                # 'endstream' byte pattern can truncate it mid-stream and
+                # leak garbage back into the document scan — refuse
+                # (error-as-value) instead of risking wrong output.
+                # Reaching here means /Length was absent, indirect
+                # ('/Length 5 0 R') or wrong.
+                raise ValueError(
+                    "pdf-unsupported: filtered stream without usable /Length"
+                )
             fbm = _STREAM_FALLBACK_RE.match(raw, body_start)
             if not fbm:
                 continue  # truncated stream: leave bytes untouched
             body, end = fbm.group(1), fbm.end()
 
-        fm = _FILTER_RE.search(head)
         if fm:
             names = _NAME_RE.findall(fm.group(1))
             if names == [b"FlateDecode"]:

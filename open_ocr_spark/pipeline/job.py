@@ -103,10 +103,15 @@ def run_extraction_job(
     if input_snapshot_id is None:
         input_snapshot_id = derive_snapshot_id(pages)
     done = committed_buckets(out_dir)
+    # manifests from before snapshot-id derivation carry the old default
+    # constant (or nothing): treat those as UNKNOWN, not stale — flagging
+    # every legacy bucket would teach operators to ignore the warning
+    _legacy_ids = (None, "snapshot-0")
     stale = sorted(
         m["bucket"]
         for m in read_manifests(out_dir)
-        if m.get("input_snapshot_id") != input_snapshot_id
+        if m.get("input_snapshot_id") not in _legacy_ids
+        and m.get("input_snapshot_id") != input_snapshot_id
     )
     if stale:
         import warnings

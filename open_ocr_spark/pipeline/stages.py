@@ -119,9 +119,17 @@ def extract_stage(
     `.explain` ReadSchema. Passthrough avoids a second scan + join just to
     recover correlation keys (e.g. doc_id) after extraction.
     """
+    output_names = frozenset(
+        f.split()[0] for f in EXTRACT_SCHEMA.split(", ")
+    )
     for c in passthrough:
         if c in _KERNEL_COLS:
             raise ValueError(f"passthrough column {c!r} is a kernel column")
+        if c in output_names:
+            raise ValueError(
+                f"passthrough column {c!r} collides with a kernel OUTPUT "
+                f"column ({sorted(output_names)}); rename it first"
+            )
         if c not in pages.columns:
             raise ValueError(f"passthrough column {c!r} not in input")
     cols = ["url", "html", "lang"] + [

@@ -657,14 +657,27 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + HAVING through the SQL surface: orders above the
     global average price, grouped with a post-aggregation filter. Catalyst
     plans the scalar subquery as a broadcast one-row join — no per-row
-    re-evaluation."""
+    re-evaluation.
+
+    All comparisons run in EXACT integer cents (price*100 floored to
+    BIGINT, compared as price_cents * n > sum_cents): a float average is
+    summation-order-dependent in its last bits, so a sharp `> avg(double)`
+    boundary can flip rows between engines — the same hazard class the
+    quality-score floor-scale fix documents."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """
+        WITH cents AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+            FROM orders_v
+        ),
+        tot AS (SELECT sum(c) AS s, count(*) AS n FROM cents)
         SELECT o_orderpriority, count(*) AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_price
-        FROM orders_v
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+               floor(sum(c) / count(*) + 0.5) / CAST(100 AS DOUBLE)
+                   AS avg_price
+        FROM cents, tot
+        WHERE c * n > s
         GROUP BY o_orderpriority
         HAVING count(*) > 10
         ORDER BY o_orderpriority
@@ -1637,10 +1650,16 @@ ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
     "orders_above_avg": """
+        WITH cents AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+            FROM orders
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS s, count(*) AS n FROM cents)
         SELECT o_orderpriority, count(*) AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_price
-        FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+               floor(sum(c) / count(*) + 0.5) / 100.0 AS avg_price
+        FROM cents, tot
+        WHERE c * n > s
         GROUP BY o_orderpriority
         HAVING count(*) > 10
         ORDER BY o_orderpriority

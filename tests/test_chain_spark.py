@@ -132,3 +132,14 @@ def test_error_rows_never_fail_stage(spark):
     assert got["e2"]["status"] == "error:empty"
     assert got["e3"]["status"] == "ok"  # garbage bytes parse to empty text
     assert got["e4"]["status"] == "error:pdf-unsupported"
+
+
+def test_passthrough_rejects_kernel_output_names(spark):
+    import pytest
+
+    from open_ocr_spark.fixtures import pages_df
+    from open_ocr_spark.pipeline.stages import extract_stage
+
+    pages = pages_df(spark, 5).withColumn("status", F.lit("x"))
+    with pytest.raises(ValueError, match="OUTPUT"):
+        extract_stage(pages, passthrough=["status"])

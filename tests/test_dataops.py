@@ -422,8 +422,10 @@ def test_distributed_ntile_no_global_data_window(spark):
     from open_ocr_spark.dataops.ranking import distributed_ntile
 
     df = spark.range(100).selectExpr("id", "id % 17 AS v")
+    # _pin=False: the production localCheckpoint barrier hides the window
+    # behind an RDD scan; the test needs the pre-checkpoint plan
     plan = (
-        distributed_ntile(df, 4, ["v", "id"], out_col="q")
+        distributed_ntile(df, 4, ["v", "id"], out_col="q", _pin=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     window_lines = [
@@ -684,3 +686,16 @@ def test_media_features_audio_fields(spark):
     assert row["n_channels"] == 1
     assert row["duration_s"] == 0.5
     assert row["width"] is None
+
+
+def test_sniff_bm_requires_dib_header():
+    import struct
+
+    from open_ocr_spark.dataops.multimodal import sniff_media_type
+
+    assert sniff_media_type(b"BMW dealers sell cars etc etc etc") == (
+        "application/octet-stream"
+    )
+    real = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<Iii", 40, 2, 2) + b"\x00" * 28)
+    assert sniff_media_type(real) == "image/bmp"

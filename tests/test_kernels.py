@@ -328,3 +328,12 @@ def test_dispatch_size_gate():
     big = b"<html>" + b"x" * (dispatch.MAX_DOC_BYTES + 1)
     text, status, error = extract_document(big)
     assert status == "error:too-large" and text == ""
+
+
+def test_pdf_filtered_stream_without_length_errors():
+    # missing or indirect /Length on a FILTERED stream must refuse rather
+    # than risk a truncated-body decompress leaking garbage text
+    pdf = (b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length 5 0 R >>\n"
+           b"stream\nxxxxxxxx\nendstream\nendobj\n")
+    with pytest.raises(ValueError, match="without usable /Length"):
+        extract_pdf_text(pdf)

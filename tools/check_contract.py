@@ -26,8 +26,12 @@ def type_family(t: str) -> str:
     type-sensitive hash: DuckDB sum(INTEGER) -> HUGEINT must NOT pass
     against Spark's BIGINT, so int widths above 64 bits get their own
     family. All <=64-bit ints collapse to 'int64' (the driver accepts
-    those), floats collapse, decimals keep their params."""
+    those); floats collapse; decimals collapse to one family; every
+    container spelling (Spark 'array<...>', DuckDB 'float[]') collapses
+    to 'nested'."""
     t = t.strip().lower()
+    if t.endswith("[]"):  # DuckDB list spelling
+        return "nested"
     if t in ("tinyint", "smallint", "integer", "int", "bigint", "int8",
              "int16", "int32", "int64", "utinyint", "usmallint", "uinteger"):
         return "int64"

@@ -172,3 +172,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_aqe_skew_join_splits_at_runtime(spark):
+    """The 100 TB skew story, both halves:
+
+    (a) a skewed shuffle join with no downstream distribution requirement
+        gets split by AQE at runtime (SortMergeJoin(skew=true));
+    (b) the SAME join feeding a same-key aggregation does NOT get split —
+        AQE cannot break a required hash distribution — which is exactly
+        the case the engine's explicit salting (salted host metrics,
+        pipeline/partitioning.py) exists for."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(500_000).selectExpr(
+            "CASE WHEN id % 100 < 95 THEN 0 ELSE id % 100 END AS k",
+            "repeat('x', 128) AS pad",
+        )
+        small = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+
+        plain = big.join(small, "k").select("k", "v", "pad")
+        # collect() drives THIS Dataset's QueryExecution to the AQE final
+        # plan (a write action would plan a separate execution)
+        plain.collect()
+        plan_a = plain._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan_a, plan_a[:1500]
+
+        agged = big.join(small, "k").groupBy("k").agg(F.count("*").alias("n"))
+        agged.collect()
+        plan_b = agged._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan_b  # blocked by required distribution
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -153,6 +153,7 @@ HEADLINE = [
     "asof_last_order",
     "range_join_event_pairs",
     "train_test_split",
+    "prepare_corpus",
 ]
 
 

@@ -6,13 +6,17 @@ Recast of the reference's convert-pdf preprocessor
 Here the PDF payload is routed by magic bytes and its text-show operators
 are read directly: no subprocess, fully vectorizable.
 
-Scope (v2): literal-string text operators — ``(...) Tj`` and ``(...) '`` —
-in uncompressed content streams OR FlateDecode-compressed stream objects
-(inflated with stdlib zlib, matching the reference's ability to take any
-real-world PDF via Ghostscript). Each text-show op becomes one line; lines
-joined with '\\n'. Escapes \\( \\) \\\\ \\n \\r \\t are decoded. Streams
-declaring any other filter (DCTDecode, LZWDecode, filter chains, ...) are
-detected and reported as status='error:pdf-unsupported' rather than wrong
+Scope (v3): all four text-show operator forms of PDF 32000-1:2008 §9.4.3 —
+``(...) Tj``, ``(...) '``, ``aw ac (...) "`` and ``[(..)-120(..)] TJ``
+arrays — with both literal strings (full escape set incl. octal ``\\ooo``
+and line continuations, §7.3.4.2) and hex strings ``<...>`` (§7.3.4.3,
+UTF-16BE BOM honoured), in uncompressed content streams OR
+FlateDecode-compressed stream objects (inflated with stdlib zlib, matching
+the reference's ability to take any real-world PDF via Ghostscript). Each
+text-show op becomes one line; array elements concatenate (kerning numbers
+are positioning, not text); lines joined with '\\n'. Streams declaring any
+other filter (DCTDecode, LZWDecode, filter chains, ...) are detected and
+reported as status='error:pdf-unsupported:<filter>' rather than wrong
 output.
 """
 
@@ -23,8 +27,25 @@ import zlib
 
 PDF_MAGIC = b"%PDF"
 
-# (...) Tj  or  (...) '   — literal string followed by a text-show operator.
-_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
+# Literal string: body of ( ... ) with backslash escapes; nested unescaped
+# parens are out of scope (documented simplification — balanced-paren
+# literals are rare outside generated test suites).
+_LIT = rb"\((?:[^()\\]|\\.)*\)"
+# Hex string: < hex digits, whitespace allowed > (PDF 32000-1:2008 §7.3.4.3).
+_HEX = rb"<[0-9A-Fa-f\s]*>"
+_STR_RE = re.compile(rb"(?:%s|%s)" % (_LIT, _HEX), re.DOTALL)
+
+# One text-show operation, in document order:
+#   [ ...strings/numbers... ] TJ        (array form, kerning interleaved)
+#   (...) Tj | (...) ' | aw ac (...) "  (single-string forms)
+_SHOW_RE = re.compile(
+    rb"(?:"
+    rb"\[(?P<arr>(?:[^\]\\(<]|%s|%s|\\.)*)\]\s*TJ"
+    rb"|"
+    rb"(?P<one>%s|%s)\s*(?:Tj|'|\")"
+    rb")" % (_LIT, _HEX, _LIT, _HEX),
+    re.DOTALL,
+)
 
 # Stream body start; the body itself is sliced by /Length when declared
 # (binary bodies may contain 'endstream' or end in '\r', so a pure
@@ -32,28 +53,71 @@ _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
 # `endstream` as the fallback (PDF 32000-1:2008 §7.3.8).
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_FALLBACK_RE = re.compile(rb"(.*?)(?:\r?\n)?endstream", re.DOTALL)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct /Length only: the digit boundary + lookahead rejects indirect
+# references ('/Length 5 0 R') instead of misreading their object number
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _ENDSTREAM_AT_RE = re.compile(rb"(?:\r?\n)?endstream")
 
 # /Filter value in the stream's own dict: a single name or an array of names.
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 
+# Literal-string escapes (§7.3.4.2): named escapes, octal \ooo (1-3 digits),
+# backslash-EOL line continuation, and the catch-all "ignore the backslash".
 _ESCAPES = {
-    b"\\(": b"(",
-    b"\\)": b")",
-    b"\\\\": b"\\",
-    b"\\n": b"\n",
-    b"\\r": b"\r",
-    b"\\t": b"\t",
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
 }
-_ESC_RE = re.compile(rb"\\[()\\nrt]")
+_ESC_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.DOTALL)
 
 
 def is_pdf(raw: bytes | None) -> bool:
     """Magic-byte test, the routing predicate for the PDF stage (the graft's
     equivalent of sending to the convert-pdf queue)."""
     return raw is not None and bytes(raw[:4]) == PDF_MAGIC
+
+
+def _decode_literal(body: bytes) -> bytes:
+    """Decode the escape set of a literal string body (§7.3.4.2)."""
+
+    def sub(m: re.Match) -> bytes:
+        e = m.group(1)
+        if e in (b"\r\n", b"\r", b"\n"):
+            return b""  # line continuation
+        if e[:1].isdigit() and all(c in b"01234567" for c in e):
+            return bytes([int(e, 8) & 0xFF])
+        return _ESCAPES.get(e, e)  # unknown escape: drop the backslash
+
+    return _ESC_RE.sub(sub, body)
+
+
+def _decode_hex(body: bytes) -> bytes:
+    """Decode a hex string body; odd digit count pads a trailing 0 (§7.3.4.3)."""
+    digits = b"".join(body.split())
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _string_bytes(tok: bytes) -> bytes:
+    """Decode one string token — ``(...)`` literal or ``<...>`` hex."""
+    if tok[:1] == b"(":
+        return _decode_literal(tok[1:-1])
+    return _decode_hex(tok[1:-1])
+
+
+def _to_text(data: bytes) -> str:
+    """Bytes → str: UTF-16BE when BOM'd (common for hex strings), else UTF-8
+    with replacement (matching the engine's lossy-but-never-crashing intake)."""
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", errors="replace")
+    return data.decode("utf-8", errors="replace")
 
 
 def _inflate_streams(raw: bytes) -> bytes:
@@ -64,6 +128,14 @@ def _inflate_streams(raw: bytes) -> bytes:
     through untouched; any other declared filter raises ValueError so the
     caller maps it to error-as-value, mirroring how the reference surfaces
     Ghostscript failures (/root/reference/ocr_rpc_worker.go:163-190).
+
+    Stream starts are anchored to object structure: the back-scan must find
+    an ``obj`` keyword whose dict closes with ``>>`` right before the
+    ``stream`` keyword — a stray 'stream\\n' byte sequence inside a
+    doc-level string or comment is skipped instead of derailing the scan
+    (it would otherwise swallow the next REAL stream via the non-greedy
+    endstream fallback). A fallback span that itself contains another
+    stream start is refused as unsupported for the same reason.
     """
     out = []
     pos = 0
@@ -72,6 +144,10 @@ def _inflate_streams(raw: bytes) -> bytes:
             continue  # keyword bytes inside an already-consumed body
         obj_start = raw.rfind(b"obj", 0, m.start())
         head = raw[obj_start if obj_start >= 0 else 0 : m.start()]
+        if obj_start < 0 or not head.rstrip().endswith(b">>"):
+            # not an object's stream keyword (no 'obj ... << ... >>' head):
+            # stray bytes, skip rather than misparse
+            continue
         body_start = m.end()
 
         body = end = None
@@ -91,12 +167,20 @@ def _inflate_streams(raw: bytes) -> bytes:
                 # Reaching here means /Length was absent, indirect
                 # ('/Length 5 0 R') or wrong.
                 raise ValueError(
-                    "pdf-unsupported: filtered stream without usable /Length"
+                    "pdf-unsupported:no-length: filtered stream without "
+                    "usable /Length"
                 )
             fbm = _STREAM_FALLBACK_RE.match(raw, body_start)
             if not fbm:
                 continue  # truncated stream: leave bytes untouched
             body, end = fbm.group(1), fbm.end()
+            if _STREAM_START_RE.search(body):
+                # the fallback swallowed a nested stream start: the span is
+                # mis-delimited, refuse rather than skip a real stream
+                raise ValueError(
+                    "pdf-unsupported:ambiguous-stream: unterminated stream "
+                    "span contains another stream start"
+                )
 
         if fm:
             names = _NAME_RE.findall(fm.group(1))
@@ -105,11 +189,11 @@ def _inflate_streams(raw: bytes) -> bytes:
                     body = zlib.decompress(body)
                 except zlib.error as exc:
                     raise ValueError(
-                        f"pdf-unsupported: corrupt flate stream ({exc})"
+                        f"pdf-unsupported:corrupt-flate: ({exc})"
                     ) from exc
             else:
                 pretty = b",".join(names).decode("ascii", errors="replace")
-                raise ValueError(f"pdf-unsupported: filter {pretty}")
+                raise ValueError(f"pdf-unsupported:filter-{pretty}")
         out.append(raw[pos : m.start()])
         out.append(b"stream\n")
         out.append(body)
@@ -120,8 +204,10 @@ def _inflate_streams(raw: bytes) -> bytes:
 
 
 def extract_pdf_text(raw: bytes) -> str:
-    """Extract text-show strings from a PDF payload, one per line.
+    """Extract text-show strings from a PDF payload, one show-op per line.
 
+    Handles ``Tj``/``'``/``\"`` single strings and ``TJ`` arrays (elements
+    concatenated, kerning numbers dropped), literal and hex strings.
     FlateDecode streams are inflated in-process (stdlib zlib); other
     declared filters raise ValueError, which the caller maps to an error
     status column (error-as-value, /root/reference/ocr_rpc_worker.go:163-190).
@@ -132,7 +218,12 @@ def extract_pdf_text(raw: bytes) -> str:
     if b"stream" in raw:
         raw = _inflate_streams(raw)
     lines = []
-    for match in _TJ_RE.finditer(raw):
-        s = _ESC_RE.sub(lambda m: _ESCAPES[m.group(0)], match.group(1))
-        lines.append(s.decode("utf-8", errors="replace"))
+    for match in _SHOW_RE.finditer(raw):
+        arr = match.group("arr")
+        if arr is not None:
+            parts = [_string_bytes(tok.group(0))
+                     for tok in _STR_RE.finditer(arr)]
+            lines.append(_to_text(b"".join(parts)))
+        else:
+            lines.append(_to_text(_string_bytes(match.group("one"))))
     return "\n".join(lines)

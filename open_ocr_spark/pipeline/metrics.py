@@ -38,6 +38,31 @@ def run_metrics(extracted: DataFrame) -> DataFrame:
     )
 
 
+def error_class_metrics(extracted: DataFrame) -> DataFrame:
+    """Failure breakdown by error class, one hash agg, pure Catalyst.
+
+    ``status`` carries the coarse class (``error:pdf-unsupported``,
+    ``error:lang``, ...); for unsupported PDFs the fine class — WHICH
+    feature was refused (``filter-DCTDecode``, ``filter-LZWDecode,...``
+    chains, ``no-length``, ``corrupt-flate``, ``ambiguous-stream``) — is
+    recovered from the kernel's structured error prefix, so a crawl-scale
+    run reports exactly what it skipped instead of one opaque bucket.
+    """
+    fine = F.regexp_extract(
+        F.col("error"), r"^(pdf-unsupported:[A-Za-z0-9,._-]+)", 1
+    )
+    cls = F.when(
+        (F.col("status") == "error:pdf-unsupported") & (fine != F.lit("")),
+        F.concat(F.lit("error:"), fine),
+    ).otherwise(F.col("status"))
+    return (
+        extracted.filter(F.col("status") != "ok")
+        .groupBy(cls.alias("error_class"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy(F.desc("docs"), F.asc("error_class"))
+    )
+
+
 def lang_metrics(pages: DataFrame) -> DataFrame:
     """Docs + payload bytes per language — column-pruned: reads only
     (lang, html) from the scan."""

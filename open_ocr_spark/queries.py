@@ -1043,6 +1043,59 @@ def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_tj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity for the text-show forms real PDF generators emit
+    (/root/reference/convert-pdf.go:51-62 ingests them via Ghostscript):
+    a kerned ``[(..) -120 (..)] TJ`` array (the dominant form in the wild),
+    a hex-string ``<...> Tj``, and the ``aw ac (..) \"`` operator. The page
+    is assembled in pure Catalyst: the document text is split in half
+    BEFORE escaping (so an escape sequence can never straddle the array
+    elements), each half becomes one TJ array element, and the kernel must
+    concatenate them back byte-exact; line 2 is hex-encoded, line 3 uses
+    the quote operator."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    half = (F.length(txt) / 2).cast("int")
+    parts = [
+        F.substring(txt, 1, half),
+        txt.substr(half + 1, F.length(txt)),
+    ]
+    for j, p in enumerate(parts):
+        for find, repl in (("\\", "\\\\"), ("(", "\\("), (")", "\\)")):
+            p = F.replace(p, F.lit(find), F.lit(repl))
+        parts[j] = p
+    hex_line = F.hex(
+        F.encode(
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string")), "utf-8"
+        )
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/pdftj/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("%PDF-1.4\nBT\n[("),
+                parts[0],
+                F.lit(") -120 ("),
+                parts[1],
+                F.lit(")] TJ\n<"),
+                hex_line,
+                F.lit("> Tj\n2 0.5 (END) \"\nET\n%%EOF\n"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11 hOCR-recast parity, oracle-checked: run the kernel in
     structured-output mode (engine_args.config_vars.tessedit_create_hocr,
@@ -1213,30 +1266,44 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
+# Registry ORDER is load-bearing: the driver records CORRECTNESS rows for
+# exactly the first DRIVER_WINDOW entries in insertion order.  Policy
+# (enforced by tools/check_contract.py --window): a query may sit past the
+# window only if it already has a recorded green in a prior round's
+# CORRECTNESS_r*.json.  Round 3 therefore leads with the 14 queries that
+# had no r2 driver row (6 of them never recorded in any round), keeps the
+# r2-first-green queries inside the window, and rotates out only queries
+# green in BOTH r1 and r2.
+DRIVER_WINDOW = 50
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-recorded in any round (VERDICT r2 item 1) ----------
+    "engine_dispatch": q_engine_dispatch,
+    "asof_last_order": q_asof_last_order,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "extract_pdf_flate": q_extract_pdf_flate,
+    "multipart_roundtrip": q_multipart_roundtrip,
+    "url_fetch_roundtrip": q_url_fetch_roundtrip,
+    # -- new in r3 (must sit inside the window: no prior green) ----------
+    "extract_pdf_tj": q_extract_pdf_tj,
+    # -- recorded green in r1 only, dropped from the r2 window -----------
+    "extract_pdf_text": q_extract_pdf_text,
+    "extract_structured_spans": q_extract_structured_spans,
+    "ntile_order_quartiles": q_ntile_order_quartiles,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "stats_corr_revenue": q_stats_corr_revenue,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
+    "media_frame_sample": q_media_frame_sample,
+    # -- kept inside the window: flagship extraction queries plus every
+    # -- query whose FIRST recorded green was r2 (one green on record) ----
     "extract_main_text": q_extract_main_text,
     "extract_status_rollup": q_extract_status_rollup,
-    "scan_filter_project": q_scan_filter_project,
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "join_top_customers": q_join_top_customers,
-    "join_region_nation_customer": q_join_region_nation_customer,
-    "window_latest_event_per_user": q_window_latest_event_per_user,
-    "window_running_revenue": q_window_running_revenue,
-    "anti_join_resume": q_anti_join_resume,
-    "semi_join_events": q_semi_join_events,
     "rollup_source_lang": q_rollup_source_lang,
     "distinct_counts": q_distinct_counts,
-    "daily_event_stats": q_daily_event_stats,
-    "set_except_sources": q_set_except_sources,
-    "union_lang_totals": q_union_lang_totals,
-    "fact_fact_join_revenue": q_fact_fact_join_revenue,
-    "top_unshipped_orders": q_top_unshipped_orders,
     "salted_host_counts": q_salted_host_counts,
     "approx_distinct_users": q_approx_distinct_users,
     "sessionize_events": q_sessionize_events,
-    "cube_source_lang": q_cube_source_lang,
-    "intersect_user_ids": q_intersect_user_ids,
-    "window_event_gaps": q_window_event_gaps,
     "host_doc_counts": q_host_doc_counts,
     "base64_roundtrip": q_base64_roundtrip,
     "exact_dedup_groups": q_exact_dedup_groups,
@@ -1264,20 +1331,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_order_value": q_percentile_order_value,
     "grouping_sets_docs": q_grouping_sets_docs,
     "full_outer_user_activity": q_full_outer_user_activity,
-    "ntile_order_quartiles": q_ntile_order_quartiles,
-    "stats_corr_revenue": q_stats_corr_revenue,
-    "range_join_event_pairs": q_range_join_event_pairs,
-    "extract_pdf_text": q_extract_pdf_text,
-    "extract_pdf_flate": q_extract_pdf_flate,
-    "multipart_roundtrip": q_multipart_roundtrip,
-    "url_fetch_roundtrip": q_url_fetch_roundtrip,
-    "extract_structured_spans": q_extract_structured_spans,
-    "train_test_split": q_train_test_split,
-    "stratified_sample": q_stratified_sample,
-    "media_frame_sample": q_media_frame_sample,
-    "engine_dispatch": q_engine_dispatch,
-    "asof_last_order": q_asof_last_order,
-    "topk_orders_per_customer": q_topk_orders_per_customer,
+    # -- past the window: green in BOTH r1 and r2, rotated out -----------
+    "scan_filter_project": q_scan_filter_project,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_top_customers": q_join_top_customers,
+    "join_region_nation_customer": q_join_region_nation_customer,
+    "window_latest_event_per_user": q_window_latest_event_per_user,
+    "window_running_revenue": q_window_running_revenue,
+    "anti_join_resume": q_anti_join_resume,
+    "semi_join_events": q_semi_join_events,
+    "daily_event_stats": q_daily_event_stats,
+    "set_except_sources": q_set_except_sources,
+    "union_lang_totals": q_union_lang_totals,
+    "fact_fact_join_revenue": q_fact_fact_join_revenue,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "intersect_user_ids": q_intersect_user_ids,
+    "cube_source_lang": q_cube_source_lang,
+    "window_event_gaps": q_window_event_gaps,
 }
 
 # DuckDB oracles. Omitted keys = rows-only check (kernel / hash-seeded ops).
@@ -1857,6 +1927,14 @@ ORACLES: dict[str, str] = {
     """,
     "extract_pdf_flate": """
         SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_pdf_tj": """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || 'Doc ' || doc_id
+                   || chr(10) || 'END' AS extracted_text,
+               'ok' AS status
         FROM documents
         ORDER BY doc_id
     """,

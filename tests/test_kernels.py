@@ -249,15 +249,80 @@ def test_pdf_corrupt_flate_stream_errors():
 
 
 def test_pdf_unsupported_filter_errors():
+    # the error prefix is structured (class:subclass) so metrics can split
+    # the unsupported bucket by refused filter (error_class_metrics)
     pdf = _flate_pdf(b"\xff\xd8\xff", filter_name=b"/DCTDecode")
-    with pytest.raises(ValueError, match="pdf-unsupported: filter DCTDecode"):
+    with pytest.raises(ValueError, match="pdf-unsupported:filter-DCTDecode"):
         extract_pdf_text(pdf)
 
 
 def test_pdf_filter_chain_errors():
     pdf = _flate_pdf(b"x", filter_name=b"[/ASCII85Decode /FlateDecode]")
-    with pytest.raises(ValueError, match="pdf-unsupported"):
+    with pytest.raises(
+        ValueError, match="pdf-unsupported:filter-ASCII85Decode,FlateDecode"
+    ):
         extract_pdf_text(pdf)
+
+
+# --- TJ arrays / hex strings / escapes (PDF 32000-1:2008 §9.4.3, §7.3.4) ----
+
+def test_pdf_tj_array_concatenates_elements():
+    pdf = b"%PDF-1.4\nBT [(Hel) -120 (lo) 5 ( wor) (ld)] TJ ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "Hello world"
+
+
+def test_pdf_tj_array_with_hex_elements():
+    pdf = b"%PDF-1.4\nBT [(A) -50 <42> (C)] TJ ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "ABC"
+
+
+def test_pdf_hex_string_tj():
+    pdf = b"%PDF-1.4\nBT <48656C6C6F> Tj ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "Hello"
+
+
+def test_pdf_hex_string_whitespace_and_odd_padding():
+    # whitespace inside hex is legal; odd digit count pads a trailing 0:
+    # <48 65 6C 6C 7> == 48 65 6C 6C 70 == "Hellp"
+    pdf = b"%PDF-1.4\nBT <48 65 6C\n6C 7> Tj ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "Hellp"
+
+
+def test_pdf_hex_utf16be_bom():
+    # FEFF BOM -> UTF-16BE ("Hi" = 0048 0069)
+    pdf = b"%PDF-1.4\nBT <FEFF00480069> Tj ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "Hi"
+
+
+def test_pdf_quote_operators():
+    # ' moves to next line and shows; " sets spacing (two numbers) and shows
+    pdf = b"%PDF-1.4\nBT (one) Tj (two) ' 2 0.5 (three) \" ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "one\ntwo\nthree"
+
+
+def test_pdf_octal_and_continuation_escapes():
+    # \101 = 'A'; \<newline> is a line continuation (vanishes); \q -> 'q'
+    pdf = b"%PDF-1.4\nBT (\\101B\\\nC\\q) Tj ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "ABCq"
+
+
+def test_pdf_tj_array_negative_kerning_numbers_dropped():
+    pdf = b"%PDF-1.4\nBT [(a) -1200.5 (b) 33 (c)] TJ ET\n%%EOF"
+    assert extract_pdf_text(pdf) == "abc"
+
+
+def test_pdf_tj_in_flate_stream():
+    pdf = _flate_pdf(b"BT [(deep) -10 ( array)] TJ ET\nBT <4F4B> Tj ET")
+    assert extract_pdf_text(pdf) == "deep array\nOK"
+
+
+def test_pdf_stray_stream_keyword_outside_object_skipped():
+    # A 'stream\n' byte sequence NOT preceded by an 'obj ... >>' head (e.g.
+    # inside a comment) must not derail the scan past the next real stream
+    # (ADVICE r2 item 1).
+    real = _flate_pdf(b"BT (real) Tj ET")[9:]  # strip magic, keep object
+    pdf = b"%PDF-1.5\n% decoy stream\nof bytes\n" + real
+    assert extract_pdf_text(pdf) == "real"
 
 
 # --- dispatch (error-as-value, ocr_rpc_worker.go:163-190) -------------------

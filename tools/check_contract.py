@@ -85,6 +85,45 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def check_window(queries: dict) -> int:
+    """Enforce the registry-order policy: the driver records CORRECTNESS
+    rows for only the first DRIVER_WINDOW registry entries, so a query may
+    sit past the window ONLY if some prior round's CORRECTNESS_r*.json
+    already records a green for it.  Returns the number of violations so
+    the gap is a build error, not an archaeology find (VERDICT r2 item 3).
+    """
+    import glob
+    import json
+    import os
+
+    from open_ocr_spark.queries import DRIVER_WINDOW
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded_green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                recorded_green.add(name)
+
+    names = list(queries)
+    outside = names[DRIVER_WINDOW:]
+    never_checked = [n for n in outside if n not in recorded_green]
+    print(
+        f"registry: {len(names)} queries, driver window {DRIVER_WINDOW} "
+        f"-> {len(outside)} outside the window "
+        f"({len(never_checked)} of those never driver-checked)"
+    )
+    for n in never_checked:
+        print(f"WINDOW VIOLATION: {n!r} is past registry slot "
+              f"{DRIVER_WINDOW} but has no recorded CORRECTNESS green - "
+              f"move it into the first {DRIVER_WINDOW} entries")
+    return len(never_checked)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -163,9 +202,10 @@ def main():
         else:
             print(f"ok    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
 
+    window_violations = check_window(queries)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
-    sys.exit(1 if failures else 0)
+    sys.exit(1 if (failures or window_violations) else 0)
 
 
 if __name__ == "__main__":

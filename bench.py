@@ -173,10 +173,15 @@ def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replication > 1:
+        # tokens unique per (doc_id, rep), not rep alone: same-rep replicas
+        # of two different short docs must not share 40 filler tokens, or
+        # their jaccard could cross the threshold and the output pair set
+        # would grow with replication after all
         filler = F.array_join(
             F.transform(
                 F.sequence(F.lit(1), F.lit(40)),
                 lambda i: F.concat(
+                    F.lit("d"), F.col("doc_id").cast("string"),
                     F.lit("r"), F.col("rep").cast("string"), F.lit("t"),
                     i.cast("string"),
                 ),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _SIDE = "_asof_side"
 _TS = "_ts"
@@ -77,14 +78,17 @@ def asof_join(
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         *left_extra,
+        # programmatic StructType, not DDL-string concat: a value column
+        # whose name holds non-identifier chars (space, ':', ',') would
+        # fail DDL parsing with an opaque AnalysisException
         F.lit(None)
         .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}"
-                for c in value_cols
+            StructType(
+                [
+                    StructField(c, right.schema[c].dataType)
+                    for c in value_cols
+                ]
             )
-            + ">"
         )
         .alias(_VALS),
     )

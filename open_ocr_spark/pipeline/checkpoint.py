@@ -117,11 +117,14 @@ def write_snapshot(
     sdir = os.path.join(out_dir, "snapshots")
     os.makedirs(sdir, exist_ok=True)
     chain = snapshot_chain(out_dir)
-    seq = len(chain)
+    # max(seq)+1, NOT len(chain): if an earlier snapshot file was deleted
+    # (audits/manual cleanup), len() would reuse a live sequence number and
+    # silently overwrite that snapshot, corrupting the parent-link chain
+    seq = max((s.get("sequence_number", -1) for s in chain), default=-1) + 1
     snapshot = {
         "sequence_number": seq,
         "snapshot_id": f"{run_id}-{seq}",
-        "parent_snapshot_id": chain[-1]["snapshot_id"] if chain else None,
+        "parent_snapshot_id": chain[-1].get("snapshot_id") if chain else None,
         "run_id": run_id,
         "input_snapshot_id": input_snapshot_id,
         "buckets_processed": sorted(buckets_processed),
@@ -134,7 +137,18 @@ def write_snapshot(
         json.dump(snapshot, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, final)
+    try:
+        # link-then-unlink instead of os.replace: atomic AND exclusive, so
+        # a sequence-number collision (concurrent writer, clock games)
+        # fails loudly instead of overwriting an existing snapshot
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"snapshot collision: {final} already exists - refusing to "
+            "overwrite a committed snapshot"
+        ) from None
+    os.unlink(tmp)
     return snapshot
 
 

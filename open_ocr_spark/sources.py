@@ -212,20 +212,29 @@ def requests_from_multipart(
     )
 
 
-def requests_from_json(requests: DataFrame, json_col: str = "request") -> DataFrame:
+def requests_from_json(
+    requests: DataFrame,
+    json_col: str = "request",
+    ingest_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
     """Parse a column of OcrRequest JSON bodies into the pipeline's input
     shape. Mirrors the reference's decode + materialize steps
     (ocr_http_handler.go:26-33 JSON decode; ocr_rpc_client.go:89-109
     source-priority resolve): img_base64 decodes via unbase64; img_url
     remains the identity key (no network fetch at runtime — A1 is
     ingest-only). engine_args keeps the reference's nested shape and is
-    re-encoded as JSON for the kernel (`engine_args_json`)."""
+    re-encoded as JSON for the kernel (`engine_args_json`).
+
+    ``ingest_ts`` stamps warc_ts with a caller-controlled CONSTANT (a real
+    ingest passes its batch's crawl time); the default is a fixed epoch,
+    never current_timestamp(), so two runs of the same ingest produce
+    byte-identical frames (SURVEY §7.3 determinism invariant)."""
     parsed = requests.withColumn(
         "_req", F.from_json(F.col(json_col), REQUEST_JSON_SCHEMA)
     )
     return parsed.select(
         F.col("_req.img_url").alias("url"),
-        F.current_timestamp().alias("warc_ts"),
+        F.to_timestamp(F.lit(ingest_ts)).alias("warc_ts"),
         F.unbase64(F.col("_req.img_base64")).alias("html"),  # A2/A5 coalesce
         F.lit(None).cast("string").alias("text"),
         F.col("_req.engine_args.lang").alias("lang"),

@@ -319,6 +319,31 @@ def test_asof_join_semantics(spark):
     assert got == {"e1": None, "e2": 100, "e3": 100, "e4": 200, "e5": None}
 
 
+def test_asof_join_nonidentifier_value_column_names(spark):
+    """The null-struct type is built programmatically, not by DDL-string
+    concat: value columns named with spaces/colons/commas must work instead
+    of dying in the DDL parser (ADVICE r2)."""
+    from open_ocr_spark.dataops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "e1")], "k long, ts string, name string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = (
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 7, "x")],
+            "k long, rts string, v int, w string",
+        )
+        .withColumn("rts", F.to_timestamp("rts"))
+        .withColumnRenamed("v", "price: usd, net")
+        .withColumnRenamed("w", "fx source")
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        value_cols=["price: usd, net", "fx source"],
+    ).collect()[0]
+    assert row["price: usd, net"] == 7 and row["fx source"] == "x"
+
+
 def test_asof_join_partition_invariance(spark):
     """Same result at any parallelism (SURVEY §7.3 Hard #2)."""
     from open_ocr_spark.dataops.asof import asof_join

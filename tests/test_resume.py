@@ -101,6 +101,40 @@ def test_snapshot_id_derived_and_mismatch_surfaced(spark, tmp_path):
     assert snap_ids == {snap1, snap2}
 
 
+def test_snapshot_seq_survives_deleted_earlier_snapshot(tmp_path):
+    """Sequence numbers come from max(existing)+1, not len(chain): deleting
+    an early snapshot file must never cause the next run to REUSE a live
+    sequence number and overwrite a committed snapshot (ADVICE r2)."""
+    import os
+
+    import pytest as _pytest
+
+    from open_ocr_spark.pipeline.checkpoint import (
+        snapshot_chain,
+        write_snapshot,
+    )
+
+    out = str(tmp_path / "run")
+    for i in range(3):
+        write_snapshot(out, run_id=f"r{i}", input_snapshot_id="snap-x",
+                       buckets_processed=[i])
+    os.unlink(os.path.join(out, "snapshots", "snap-000000.json"))
+
+    snap = write_snapshot(out, run_id="r3", input_snapshot_id="snap-x",
+                          buckets_processed=[3])
+    assert snap["sequence_number"] == 3  # NOT 2 == len(remaining chain)
+    seqs = [s["sequence_number"] for s in snapshot_chain(out)]
+    assert seqs == [1, 2, 3]  # nothing overwritten
+
+    # and a forced collision fails loudly instead of overwriting
+    collider = os.path.join(out, "snapshots", "snap-000004.json")
+    with open(collider, "w") as f:
+        f.write("{}")
+    with _pytest.raises(RuntimeError, match="snapshot collision"):
+        write_snapshot(out, run_id="r4", input_snapshot_id="snap-x",
+                       buckets_processed=[4])
+
+
 def test_snapshot_chain_and_time_travel(spark, tmp_path):
     """Each completed run appends one snapshot with a parent link; reading
     as-of an earlier snapshot returns exactly the buckets committed then,

@@ -72,6 +72,23 @@ def test_json_request_surface(spark):
     assert got["http://x/5"]["status"] == "ok"
 
 
+def test_json_request_ingest_deterministic(spark):
+    """Two runs of the same ingest must produce byte-identical frames —
+    warc_ts is a caller-controlled constant, never current_timestamp()
+    (ADVICE r2: a wall-clock column broke rerun identity)."""
+    b64 = base64.b64encode(HTML).decode()
+    df = spark.createDataFrame(
+        [_req(img_url=f"http://x/{i}", img_base64=b64) for i in range(5)],
+        "request string",
+    )
+    first = sorted(map(tuple, requests_from_json(df).collect()))
+    second = sorted(map(tuple, requests_from_json(df).collect()))
+    assert first == second
+    # and the stamp is the documented constant, overridable by the caller
+    custom = requests_from_json(df, ingest_ts="2025-06-30 12:00:00").first()
+    assert str(custom["warc_ts"]) == "2025-06-30 12:00:00"
+
+
 def test_json_request_lang_gate(spark):
     b64 = base64.b64encode(HTML).decode()
     df = spark.createDataFrame(

@@ -4,16 +4,19 @@ doc_id in its component) — the step a training pipeline runs after pair
 generation (minhash_lsh_pairs / ngram_jaccard_pairs) to pick one canonical
 representative per duplicate cluster.
 
-Scale design: min-label propagation — per iteration ONE join of the
-(small) label table against the symmetrized edge list plus a hash
-aggregate, lineage truncated with localCheckpoint so plans stay constant
-size. Convergence is O(component diameter) iterations; near-dup clusters
-are shallow (stars around a popular page), so a handful of rounds
-suffices. Convergence is detected with a one-row aggregate per iteration
-(sum of labels, strictly decreasing until fixpoint) — never a collect of
-data rows. For adversarially deep graphs the two-phase large-star /
-small-star variant (Kiveris et al., "Connected Components in MapReduce")
-drops rounds to O(log n); not needed for dedup-shaped graphs.
+Scale design: the alternating large-star / small-star formulation
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+— each round is two rounds of pure DataFrame joins + hash aggregates over
+the edge list, and the edge set converges to min-centered stars in
+O(log^2 n) rounds REGARDLESS of component diameter. This replaced the
+round-1/2 min-label propagation, whose O(diameter) rounds were fine for
+star-shaped dup clusters but could not survive a 100 TB chain-shaped
+graph (crawl mirror rings): a 10^6-long path needs 10^6 propagation
+rounds but only ~40 star rounds. Convergence is detected with a one-row
+checksum aggregate per round (count + exact decimal sums of per-edge
+hashes) — never a collect of data rows; lineage is truncated with
+localCheckpoint so plans stay constant size. Non-convergence within
+max_iter still raises rather than shipping partial labels.
 """
 
 from __future__ import annotations
@@ -22,58 +25,99 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min(Γ(u) ∪ {u}).
+
+    Input edges in either direction; output edges are (u, v) with u > v
+    (child → candidate parent), self-loop-free, distinct.
+    """
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v"))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("_m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor ≤ u, and u itself, to min of those neighbors.
+
+    Input edges must be (u, v) with u > v (large-star output); output stays
+    in that canonical direction.
+    """
+    m = e.groupBy("u").agg(F.min("v").alias("_m"))
+    joined = e.join(m, "u")
+    return (
+        joined.select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .unionByName(m.select("u", F.col("_m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple:
+    """One-row set fingerprint: count + exact (decimal, non-overflowing)
+    sums of two independent per-edge hashes. Equal fingerprints on the
+    monotone star-contraction sequence mean the edge set is unchanged."""
+    row = e.agg(
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")),
+    ).collect()[0]
+    return tuple(row)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(id, cluster_id) for every vertex in `edges`; cluster_id = min
-    vertex id reachable through the undirected pair graph."""
-    sym = (
-        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
-        .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+    vertex id reachable through the undirected pair graph. O(log^2 n)
+    large-star/small-star rounds — diameter-independent."""
+    vertices = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = (
-        sym.select(F.col("x").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
-    prev_sum = None
+    prev = None
     converged = False
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["y"] == labels["id"])
-            .groupBy("x")
-            .agg(F.min("cluster_id").alias("_nmin"))
-        )
-        labels = (
-            labels.join(neigh, labels["id"] == neigh["x"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("_nmin"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)  # constant-size plan per round
-        )
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:  # fixpoint: labels strictly decrease until done
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
             converged = True
             break
-        prev_sum = cur_sum
+        prev = cur
     if not converged:
-        # silently returning partial labels would ship wrong clusters;
-        # a diameter above max_iter means the graph is not dedup-shaped
+        # silently returning partial labels would ship wrong clusters
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            "iterations; raise max_iter or use a large-star/small-star "
-            "formulation for deep graphs"
+            "large-star/small-star rounds; the edge list is pathological "
+            "(rounds grow with log^2 of component size, not diameter)"
         )
-    return labels
+    # Converged: e is a union of min-centered stars (u = member, v = center).
+    # Members take their center; every other vertex (centers, vertices whose
+    # every incident edge was a self-loop) is its own cluster.
+    member = e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    rest = vertices.join(member.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return member.unionByName(rest)
 
 
 def dedup_clusters(

@@ -231,6 +231,110 @@ RESIZE_SCHEMA = (
 )
 
 
+def decode_pixels(payload: bytes):
+    """numpy (h, w, 3) uint8 array from the two formats stdlib+numpy can
+    decode without PIL/ffmpeg: uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB, bottom-up or top-down) and binary PPM (P6, maxval 255).
+    Returns None for every other format — those genuinely need a decoder
+    library. Raises ValueError for recognized-but-corrupt payloads."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:2] == b"BM" and len(data) >= 54:
+        off, = struct.unpack("<I", data[10:14])
+        hdr, = struct.unpack("<I", data[14:18])
+        if hdr < 40:
+            return None  # BITMAPCOREHEADER etc: out of scope
+        w, h = struct.unpack("<ii", data[18:26])
+        bpp, = struct.unpack("<H", data[28:30])
+        comp, = struct.unpack("<I", data[30:34])
+        if bpp != 24 or comp != 0:
+            return None  # paletted/compressed BMP needs a real decoder
+        if w <= 0 or h == 0:
+            raise ValueError("bmp: bad dimensions")
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        need = off + stride * h
+        if len(data) < need:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if data[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster;
+        # '#' comments allowed inside the whitespace
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(data) and data[pos : pos + 1] == b"#":
+                eol = data.find(b"\n", pos)
+                if eol < 0:
+                    raise ValueError("ppm: unterminated comment")
+                pos = eol + 1
+                continue
+            start = pos
+            while pos < len(data) and data[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("ppm: malformed header")
+            fields.append(int(data[start:pos]))
+        w, h, maxval = fields
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None  # 16-bit-per-sample PPMs are out of scope
+        pos += 1  # exactly one whitespace byte before the raster
+        if len(data) < pos + w * h * 3:
+            raise ValueError("ppm: truncated raster")
+        return np.frombuffer(
+            data, dtype=np.uint8, count=w * h * 3, offset=pos
+        ).reshape(h, w, 3).copy()
+    return None
+
+
+def encode_bmp24(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed bottom-up 24-bit BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    pix = padded.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + pix
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6) bytes."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize via numpy integer index maps (the pixel-
+    center convention: src = floor((dst + 0.5) * S / D))."""
+    import numpy as np
+
+    sh, sw = arr.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * sh / height).astype(int),
+                    sh - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * sw / width).astype(int),
+                    sw - 1)
+    return arr[ys][:, xs]
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, strict: bool = False
 ) -> DataFrame:
@@ -238,17 +342,15 @@ def resize_images(
     batch per Arrow chunk — the shape a training-data image pipeline needs
     (decode → resize → re-encode on the executor, never on the driver).
 
-    STUB: the pixel work needs PIL (absent here); the fake output payload
-    is deterministic (sha1 of input + target dims), so lineage, schema,
-    batching and downstream joins behave exactly as with a real resizer.
-    """
+    REAL pixel path for the formats stdlib+numpy can decode (uncompressed
+    24-bit BMP, binary PPM): decode → numpy nearest-neighbor → re-encode
+    in the same container, pixel-exact and deterministic. Every other
+    format still needs PIL/ffmpeg (absent in this container): strict mode
+    raises per payload; default mode emits the deterministic fake (sha1 of
+    input + target dims) so lineage/schema/batching stay end-to-end
+    runnable."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "image resize requires PIL (not installed); "
-                "run with strict=False for the deterministic stub"
-            )
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -256,10 +358,26 @@ def resize_images(
                     rows.append((media_id, None, None, None, 0))
                     continue
                 payload = bytes(payload)
-                fake = hashlib.sha1(
-                    payload + f"{width}x{height}".encode()
-                ).digest()
-                rows.append((media_id, fake, width, height, len(fake)))
+                arr = decode_pixels(payload)
+                if arr is not None:
+                    out_arr = resize_nearest(arr, width, height)
+                    out = (
+                        encode_ppm(out_arr)
+                        if payload[:2] == b"P6"
+                        else encode_bmp24(out_arr)
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "resize of this format requires PIL/ffmpeg (not "
+                        "installed); only 24-bit BMP and P6 PPM decode "
+                        "natively - run with strict=False for the "
+                        "deterministic stub"
+                    )
+                else:
+                    out = hashlib.sha1(
+                        payload + f"{width}x{height}".encode()
+                    ).digest()
+                rows.append((media_id, out, width, height, len(out)))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "payload", "width", "height", "n_bytes"],

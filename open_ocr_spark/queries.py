@@ -1102,16 +1102,33 @@ def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tesseract_engine_test.go:50), then PARSE the span JSON back to rows so
     the oracle checks ids/offsets/text as values, not as a JSON string.
 
-    The fixture wraps TWO paragraphs per document (the original text plus a
-    deterministic appendix) so the multi-span path — several paragraphs →
-    several spans with running offsets — is oracle-exercised, not just the
-    one-span case. Documents with empty text exercise the empty-paragraph
-    drop: their appendix becomes span 0 at offset 0."""
+    The fixture is RAGGED (VERDICT r2 item 8): doc_id % 3 selects 0, 1 or
+    2 appendix paragraphs after the original text, every appendix is
+    preceded by a literally-empty ``<p></p>`` (exercising the
+    empty-paragraph drop mid-document), and documents with empty text
+    exercise the leading-empty edge — so span ids and running offsets are
+    stressed unevenly (1–3 spans per doc, shifted starts), not as one
+    fixed shape."""
     docs = _t(spark, sf_dir, "documents")
-    appendix = F.concat(
+    a1 = F.concat(
         F.lit("Appendix section for document "),
         F.col("doc_id").cast("string"),
         F.lit(" - closing remarks."),
+    )
+    a2 = F.concat(
+        F.lit("Second appendix for document "),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+    )
+    k = F.pmod(F.col("doc_id"), F.lit(3))
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(k >= 1, F.concat(F.lit("</p><p></p><p>"), a1)).otherwise(
+            F.lit("")
+        ),
+        F.when(k == 2, F.concat(F.lit("</p><p></p><p>"), a2)).otherwise(
+            F.lit("")
+        ),
     )
     pages = docs.select(
         F.concat(F.lit("https://docs.example.com/doc/"), F.col("doc_id")).alias(
@@ -1119,13 +1136,7 @@ def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         F.encode(
-            F.concat(
-                F.lit(_WRAP_PREFIX),
-                F.coalesce(F.col("text"), F.lit("")),
-                F.lit("</p><p>"),
-                appendix,
-                F.lit(_WRAP_SUFFIX),
-            ),
+            F.concat(F.lit(_WRAP_PREFIX), body, F.lit(_WRAP_SUFFIX)),
             "utf-8",
         ).alias("html"),
         F.lit("eng").alias("lang"),
@@ -1195,6 +1206,64 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media).select(
         "media_id", "frame_idx", "ts_s", F.octet_length("frame").alias("n_bytes")
     )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path, oracle-checked end-to-end (VERDICT r2 item 10):
+    each document becomes a 2x2 24-bit BMP whose four pixel values are
+    formulas of doc_id (built in an Arrow-batched pandas kernel), resized
+    2x by the numpy nearest-neighbor path (strict=True — no stub can
+    leak in), and the four CORNERS of the 4x4 output are read back with
+    pure-Catalyst byte arithmetic on the BMP layout (54-byte header +
+    bottom-up rows, stride 12). Nearest-neighbor 2x replicates each source
+    pixel into a 2x2 block, so corner k must equal source pixel k — the
+    oracle recomputes the formulas in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    def _bmp_wrap(ids):
+        import numpy as np
+
+        from open_ocr_spark.dataops.multimodal import encode_bmp24
+
+        out = []
+        for i in ids:
+            a = int(i) % 251
+            b = (int(i) * 3 + 7) % 251
+            c = (int(i) * 5 + 11) % 251
+            d = (int(i) * 7 + 13) % 251
+            arr = np.array(
+                [[[a] * 3, [b] * 3], [[c] * 3, [d] * 3]], dtype=np.uint8
+            )
+            out.append(encode_bmp24(arr))
+        return pd.Series(out)
+
+    _bmp_wrap.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _bmp_wrap = pandas_udf(_bmp_wrap, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), _bmp_wrap(F.col("doc_id")).alias("payload")
+    )
+    resized = resize_images(media, 4, 4, strict=True)
+
+    def px(pos_1based: int):
+        # one channel of a pixel as an int (all three are equal by design)
+        return F.conv(
+            F.hex(F.substring(F.col("payload"), pos_1based, 1)), 16, 10
+        ).cast("int")
+
+    # output rows are bottom-up: file row r = image row (3 - r), stride 12
+    return resized.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes"),
+        px(55 + 3 * 12).alias("p00"),       # image (0,0)  <- src a
+        px(55 + 3 * 12 + 3 * 3).alias("p01"),  # image (0,3) <- src b
+        px(55).alias("p10"),                # image (3,0)  <- src c
+        px(55 + 3 * 3).alias("p11"),        # image (3,3)  <- src d
+    ).orderBy("doc_id")
 
 
 def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,6 +1355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_fetch_roundtrip": q_url_fetch_roundtrip,
     # -- new in r3 (must sit inside the window: no prior green) ----------
     "extract_pdf_tj": q_extract_pdf_tj,
+    "media_resize": q_media_resize,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -1930,6 +2000,16 @@ ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
+    "media_resize": """
+        SELECT doc_id,
+               CAST(102 AS BIGINT) AS n_bytes,  -- 54 + 4 rows * stride 12
+               CAST(doc_id % 251 AS INTEGER) AS p00,
+               CAST((doc_id * 3 + 7) % 251 AS INTEGER) AS p01,
+               CAST((doc_id * 5 + 11) % 251 AS INTEGER) AS p10,
+               CAST((doc_id * 7 + 13) % 251 AS INTEGER) AS p11
+        FROM documents
+        ORDER BY doc_id
+    """,
     "extract_pdf_tj": """
         SELECT doc_id,
                coalesce(text, '') || chr(10) || 'Doc ' || doc_id
@@ -1960,22 +2040,32 @@ ORACLES: dict[str, str] = {
                    trim(regexp_replace(coalesce(text, ''),
                         '[ \t\n\r]+', ' ', 'g')) AS t,
                    'Appendix section for document ' || doc_id
-                       || ' - closing remarks.' AS p2
+                       || ' - closing remarks.' AS a1,
+                   'Second appendix for document ' || doc_id || '.' AS a2,
+                   doc_id % 3 AS k
             FROM documents
+        ),
+        base AS (
+            SELECT *,
+                   CASE WHEN length(t) > 0 THEN 1 ELSE 0 END AS has_t,
+                   CASE WHEN length(t) > 0 THEN length(t) + 2 ELSE 0 END
+                       AS off1
+            FROM norm
         )
         SELECT doc_id, span_id, "start", "end", span_text FROM (
             SELECT doc_id, 0 AS span_id, 0 AS "start",
                    length(t) AS "end", t AS span_text
-            FROM norm WHERE length(t) > 0
+            FROM base WHERE has_t = 1
             UNION ALL
-            SELECT doc_id,
-                   CASE WHEN length(t) > 0 THEN 1 ELSE 0 END AS span_id,
-                   CASE WHEN length(t) > 0 THEN length(t) + 2 ELSE 0 END
-                       AS "start",
-                   CASE WHEN length(t) > 0 THEN length(t) + 2 ELSE 0 END
-                       + length(p2) AS "end",
-                   p2 AS span_text
-            FROM norm
+            SELECT doc_id, has_t AS span_id, off1 AS "start",
+                   off1 + length(a1) AS "end", a1 AS span_text
+            FROM base WHERE k >= 1
+            UNION ALL
+            SELECT doc_id, has_t + 1 AS span_id,
+                   off1 + length(a1) + 2 AS "start",
+                   off1 + length(a1) + 2 + length(a2) AS "end",
+                   a2 AS span_text
+            FROM base WHERE k = 2
         )
         ORDER BY doc_id, span_id
     """,

@@ -255,6 +255,87 @@ def test_resize_images_deterministic(spark):
     assert bytes(other[0]["payload"]) != bytes(got[0]["payload"])
 
 
+def test_resize_images_bmp_pixel_exact(spark):
+    """Real pixel path (VERDICT r2 item 10): a 2x2 24-bit BMP resized to
+    4x4 by nearest-neighbor must replicate each source pixel into its 2x2
+    block, pixel-exact, decodable by the pure-numpy decoder."""
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import (
+        decode_pixels,
+        encode_bmp24,
+        resize_images,
+    )
+
+    src = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 0]]], dtype=np.uint8
+    )
+    bmp = encode_bmp24(src)
+    assert np.array_equal(decode_pixels(bmp), src)  # round-trip first
+
+    media = spark.createDataFrame(
+        [(0, bmp)], "media_id long, payload binary"
+    )
+    row = resize_images(media, 4, 4, strict=True).collect()[0]
+    out = decode_pixels(bytes(row["payload"]))
+    assert out.shape == (4, 4, 3)
+    want = src.repeat(2, axis=0).repeat(2, axis=1)
+    assert np.array_equal(out, want)
+
+
+def test_resize_images_ppm_and_downscale(spark):
+    """P6 PPM stays PPM through resize; 4x4 -> 2x2 nearest keeps the
+    pixel-center sample (index floor((i+.5)*4/2) = 1,3)."""
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import (
+        decode_pixels,
+        encode_ppm,
+        resize_images,
+    )
+
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = encode_ppm(src)
+    assert np.array_equal(decode_pixels(ppm), src)
+
+    media = spark.createDataFrame(
+        [(0, ppm)], "media_id long, payload binary"
+    )
+    row = resize_images(media, 2, 2, strict=True).collect()[0]
+    assert bytes(row["payload"])[:2] == b"P6"
+    out = decode_pixels(bytes(row["payload"]))
+    assert np.array_equal(out, src[[1, 3]][:, [1, 3]])
+
+
+def test_resize_images_strict_still_raises_for_undecodable(spark):
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(0, b"\x89PNGxxxxxxxx")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        resize_images(media, 8, 8, strict=True).collect()
+
+
+def test_decode_pixels_edge_cases():
+    import numpy as np
+    import pytest as _pytest
+
+    from open_ocr_spark.dataops.multimodal import decode_pixels, encode_bmp24
+
+    # PPM comments + odd dims round-trip through the header parser
+    src = np.full((3, 5, 3), 7, dtype=np.uint8)
+    ppm = b"P6\n# a comment\n5 3\n255\n" + src.tobytes()
+    assert np.array_equal(decode_pixels(ppm), src)
+    # truncated BMP raster is an error, not garbage pixels
+    bmp = encode_bmp24(src)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_pixels(bmp[:-4])
+    # non-image bytes: None (stub path decides what to do)
+    assert decode_pixels(b"GIF89a\x01\x00\x01\x00") is None
+
+
 def test_sample_frames_one_to_many(spark):
     from open_ocr_spark.dataops.multimodal import sample_frames
 

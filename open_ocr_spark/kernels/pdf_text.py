@@ -10,14 +10,16 @@ Scope (v3): all four text-show operator forms of PDF 32000-1:2008 §9.4.3 —
 ``(...) Tj``, ``(...) '``, ``aw ac (...) "`` and ``[(..)-120(..)] TJ``
 arrays — with both literal strings (full escape set incl. octal ``\\ooo``
 and line continuations, §7.3.4.2) and hex strings ``<...>`` (§7.3.4.3,
-UTF-16BE BOM honoured), in uncompressed content streams OR
-FlateDecode-compressed stream objects (inflated with stdlib zlib, matching
-the reference's ability to take any real-world PDF via Ghostscript). Each
-text-show op becomes one line; array elements concatenate (kerning numbers
-are positioning, not text); lines joined with '\\n'. Streams declaring any
-other filter (DCTDecode, LZWDecode, filter chains, ...) are detected and
-reported as status='error:pdf-unsupported:<filter>' rather than wrong
-output.
+UTF-16BE BOM honoured), in uncompressed content streams OR stream objects
+behind every pure-stdlib-decodable filter — FlateDecode (zlib), LZWDecode
+(PDF/TIFF early-change variant), ASCIIHexDecode, ASCII85Decode,
+RunLengthDecode, and CHAINS of those applied in declaration order —
+matching the reference's ability to take any real-world PDF via
+Ghostscript. Each text-show op becomes one line; array elements
+concatenate (kerning numbers are positioning, not text); lines joined
+with '\\n'. Streams declaring an image filter (DCTDecode, JPXDecode,
+CCITTFax, JBIG2 — no text to show without OCR) are detected and reported
+as status='error:pdf-unsupported:<filter>' rather than wrong output.
 """
 
 from __future__ import annotations
@@ -81,6 +83,143 @@ def is_pdf(raw: bytes | None) -> bool:
     """Magic-byte test, the routing predicate for the PDF stage (the graft's
     equivalent of sending to the convert-pdf queue)."""
     return raw is not None and bytes(raw[:4]) == PDF_MAGIC
+
+
+# --- stream filters (PDF 32000-1:2008 §7.4) --------------------------------
+# Every filter a content stream can reasonably carry that is decodable in
+# pure stdlib Python. DCTDecode/JPXDecode/CCITTFaxDecode/JBIG2Decode encode
+# IMAGES (no text to show) and stay error-as-value, like the reference
+# surfaces a Ghostscript failure.
+
+
+def _flate(body: bytes) -> bytes:
+    try:
+        return zlib.decompress(body)
+    except zlib.error as exc:
+        raise ValueError(f"pdf-unsupported:corrupt-flate: ({exc})") from exc
+
+
+def _ascii_hex(body: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' ends the data, odd count
+    pads a trailing 0."""
+    end = body.find(b">")
+    digits = b"".join(body[: end if end >= 0 else len(body)].split())
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (UnicodeDecodeError, ValueError) as exc:
+        raise ValueError(
+            f"pdf-unsupported:corrupt-asciihex: ({exc})"
+        ) from exc
+
+
+def _ascii85(body: bytes) -> bytes:
+    """§7.4.3: Adobe ASCII85 ('z' shorthand, '~>' EOD); stdlib base64 does
+    the Adobe variant natively."""
+    import base64
+
+    data = body.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    try:
+        return base64.a85decode(b"".join(data.split()))
+    except ValueError as exc:
+        raise ValueError(
+            f"pdf-unsupported:corrupt-ascii85: ({exc})"
+        ) from exc
+
+
+def _run_length(body: bytes) -> bytes:
+    """§7.4.5: length byte L then literal run (L+1 bytes) for L<128, or a
+    single byte repeated 257-L times for L>128; 128 is EOD."""
+    out = []
+    pos, n = 0, len(body)
+    while pos < n:
+        length = body[pos]
+        if length == 128:
+            break
+        if length < 128:
+            chunk = body[pos + 1 : pos + 2 + length]
+            if len(chunk) != length + 1:
+                raise ValueError(
+                    "pdf-unsupported:corrupt-runlength: truncated literal run"
+                )
+            out.append(chunk)
+            pos += 2 + length
+        else:
+            if pos + 1 >= n:
+                raise ValueError(
+                    "pdf-unsupported:corrupt-runlength: truncated repeat run"
+                )
+            out.append(body[pos + 1 : pos + 2] * (257 - length))
+            pos += 2
+    return b"".join(out)
+
+
+def _lzw(body: bytes) -> bytes:
+    """§7.4.4: PDF/TIFF LZW — MSB-first variable-width codes starting at 9
+    bits, clear code 256, EOD 257, width bumps at table sizes 511/1023/2047
+    (early change = 1, the PDF default)."""
+    out: list[bytes] = []
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    acc = nbits = 0
+    for byte in body:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return b"".join(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError(
+                        "pdf-unsupported:corrupt-lzw: first code not literal"
+                    )
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(
+                    "pdf-unsupported:corrupt-lzw: code beyond table"
+                )
+            out.append(entry)
+            prev = entry
+            # early-change: the encoder bumps its width when ITS next_code
+            # hits 2^w - 1; at our read of that first wider code the local
+            # table lags the encoder's by one entry, hence the +2
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return b"".join(out)  # missing EOD: accept what decoded cleanly
+
+
+_FILTERS = {
+    b"FlateDecode": _flate,
+    b"ASCIIHexDecode": _ascii_hex,
+    b"ASCII85Decode": _ascii85,
+    b"RunLengthDecode": _run_length,
+    b"LZWDecode": _lzw,
+    # common abbreviations (§7.4, table 6 inline-image aliases also appear
+    # on malformed generators' stream dicts)
+    b"Fl": _flate,
+    b"AHx": _ascii_hex,
+    b"A85": _ascii85,
+    b"RL": _run_length,
+    b"LZW": _lzw,
+}
 
 
 def _decode_literal(body: bytes) -> bytes:
@@ -184,16 +323,12 @@ def _inflate_streams(raw: bytes) -> bytes:
 
         if fm:
             names = _NAME_RE.findall(fm.group(1))
-            if names == [b"FlateDecode"]:
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error as exc:
-                    raise ValueError(
-                        f"pdf-unsupported:corrupt-flate: ({exc})"
-                    ) from exc
-            else:
+            unsupported = [n for n in names if n not in _FILTERS]
+            if unsupported:
                 pretty = b",".join(names).decode("ascii", errors="replace")
                 raise ValueError(f"pdf-unsupported:filter-{pretty}")
+            for name in names:  # filter chains apply in declaration order
+                body = _FILTERS[name](body)
         out.append(raw[pos : m.start()])
         out.append(b"stream\n")
         out.append(body)

@@ -997,25 +997,34 @@ def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 parity for real-world (compressed) PDFs, oracle-checked: every
     document becomes a PDF whose content stream is zlib-deflated behind
     /Filter /FlateDecode — the form Ghostscript handles for the reference
-    (/root/reference/convert-pdf.go:51-62). The wrap uses an Arrow-batched
-    pandas UDF (fixture construction only; the measured kernel is the
-    unwrap); the kernel inflates with stdlib zlib and must return the text
-    byte-exact."""
+    (/root/reference/convert-pdf.go:51-62) — and every ODD doc_id
+    additionally armors the deflated bytes in ASCII85, declaring the
+    [/ASCII85Decode /FlateDecode] FILTER CHAIN, so chain decoding is
+    driver-value-checked, not just unit-tested. The wrap uses an
+    Arrow-batched pandas UDF (fixture construction only; the measured
+    kernel is the unwrap); the kernel decodes with stdlib zlib/base64 and
+    must return the text byte-exact."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     # annotations set explicitly: `from __future__ import annotations`
     # stringifies hints, which pandas_udf cannot resolve for local names
-    def _flate_wrap(texts):
+    def _flate_wrap(ids, texts):
+        import base64
         import zlib
 
         out = []
-        for t in texts:
+        for i, t in zip(ids, texts):
             s = (t or "").replace("\\", "\\\\")
             s = s.replace("(", "\\(").replace(")", "\\)")
             body = zlib.compress(("BT\n(" + s + ") Tj\nET\n").encode("utf-8"))
+            if int(i) % 2 == 1:
+                body = base64.a85encode(body) + b"~>"
+                filt = b"[/ASCII85Decode /FlateDecode]"
+            else:
+                filt = b"/FlateDecode"
             out.append(
-                b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /Length "
+                b"%PDF-1.5\n1 0 obj\n<< /Filter " + filt + b" /Length "
                 + str(len(body)).encode()
                 + b" >>\nstream\n"
                 + body
@@ -1023,7 +1032,9 @@ def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    _flate_wrap.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _flate_wrap.__annotations__ = {
+        "ids": pd.Series, "texts": pd.Series, "return": pd.Series
+    }
     _flate_wrap = pandas_udf(_flate_wrap, "binary")
 
     docs = _t(spark, sf_dir, "documents")
@@ -1032,7 +1043,7 @@ def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url"
         ),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
-        _flate_wrap(F.col("text")).alias("html"),
+        _flate_wrap(F.col("doc_id"), F.col("text")).alias("html"),
         F.lit("eng").alias("lang"),
         "doc_id",
     )

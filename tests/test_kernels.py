@@ -256,12 +256,124 @@ def test_pdf_unsupported_filter_errors():
         extract_pdf_text(pdf)
 
 
-def test_pdf_filter_chain_errors():
-    pdf = _flate_pdf(b"x", filter_name=b"[/ASCII85Decode /FlateDecode]")
+def test_pdf_filter_chain_with_image_filter_errors():
+    # a chain containing ANY undecodable (image) filter is refused whole
+    pdf = _flate_pdf(b"x", filter_name=b"[/ASCII85Decode /DCTDecode]")
     with pytest.raises(
-        ValueError, match="pdf-unsupported:filter-ASCII85Decode,FlateDecode"
+        ValueError, match="pdf-unsupported:filter-ASCII85Decode,DCTDecode"
     ):
         extract_pdf_text(pdf)
+
+
+def _filtered_pdf(body: bytes, filter_name: bytes) -> bytes:
+    return (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter " + filter_name
+        + b" /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_pdf_asciihex_stream():
+    body = b"BT (hexed) Tj ET".hex().encode() + b">"
+    assert extract_pdf_text(
+        _filtered_pdf(body, b"/ASCIIHexDecode")
+    ) == "hexed"
+
+
+def test_pdf_ascii85_stream():
+    import base64
+
+    body = base64.a85encode(b"BT (eighty five) Tj ET") + b"~>"
+    assert extract_pdf_text(
+        _filtered_pdf(body, b"/ASCII85Decode")
+    ) == "eighty five"
+
+
+def test_pdf_runlength_stream():
+    # literal run of the whole content, then EOD
+    content = b"BT (rle) Tj ET"
+    body = bytes([len(content) - 1]) + content + b"\x80"
+    assert extract_pdf_text(
+        _filtered_pdf(body, b"/RunLengthDecode")
+    ) == "rle"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference PDF/TIFF LZW encoder for round-trip tests: early-change
+    width bumps (next_code hits 2^w - 1) and CLEAR at table-full."""
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table, next_code, width = fresh(), 258, 9
+    codes = [(256, width)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+        else:
+            codes.append((table[w], width))
+            table[w + c] = next_code
+            next_code += 1
+            if next_code >= (1 << width) - 1 and width < 12:  # early change
+                width += 1
+            elif next_code >= 4095:
+                codes.append((256, width))
+                table, next_code, width = fresh(), 258, 9
+            w = c
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    acc = nb = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc = (acc << wd) | code
+        nb += wd
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_lzw_stream():
+    # long enough to cross the 9->10 bit width bump (>253 new entries)
+    content = b"".join(
+        b"BT (lzw line %d) Tj ET\n" % i for i in range(60)
+    )
+    pdf = _filtered_pdf(_lzw_encode(content), b"/LZWDecode")
+    assert extract_pdf_text(pdf) == "\n".join(
+        f"lzw line {i}" for i in range(60)
+    )
+
+
+def test_pdf_lzw_all_width_bumps_and_clear_reset():
+    # enough distinct material to cross 10->11->12-bit widths AND force a
+    # table-full CLEAR reset mid-stream (>4k new entries)
+    import random
+
+    rng = random.Random(9)
+    lines = [
+        "w%d %s" % (i, "".join(rng.choice("abcdefgh") for _ in range(30)))
+        for i in range(900)
+    ]
+    content = b"".join(b"BT (%s) Tj ET\n" % ln.encode() for ln in lines)
+    pdf = _filtered_pdf(_lzw_encode(content), b"/LZWDecode")
+    assert extract_pdf_text(pdf) == "\n".join(lines)
+
+
+def test_pdf_filter_chain_decodes_in_order():
+    # [/ASCII85Decode /FlateDecode]: transport armor over compression —
+    # decoders apply in declaration order (§7.4: first filter listed is
+    # the first applied to the stored data)
+    import base64
+    import zlib
+
+    body = base64.a85encode(zlib.compress(b"BT (chained) Tj ET")) + b"~>"
+    pdf = _filtered_pdf(body, b"[/ASCII85Decode /FlateDecode]")
+    assert extract_pdf_text(pdf) == "chained"
 
 
 # --- TJ arrays / hex strings / escapes (PDF 32000-1:2008 §9.4.3, §7.3.4) ----

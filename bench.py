@@ -171,7 +171,14 @@ def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict
 
     from open_ocr_spark.dataops.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the base table is ONE parquet file = ONE scan task; without this
+    # repartition, every map-side stage before the pipeline's first
+    # exchange (replica explode, tokenize, content-hash) runs SERIALLY at
+    # any core count, silently capping the measured scaling ratio
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        n_parts
+    )
     if replication > 1:
         # tokens unique per (doc_id, rep), not rep alone: same-rep replicas
         # of two different short docs must not share 40 filler tokens, or
@@ -195,10 +202,55 @@ def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict
             (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" "), filler).alias("text"),
         )
+    if rounds == 1:
+        # single-round (interleaved-protocol) mode: pay the codegen/stage
+        # warm-up on a small untimed round so the one timed round measures
+        # the pipeline, not JVM compilation
+        minhash_lsh_pairs(
+            docs.limit(2000)
+        ).write.format("noop").mode("overwrite").save()
     walls = []
     for _ in range(rounds):
         t0 = time.time()
         minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.time() - t0, 3))
+    return {"seconds": min(walls), "all_seconds": walls}
+
+
+def run_corpus_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict:
+    """Time the prepare_corpus composition (exact dedup → quality gate →
+    PII scrub → split, one fused plan) at bench scale. Replicas carry a
+    replica-unique suffix token so exact dedup cannot collapse them — the
+    measured corpus really is replication× the base table."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.dataops.corpus import prepare_corpus
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-file scan -> single task; see run_minhash_bench note
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        n_parts
+    )
+    if replication > 1:
+        docs = docs.select(
+            "doc_id", "text", "lang", "source",
+            F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
+        ).select(
+            (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" d"), F.col("doc_id").cast("string"),
+                F.lit("r"), F.col("rep").cast("string"),
+            ).alias("text"),
+            "lang", "source",
+        )
+    if rounds == 1:
+        prepare_corpus(
+            docs.limit(2000)
+        ).write.format("noop").mode("overwrite").save()
+    walls = []
+    for _ in range(rounds):
+        t0 = time.time()
+        prepare_corpus(docs).write.format("noop").mode("overwrite").save()
         walls.append(round(time.time() - t0, 3))
     return {"seconds": min(walls), "all_seconds": walls}
 
@@ -211,6 +263,7 @@ def run_once(
     replication: int | None = None,
     rounds: int | None = None,
     with_minhash: bool = False,
+    with_corpus: bool = False,
 ) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from open_ocr_spark.pipeline.session import get_spark
@@ -249,15 +302,29 @@ def run_once(
             "master": master,
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         }
+        base = None
         if with_minhash:
-            # size to ~20k distinct docs: below that the LSH pipeline's
-            # fixed stage overhead dominates and the scaling ratio reads
-            # noise (measured: 2k docs run in ~2.5s at BOTH local[8] and
-            # local[32])
+            # sized by BENCH_MINHASH_DOCS. Measured on this host: at 50k
+            # docs the full LSH DAG finishes in ~12 s at BOTH local[8] and
+            # local[32] — the DAG's serial stage latency, not CPU, is the
+            # floor, so a 50k measurement says nothing about scaling; the
+            # scaling protocol uses 400k+ where per-stage work dominates
+            mh_docs = int(os.environ.get("BENCH_MINHASH_DOCS", "50000"))
             base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
             result["minhash"] = run_minhash_bench(
-                spark, sf_dir, replication=max(1, 20_000 // base),
-                rounds=max(3, min(rounds, 5)),
+                spark, sf_dir, replication=max(1, mh_docs // base),
+                rounds=rounds if rounds == 1 else max(3, min(rounds, 5)),
+            )
+        if with_corpus:
+            base = base or spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).count()
+            # sized by BENCH_CORPUS_DOCS; same latency-floor reasoning as
+            # minhash (measured ~8 s at both levels for 100k docs)
+            corpus_docs = int(os.environ.get("BENCH_CORPUS_DOCS", "100000"))
+            result["corpus"] = run_corpus_bench(
+                spark, sf_dir, replication=max(1, corpus_docs // base),
+                rounds=rounds if rounds == 1 else max(3, min(rounds, 5)),
             )
         spark.stop()
         if json_path:
@@ -335,77 +402,99 @@ def cpu_control(procs: int, iters: int = 20_000_000) -> float:
 
 
 def run_scaling(sf_dir: str, n_small: int = 8, n_big: int = 32,
-                replication: int = 2000) -> dict:
+                replication: int = 2000, iters: int = 5) -> dict:
     """BASELINE.md protocol: same job, same input, local[N] vs local[4N];
     efficiency = (throughput_4N / throughput_N) / 4, reported alongside the
     machine's own pure-CPU scaling ceiling between the same core counts.
 
     The workload is sized so the parallel fraction dominates fixed job
-    overhead (~1M docs at the default sf0.001 input). Each level runs 5
-    in-JVM rounds after a warm-up; this Firecracker host gets throttled in
-    multi-second bursts (vCPU migration), so single rounds swing 2-6×.
-    Efficiency is therefore reported BOTH ways: from per-level medians and
-    from per-level minima (the least-throttled round — the best estimate
-    of what the plan does on unthrottled hardware)."""
+    overhead (~1M docs at the default sf0.001 input). Levels are
+    INTERLEAVED round-robin — (N, 4N), (N, 4N), ... each pair in fresh
+    JVMs with one timed round after an untimed warm-up — so this
+    Firecracker host's multi-second burst throttling (single rounds swing
+    2-6×) hits both levels with the same exposure instead of confounding
+    whichever level ran second (VERDICT r2 item 4). Efficiency is
+    reported BOTH ways: from per-level medians and from per-level minima
+    (the least-throttled round — the best estimate of what the plan does
+    on unthrottled hardware). The minhash-LSH and prepare_corpus
+    pipelines ride the same interleaved pairs."""
     assert n_big == 4 * n_small, "protocol is N vs 4N"
-    results = {}
-    for cores in (n_small, n_big):
-        master = f"local[{cores}]"
-        out = f"/tmp/bench_local_{cores}.json"
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            BENCH_REPLICATION=str(replication),
-        )
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--master", master,
-             "--json-out", out, "--extraction-only", "--rounds", "5",
-             "--with-minhash"],
-            check=True,
-            env=env,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        with open(out) as f:
-            results[cores] = json.load(f)
-    docs = results[n_big]["docs"]
-    tp_med = {c: results[c]["value"] for c in (n_small, n_big)}
-    tp_best = {
-        c: round(docs / min(results[c]["all_seconds"]), 1)
+    import statistics
+
+    seconds: dict[int, list[float]] = {n_small: [], n_big: []}
+    mh_seconds: dict[int, list[float]] = {n_small: [], n_big: []}
+    corpus_seconds: dict[int, list[float]] = {n_small: [], n_big: []}
+    docs = None
+    for it in range(iters):
+        for cores in (n_small, n_big):
+            master = f"local[{cores}]"
+            out = f"/tmp/bench_local_{cores}_{it}.json"
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SF_DIR=sf_dir,
+                BENCH_REPLICATION=str(replication),
+            )
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--master",
+                 master, "--json-out", out, "--extraction-only",
+                 "--rounds", "1", "--with-minhash", "--with-corpus"],
+                check=True,
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            with open(out) as f:
+                r = json.load(f)
+            docs = r["docs"]
+            seconds[cores].extend(r["all_seconds"])
+            mh_seconds[cores].extend(r["minhash"]["all_seconds"])
+            corpus_seconds[cores].extend(r["corpus"]["all_seconds"])
+    tp_med = {
+        c: round(docs / statistics.median(seconds[c]), 1)
         for c in (n_small, n_big)
     }
+    tp_best = {
+        c: round(docs / min(seconds[c]), 1) for c in (n_small, n_big)
+    }
+    # per-PAIR efficiency: each interleaved (N, 4N) pair ran back-to-back,
+    # so its two rounds saw the closest host conditions of any comparison
+    # this protocol can make — report every pair, not just the aggregate
+    pair_eff = [
+        round((seconds[n_small][i] / seconds[n_big][i]) / 4, 3)
+        for i in range(len(seconds[n_small]))
+    ]
     ctl_n = cpu_control(n_small)
     ctl_4n = cpu_control(n_big)
     machine_ceiling = round((ctl_4n / ctl_n) / 4, 3)
     eff_med = round((tp_med[n_big] / tp_med[n_small]) / 4, 3)
     eff_best = round((tp_best[n_big] / tp_best[n_small]) / 4, 3)
-    minhash = {}
-    if all("minhash" in results[c] for c in (n_small, n_big)):
-        mh_best = {c: min(results[c]["minhash"]["all_seconds"])
-                   for c in (n_small, n_big)}
-        minhash = {
-            f"minhash_seconds_local{n_small}":
-                results[n_small]["minhash"]["all_seconds"],
-            f"minhash_seconds_local{n_big}":
-                results[n_big]["minhash"]["all_seconds"],
-            "minhash_efficiency_best": round(
-                (mh_best[n_small] / mh_best[n_big]) / 4, 3
+
+    def _sub_eff(sec):
+        return {
+            "best": round((min(sec[n_small]) / min(sec[n_big])) / 4, 3),
+            "median": round(
+                (statistics.median(sec[n_small])
+                 / statistics.median(sec[n_big])) / 4, 3
             ),
         }
+
     return {
         "metric": "scaling_efficiency_N_to_4N",
         "value": eff_best,
         "unit": "ratio",
         "efficiency_median": eff_med,
         "efficiency_best": eff_best,
+        "efficiency_per_pair": pair_eff,
+        "efficiency_best_pair": max(pair_eff) if pair_eff else None,
+        "interleaved": True,
         "n_cores": n_small,
         "4n_cores": n_big,
         f"docs_per_sec_local{n_small}": tp_med[n_small],
         f"docs_per_sec_local{n_big}": tp_med[n_big],
         f"docs_per_sec_best_local{n_small}": tp_best[n_small],
         f"docs_per_sec_best_local{n_big}": tp_best[n_big],
-        f"seconds_local{n_small}": results[n_small]["all_seconds"],
-        f"seconds_local{n_big}": results[n_big]["all_seconds"],
+        f"seconds_local{n_small}": seconds[n_small],
+        f"seconds_local{n_big}": seconds[n_big],
         "docs": docs,
         "machine_cpu_ceiling": machine_ceiling,
         "efficiency_vs_machine_ceiling": round(eff_best / machine_ceiling, 3)
@@ -413,7 +502,12 @@ def run_scaling(sf_dir: str, n_small: int = 8, n_big: int = 32,
         else None,
         "pass_threshold": 0.8,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        **minhash,
+        f"minhash_seconds_local{n_small}": mh_seconds[n_small],
+        f"minhash_seconds_local{n_big}": mh_seconds[n_big],
+        "minhash_efficiency": _sub_eff(mh_seconds),
+        f"corpus_seconds_local{n_small}": corpus_seconds[n_small],
+        f"corpus_seconds_local{n_big}": corpus_seconds[n_big],
+        "corpus_efficiency": _sub_eff(corpus_seconds),
     }
 
 
@@ -421,7 +515,19 @@ def main():
     args = sys.argv[1:]
     if "--scaling" in args:
         n_small = 8
-        replication = 2000
+        # size extraction to ~4M docs per timed round: long enough that the
+        # host's multi-second throttle bursts average out inside a round,
+        # short enough for 5 interleaved (N, 4N) pairs in ~20 min
+        base = 5000
+        try:
+            import duckdb
+
+            base = duckdb.sql(
+                f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
+            ).fetchone()[0]
+        except Exception:
+            pass
+        replication = max(1, 4_000_000 // base)
         if "--n" in args:
             n_small = int(args[args.index("--n") + 1])
         if "--replication" in args:
@@ -444,6 +550,7 @@ def main():
         extraction_only="--extraction-only" in args,
         rounds=rounds,
         with_minhash="--with-minhash" in args,
+        with_corpus="--with-corpus" in args,
     )
     print(json.dumps(result))
 

@@ -106,6 +106,17 @@ def materialize_pages(spark, sf_dir: str, replication: int) -> str:
     return path
 
 
+def _materialize(spark, df, key: str, n_parts: int):
+    """Write a synthetic bench input to tmpfs parquet once per boot
+    (untimed setup) and return a reader over it — timed rounds must
+    measure the pipeline, not input generation."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    path = f"{base}/bench_input_{key}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.repartition(max(n_parts, 16)).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def run_extraction_bench(
     spark, sf_dir: str, replication: int, rounds: int = 1
 ) -> dict:
@@ -159,14 +170,16 @@ HEADLINE = [
 
 def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict:
     """Time the LSH near-dup pipeline (the suite's most expensive query) —
-    documents replicated with per-copy GENUINELY distinct text: each
-    replica appends 40 replica-unique filler tokens, which (a) defeats the
-    exact-collapse pre-pass, and (b) pushes cross-replica jaccard well
-    below threshold, so the OUTPUT pair set stays that of the base corpus
-    instead of exploding C(R,2) per document (a one-token suffix makes
-    every replica pair a reportable near-dup — the bench would then
-    measure output materialization, quadratic in R, not pipeline
-    throughput)."""
+    documents replicated by SALTING EVERY TOKEN with the replica id:
+    jaccard between same-replica docs is exactly the base corpus's
+    jaccard (the salt maps token sets bijectively), while cross-replica
+    jaccard is exactly 0, so both the candidate set AND the output pair
+    set grow linearly in R (R disjoint copies of the base problem).
+    Earlier designs appended filler tokens instead; that left
+    cross-replica jaccard at 0.5-0.7 — below the report threshold but far
+    above the band-collision probability (0.6^4 ≈ 0.13 per band), so
+    candidate pairs grew quadratically with R and the bench measured
+    verification of false candidates, not pipeline throughput."""
     from pyspark.sql import functions as F
 
     from open_ocr_spark.dataops.dedup import minhash_lsh_pairs
@@ -180,18 +193,12 @@ def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict
         n_parts
     )
     if replication > 1:
-        # tokens unique per (doc_id, rep), not rep alone: same-rep replicas
-        # of two different short docs must not share 40 filler tokens, or
-        # their jaccard could cross the threshold and the output pair set
-        # would grow with replication after all
-        filler = F.array_join(
+        salted = F.array_join(
             F.transform(
-                F.sequence(F.lit(1), F.lit(40)),
-                lambda i: F.concat(
-                    F.lit("d"), F.col("doc_id").cast("string"),
-                    F.lit("r"), F.col("rep").cast("string"), F.lit("t"),
-                    i.cast("string"),
+                F.split(
+                    F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
                 ),
+                lambda t: F.concat(t, F.lit("x"), F.col("rep").cast("string")),
             ),
             " ",
         )
@@ -200,8 +207,13 @@ def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict
             F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep"),
         ).select(
             (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" "), filler).alias("text"),
+            salted.alias("text"),
         )
+        # materialize ONCE (untimed setup): the salt transform is an
+        # interpreted higher-order function, and the LSH DAG consumes its
+        # input from several subtrees — timing rounds must measure the
+        # dedup pipeline reading a table, not replica generation
+        docs = _materialize(spark, docs, f"mh_{os.path.basename(sf_dir.rstrip('/'))}_x{replication}", n_parts)
     if rounds == 1:
         # single-round (interleaved-protocol) mode: pay the codegen/stage
         # warm-up on a small untimed round so the one timed round measures
@@ -242,6 +254,11 @@ def run_corpus_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict:
                 F.lit("r"), F.col("rep").cast("string"),
             ).alias("text"),
             "lang", "source",
+        )
+        docs = _materialize(
+            spark, docs,
+            f"corpus_{os.path.basename(sf_dir.rstrip('/'))}_x{replication}",
+            n_parts,
         )
     if rounds == 1:
         prepare_corpus(

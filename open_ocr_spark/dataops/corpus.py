@@ -27,10 +27,25 @@ def prepare_corpus(
     gate applied to the ORIGINAL text, PII scrubbed after gating (so the
     gate sees true counts), split assigned by content-independent md5 of the
     surviving doc_id — reproducible on any engine, at any parallelism,
-    forever."""
-    deduped = exact_dedup(docs)
-    scored = with_quality_score(deduped)
-    kept = scored.filter(F.col("quality_score") >= min_quality)
+    forever.
+
+    Stage ORDER inside the plan: score → dedup → gate → scrub. The quality
+    score is a pure function of text, so the gate commutes with exact
+    dedup EXACTLY (every copy of a content scores the same ⇒ whole content
+    groups survive or drop together, leaving the min-doc_id representative
+    unchanged). Putting the dedup WINDOW between the scoring projection
+    and the gate makes the window an optimization barrier: the filter
+    references quality_score as a materialized window-stage attribute,
+    so PushDownPredicates cannot substitute the regex-heavy quality
+    expression tree into the filter / scan. With the gate directly above
+    the scoring projection instead, that substitution re-evaluated the
+    tree in the Filter AND the parquet DataFilters — measured 72 s vs
+    26 s for the identical result at 1M docs. The gate's selectivity is
+    low (most real docs pass 0.3), so gating after the exchange costs
+    almost no extra shuffle volume."""
+    scored = with_quality_score(docs)
+    deduped = exact_dedup(scored)
+    kept = deduped.filter(F.col("quality_score") >= min_quality)
     scrubbed = scrub_pii(kept, out="text_clean")
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10

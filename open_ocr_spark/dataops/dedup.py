@@ -41,12 +41,24 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Return the deduplicated documents: the min-doc_id representative of
-    every distinct normalized text."""
+    every distinct normalized text.
+
+    Window form, not groupBy+semi-join: rank-1-per-content-hash plans as
+    ONE full-row shuffle with a map-side WindowGroupLimit prune (each map
+    task pre-drops all but its local min per hash before the exchange —
+    on dup-heavy crawl data most rows never cross the wire), where the
+    semi-join form shuffles the full rows AND the hash table and pays a
+    join probe. Same choice the extraction pipeline's latest-per-url
+    dedupe made after A/B measurement (pipeline/dedupe.py)."""
+    from pyspark.sql import Window
+
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    hashed = docs.withColumn("content_hash", F.md5(norm.cast("binary")))
-    reps = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    return hashed.join(reps, ["content_hash", "doc_id"], "left_semi").drop(
-        "content_hash"
+    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("content_hash", F.md5(norm.cast("binary")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("content_hash", "_rn")
     )
 
 
@@ -103,23 +115,32 @@ def _content_collapsed(docs: DataFrame):
     distinct content. The collapse uses the same whitespace normalization
     as the shingle/token pipelines, so equal ``_ch`` ⇒ equal shingle and
     token sets — content-level results transfer to every member."""
+    from pyspark.sql import Window
+
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     hashed = docs.select(
         "doc_id", "text", F.md5(norm.cast("binary")).alias("_ch")
     )
     members = hashed.select("doc_id", "_ch")
-    # min_by over text plans as SortAggregate (var-length buffer). Measured
-    # against the sort-free alternative — winner-key HashAggregate + a
-    # shuffle_hash join-back of text by unique doc_id — this form is ~1.7×
-    # FASTER end-to-end in the LSH pipeline (interleaved min-of-5 at
-    # sf0.1): reps is consumed ~5× downstream, AQE's runtime exchange
-    # reuse amortizes this subtree's shuffle across consumers either way,
-    # and the join-back variant pays an extra scan + per-consumer join
-    # probe that outweighs the per-consumer post-shuffle sort here (the
-    # sort keys are (_ch) only; rows move as pointers).
-    reps = hashed.groupBy("_ch").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
+    # rank-1-per-content window (ONE full-row exchange with a map-side
+    # WindowGroupLimit prune), replacing the r2 min_by SortAggregate, and
+    # PINNED with an eager localCheckpoint. Pinning is the load-bearing
+    # part: reps feeds ~5 downstream consumers (signatures, banding,
+    # shingle verification, pair expansion), and measured end-to-end the
+    # un-pinned plan recomputed the whole scan→normalize→hash→collapse
+    # subtree per consumer (30 FileScans / 53 exchanges in the static
+    # plan; exchange reuse did not close the gap) — 85 s vs 23 s at 400k
+    # docs, and the recomputation ANTI-scaled with cores (32 threads
+    # re-sorting text buffers 5× thrash the heap). At crawl scale,
+    # materializing the distinct-content table once before a
+    # multi-consumer stage is exactly what a production pipeline does
+    # (persist/stage-table); localCheckpoint is the in-plan equivalent.
+    w = Window.partitionBy("_ch").orderBy(F.col("doc_id").asc())
+    reps = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
     )
     return members, reps
 
@@ -353,9 +374,16 @@ def _minhash_lsh_pairs_direct(
         )
         for b in range(rows)
     ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
-    ).distinct()
+    # banded is self-joined (two consumers of one subtree) and cand feeds
+    # three consumers (the doc prune, the verify join, the output); both
+    # are SMALL — (doc_id, band_hash) longs and the output-proportional
+    # pair list — so pinning them costs near-nothing and stops the
+    # signature/banding subtree from being recomputed per consumer
+    banded = (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_hash"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     cand = (
         banded.alias("a")
@@ -365,10 +393,23 @@ def _minhash_lsh_pairs_direct(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    # verification: exact Jaccard restricted to the candidate subset only
-    sh = shingle_rows(docs, k)
+    # verification: exact Jaccard restricted to the candidate subset only.
+    # CRITICAL scale guard: semi-join the shingle table down to docs that
+    # appear in some candidate pair BEFORE the pair joins — the shingle
+    # table is |docs| × ~shingles/doc rows (tens of millions at bench
+    # scale, billions at crawl scale) while candidate docs are
+    # output-proportional; without the prune the (doc_b, shingle) join
+    # re-shuffles the ENTIRE shingle table (measured: 144 s → 23 s at
+    # 400k docs, and the un-pruned shuffle ANTI-scaled with cores)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_rows(docs, k).join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

@@ -387,6 +387,31 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(_t(spark, sf_dir, "events"))
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (streaming.session_window_stats
+    run in batch mode — the same merging-window grouping Structured
+    Streaming uses with watermark-evicted state). Epoch projection so the
+    oracle hash is timestamp-render independent. Note the boundary rule:
+    session_window merges while the gap is STRICTLY below the gap duration
+    (an exactly-1800 s gap starts a new session), unlike the lag-cumsum
+    sessionizer's > rule — the oracle encodes session_window's own
+    semantics."""
+    from open_ocr_spark.streaming import session_window_stats
+
+    s = session_window_stats(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    return s.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_start").cast("timestamp"))
+        .cast("long")
+        .alias("start_epoch"),
+        F.unix_timestamp(F.col("session_end").cast("timestamp"))
+        .cast("long")
+        .alias("close_epoch"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "start_epoch")
+
+
 def q_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-sets surface: cube over (source, lang)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1367,6 +1392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r3 (must sit inside the window: no prior green) ----------
     "extract_pdf_tj": q_extract_pdf_tj,
     "media_resize": q_media_resize,
+    "session_window_stats": q_session_window_stats,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -1410,9 +1436,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "pivot_order_status": q_pivot_order_status,
     "percentile_order_value": q_percentile_order_value,
-    "grouping_sets_docs": q_grouping_sets_docs,
     "full_outer_user_activity": q_full_outer_user_activity,
-    # -- past the window: green in BOTH r1 and r2, rotated out -----------
+    # -- past the window: recorded green on file (both-rounds, plus
+    # -- grouping_sets_docs green r2 — its class stays in-window via
+    # -- rollup_source_lang), rotated out ---------------------------------
+    "grouping_sets_docs": q_grouping_sets_docs,
     "scan_filter_project": q_scan_filter_project,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_customers": q_join_top_customers,
@@ -1605,6 +1633,30 @@ ORACLES: dict[str, str] = {
         FROM sess
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "session_window_stats": """
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ), sess AS (
+            SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               CAST(floor(min(epoch(ts))) AS BIGINT) AS start_epoch,
+               CAST(floor(max(epoch(ts))) AS BIGINT) + 1800 AS close_epoch,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, start_epoch
     """,
     "cube_source_lang": """
         SELECT source, lang, count(*) AS docs

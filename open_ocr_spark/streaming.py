@@ -16,10 +16,15 @@ Arrow batches.
 - windowed_event_counts: tumbling event-time windows + watermark for late
                     data — the streaming twin of metrics.daily_metrics.
 
-Dedupe note: latest-per-url dedupe is NOT restated in streaming (unbounded
-keyed state at 10^12 urls); re-crawls are folded in batch compaction
-(pipeline/dedupe.py) exactly like the batch job — streaming emits
-append-only extractions keyed by (url, warc_ts).
+Dedupe note: EXACT latest-per-url dedupe is not restated in streaming
+(unbounded keyed state at 10^12 urls); re-crawls are folded in batch
+compaction (pipeline/dedupe.py) exactly like the batch job — streaming
+emits append-only extractions keyed by (url, warc_ts). What streaming CAN
+do with bounded state is suppress re-crawls inside a time horizon:
+stream_extract_deduped uses dropDuplicatesWithinWatermark so a url seen
+twice within the watermark extracts once, and state is evicted as event
+time advances — first-seen-wins inside the horizon, batch compaction
+stays authoritative for latest-wins across horizons.
 """
 
 from __future__ import annotations
@@ -62,6 +67,75 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract_deduped(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+):
+    """Streaming extraction with bounded-state url dedupe: a url re-crawled
+    within ``watermark`` of event time extracts ONCE (first arrival wins);
+    the dedupe state for a url is evicted once the watermark passes it, so
+    state size is bounded by the crawl rate × horizon, not by 10^12
+    lifetime urls. Latest-wins across horizons remains the batch
+    compaction's job (pipeline/dedupe.py) — this operator's contract is
+    "don't re-extract the same url twice in a day", which is the expensive
+    part at crawl scale (the kernel runs AFTER the drop, so suppressed
+    re-crawls never pay extraction).
+
+    Streaming twin of the reference's one-request-one-result semantics
+    (/root/reference/ocr_rpc_client.go:60-101 correlates exactly one
+    response per queued request id)."""
+    pages = read_pages_stream(spark, pages_dir)
+    deduped = pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    extracted = extract_stage(ingest(deduped))
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user inactivity sessions via the native session_window grouping
+    (merging windows, watermark-evicted state) — the streaming twin of
+    dataops.sessions.sessionize_events. Emits (user_id, session_start,
+    session_end, n_events, sum_value); session_end is last event + gap
+    (Spark's session_window close semantics), whereas the batch
+    sessionizer reports the last event's timestamp — callers comparing
+    the two subtract the gap. Runs identically on a batch DataFrame (the
+    parity test) and under readStream (append mode once the watermark
+    closes a session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_seconds} seconds").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 def windowed_event_counts(

@@ -6,7 +6,9 @@ import pytest
 
 from open_ocr_spark.fixtures import golden_df, pages_df
 from open_ocr_spark.streaming import (
+    session_window_stats,
     stream_extract,
+    stream_extract_deduped,
     windowed_event_counts,
 )
 
@@ -73,6 +75,91 @@ def test_stream_incremental_checkpoint(spark, tmp_path):
     q3 = stream_extract(spark, pages_dir, out_dir, ckpt)
     q3.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == n2
+
+
+def test_stream_extract_deduped_one_row_per_url(spark, tmp_path):
+    """A url re-crawled within the watermark horizon extracts exactly once
+    (bounded-state dropDuplicatesWithinWatermark); the fixture's re-crawls
+    span 30 days, so a 40-day horizon covers them all."""
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = pages_df(spark, N_ROWS)
+    pages.write.mode("overwrite").parquet(pages_dir)
+    n_rows = pages.count()
+    n_urls = pages.select("url").distinct().count()
+    assert n_urls < n_rows  # fixture really contains re-crawls
+
+    q = stream_extract_deduped(spark, pages_dir, out_dir, ckpt,
+                               watermark="40 days")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_urls
+    assert got.select("url").distinct().count() == n_urls
+    # suppressed re-crawls never reach the kernel: every emitted row is a
+    # real extraction (ok or error-as-value), none missing
+    assert got.filter(F.col("status").isNull()).count() == 0
+
+
+def test_session_window_stats_matches_batch_sessionizer(spark):
+    """The native session_window grouping reproduces the batch
+    sessionizer's (n_events, sum_value) per session, and its window end is
+    last-event + gap (documented close semantics)."""
+    from open_ocr_spark.dataops.sessions import sessionize_events
+
+    rows = [
+        # user 1: two sessions (gap 1800s): events at 10:00,10:10 | 11:30
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "view", 2.0),
+        (3, "2024-01-01 11:30:00", 1, "click", 4.0),
+        # user 2: one session spanning the same wall-clock range
+        (4, "2024-01-01 10:00:00", 2, "click", 8.0),
+        (5, "2024-01-01 10:29:00", 2, "view", 16.0),
+        (6, "2024-01-01 10:58:00", 2, "click", 32.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+
+    got = {
+        (r["user_id"], str(r["session_start"])): r
+        for r in session_window_stats(events, gap_seconds=1800).collect()
+    }
+    assert len(got) == 3
+    s1a = got[(1, "2024-01-01 10:00:00")]
+    assert (s1a["n_events"], s1a["sum_value"]) == (2, 3.0)
+    # close = last event (10:10) + 1800s gap
+    assert str(s1a["session_end"]) == "2024-01-01 10:40:00"
+    s1b = got[(1, "2024-01-01 11:30:00")]
+    assert (s1b["n_events"], s1b["sum_value"]) == (1, 4.0)
+    s2 = got[(2, "2024-01-01 10:00:00")]
+    assert (s2["n_events"], s2["sum_value"]) == (3, 56.0)
+
+    # full parity vs the batch sessionizer: same session count and the
+    # same (n_events, sum_value) multiset per user; start == start and
+    # end == session_end - gap
+    batch = sessionize_events(events, gap_seconds=1800).collect()
+    assert len(batch) == len(got)
+    batch_keys = {
+        (b["user_id"], b["start_epoch"], b["n_events"], b["sum_value"])
+        for b in batch
+    }
+    stream_keys = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in got.values()
+    }
+    assert batch_keys == stream_keys
 
 
 def test_windowed_event_counts_batch_parity(spark):

@@ -91,13 +91,34 @@ def build_pages(spark, sf_dir: str, replication: int):
     )
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """8-hex digest over the source tables' (relpath, size, mtime) plus
+    this file's own stat — part of every materialized-input cache key, so
+    a regenerated testdata dir or an edited bench transform invalidates
+    the /dev/shm cache instead of silently re-timing stale input."""
+    import hashlib
+
+    parts = []
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            st = os.stat(p)
+            parts.append(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}")
+    me = os.stat(__file__)
+    parts.append(f"bench:{me.st_size}:{me.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:8]
+
+
 def materialize_pages(spark, sf_dir: str, replication: int) -> str:
     """One-time, untimed bench setup: write the synthetic pages table to
     parquet (the job under test READS a crawl table; generating one is not
-    part of extraction). Keyed by (sf_dir, replication); reused across
-    bench processes in the same boot."""
+    part of extraction). Keyed by (sf_dir contents fingerprint,
+    replication); reused across bench processes in the same boot."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    path = f"{base}/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}_x{replication}"
+    path = (
+        f"{base}/bench_pages_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_sf_fingerprint(sf_dir)}_x{replication}"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         build_pages(spark, sf_dir, replication).repartition(64).write.mode(
@@ -213,7 +234,12 @@ def run_minhash_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict
         # interpreted higher-order function, and the LSH DAG consumes its
         # input from several subtrees — timing rounds must measure the
         # dedup pipeline reading a table, not replica generation
-        docs = _materialize(spark, docs, f"mh_{os.path.basename(sf_dir.rstrip('/'))}_x{replication}", n_parts)
+        docs = _materialize(
+            spark, docs,
+            f"mh_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_{_sf_fingerprint(sf_dir)}_x{replication}",
+            n_parts,
+        )
     if rounds == 1:
         # single-round (interleaved-protocol) mode: pay the codegen/stage
         # warm-up on a small untimed round so the one timed round measures
@@ -257,7 +283,8 @@ def run_corpus_bench(spark, sf_dir: str, replication: int, rounds: int) -> dict:
         )
         docs = _materialize(
             spark, docs,
-            f"corpus_{os.path.basename(sf_dir.rstrip('/'))}_x{replication}",
+            f"corpus_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_{_sf_fingerprint(sf_dir)}_x{replication}",
             n_parts,
         )
     if rounds == 1:

@@ -24,13 +24,38 @@ from pyspark.sql import functions as F
 # --- 1. exact -------------------------------------------------------------
 
 
+def _norm_text(text_col=None):
+    """THE whitespace normalization, defined once: every dedup tier's
+    content identity ('equal hash ⇒ equal token/shingle sets') depends on
+    the exact-dedup hash, the collapse pre-pass and the tokenizer all
+    normalizing with this same expression."""
+    return F.trim(F.regexp_replace(
+        text_col if text_col is not None else F.col("text"), r"\s+", " "
+    ))
+
+
+def _rank1_per_content(df: DataFrame, hash_col: str, pin: bool = False) -> DataFrame:
+    """min-doc_id representative per content hash, as a row_number window
+    (ONE full-row exchange with a map-side WindowGroupLimit prune — the
+    measured scale form, see exact_dedup's docstring). ``pin`` eagerly
+    localCheckpoints the result for multi-consumer subtrees."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hash_col).orderBy(F.col("doc_id").asc())
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return out.localCheckpoint(eager=True) if pin else out
+
+
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """Group identical texts (md5 of normalized content): one row per
     distinct content with the canonical (min) doc_id and duplicate count.
     Single hash-shuffle on a uniform key; map-side combine is automatic."""
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return (
-        docs.withColumn("content_hash", F.md5(norm.cast("binary")))
+        docs.withColumn("content_hash", F.md5(_norm_text().cast("binary")))
         .groupBy("content_hash")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
@@ -50,23 +75,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     semi-join form shuffles the full rows AND the hash table and pays a
     join probe. Same choice the extraction pipeline's latest-per-url
     dedupe made after A/B measurement (pipeline/dedupe.py)."""
-    from pyspark.sql import Window
-
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    w = Window.partitionBy("content_hash").orderBy(F.col("doc_id").asc())
-    return (
-        docs.withColumn("content_hash", F.md5(norm.cast("binary")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("content_hash", "_rn")
+    hashed = docs.withColumn(
+        "content_hash", F.md5(_norm_text().cast("binary"))
     )
+    return _rank1_per_content(hashed, "content_hash").drop("content_hash")
 
 
 # --- shingles (shared by 2 and 3) ------------------------------------------
 
 
 def tokens_col(text_col):
-    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    return F.split(_norm_text(text_col), " ")
 
 
 def shingles_of_tokens(toks_col, k: int = 3):
@@ -112,36 +131,26 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
 def _content_collapsed(docs: DataFrame):
     """(members, reps): ``members`` maps every doc_id to its normalized
     content hash; ``reps`` keeps one representative (min doc_id) text per
-    distinct content. The collapse uses the same whitespace normalization
-    as the shingle/token pipelines, so equal ``_ch`` ⇒ equal shingle and
-    token sets — content-level results transfer to every member."""
-    from pyspark.sql import Window
-
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    distinct content. The collapse uses _norm_text — the SAME whitespace
+    normalization as the exact-dedup hash and the shingle/token pipelines
+    — so equal ``_ch`` ⇒ equal shingle and token sets and content-level
+    results transfer to every member."""
     hashed = docs.select(
-        "doc_id", "text", F.md5(norm.cast("binary")).alias("_ch")
+        "doc_id", "text", F.md5(_norm_text().cast("binary")).alias("_ch")
     )
     members = hashed.select("doc_id", "_ch")
-    # rank-1-per-content window (ONE full-row exchange with a map-side
-    # WindowGroupLimit prune), replacing the r2 min_by SortAggregate, and
-    # PINNED with an eager localCheckpoint. Pinning is the load-bearing
-    # part: reps feeds ~5 downstream consumers (signatures, banding,
-    # shingle verification, pair expansion), and measured end-to-end the
-    # un-pinned plan recomputed the whole scan→normalize→hash→collapse
-    # subtree per consumer (30 FileScans / 53 exchanges in the static
-    # plan; exchange reuse did not close the gap) — 85 s vs 23 s at 400k
-    # docs, and the recomputation ANTI-scaled with cores (32 threads
-    # re-sorting text buffers 5× thrash the heap). At crawl scale,
-    # materializing the distinct-content table once before a
-    # multi-consumer stage is exactly what a production pipeline does
+    # rank-1-per-content window, PINNED with an eager localCheckpoint.
+    # Pinning is the load-bearing part: reps feeds ~5 downstream consumers
+    # (signatures, banding, shingle verification, pair expansion), and
+    # measured end-to-end the un-pinned plan recomputed the whole
+    # scan→normalize→hash→collapse subtree per consumer (30 FileScans /
+    # 53 exchanges in the static plan; exchange reuse did not close the
+    # gap) — 85 s vs 23 s at 400k docs, and the recomputation ANTI-scaled
+    # with cores (32 threads re-sorting text buffers 5× thrash the heap).
+    # At crawl scale, materializing the distinct-content table once before
+    # a multi-consumer stage is exactly what a production pipeline does
     # (persist/stage-table); localCheckpoint is the in-plan equivalent.
-    w = Window.partitionBy("_ch").orderBy(F.col("doc_id").asc())
-    reps = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .localCheckpoint(eager=True)
-    )
+    reps = _rank1_per_content(hashed, "_ch", pin=True)
     return members, reps
 
 
@@ -461,11 +470,7 @@ def _simhash_fingerprints_direct(docs: DataFrame, bits: int = 64) -> DataFrame:
     everything whole-stage-codegen'd. Kept as the equivalence reference."""
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
-            )
-        ).alias("tok"),
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(

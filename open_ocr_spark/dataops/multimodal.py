@@ -288,7 +288,19 @@ def decode_pixels(payload: bytes):
         w, h, maxval = fields
         if maxval != 255 or w <= 0 or h <= 0:
             return None  # 16-bit-per-sample PPMs are out of scope
-        pos += 1  # exactly one whitespace byte before the raster
+        # exactly one whitespace byte before the raster — VERIFY it: a
+        # missing separator means a malformed header, and a CR here means
+        # a text-mode-written file whose raster is shifted/corrupted (the
+        # naive pos += 1 would silently decode every pixel one byte off)
+        sep = data[pos : pos + 1]
+        if not sep.isspace():
+            raise ValueError("ppm: missing whitespace after maxval")
+        if sep == b"\r":
+            raise ValueError(
+                "ppm: CR after maxval (text-mode-written file; raster "
+                "would be byte-shifted)"
+            )
+        pos += 1
         if len(data) < pos + w * h * 3:
             raise ValueError("ppm: truncated raster")
         return np.frombuffer(
@@ -348,7 +360,9 @@ def resize_images(
     format still needs PIL/ffmpeg (absent in this container): strict mode
     raises per payload; default mode emits the deterministic fake (sha1 of
     input + target dims) so lineage/schema/batching stay end-to-end
-    runnable."""
+    runnable. Recognized-but-corrupt payloads (truncated BMP, malformed
+    PPM) follow the same split: strict raises ValueError, default falls
+    to the stub — a single bad crawl payload must never abort the job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,7 +372,16 @@ def resize_images(
                     rows.append((media_id, None, None, None, 0))
                     continue
                 payload = bytes(payload)
-                arr = decode_pixels(payload)
+                try:
+                    arr = decode_pixels(payload)
+                except ValueError:
+                    # recognized container, corrupt body (truncated BMP,
+                    # malformed PPM header): strict surfaces it, default
+                    # mode falls through to the stub so one bad crawl
+                    # payload cannot fail the whole job
+                    if strict:
+                        raise
+                    arr = None
                 if arr is not None:
                     out_arr = resize_nearest(arr, width, height)
                     out = (

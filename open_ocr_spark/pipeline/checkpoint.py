@@ -148,6 +148,23 @@ def write_snapshot(
             f"snapshot collision: {final} already exists - refusing to "
             "overwrite a committed snapshot"
         ) from None
+    except OSError:
+        # filesystem without hard links (object-store FUSE mounts raise
+        # EPERM/EOPNOTSUPP): keep the exclusivity guarantee with an
+        # O_EXCL create of the final name, then copy + fsync through it
+        try:
+            fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"snapshot collision: {final} already exists - refusing "
+                "to overwrite a committed snapshot"
+            ) from None
+        with os.fdopen(fd, "wb") as f:
+            with open(tmp, "rb") as src:
+                f.write(src.read())
+            f.flush()
+            os.fsync(f.fileno())
     os.unlink(tmp)
     return snapshot
 

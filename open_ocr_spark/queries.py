@@ -391,11 +391,11 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization (streaming.session_window_stats
     run in batch mode — the same merging-window grouping Structured
     Streaming uses with watermark-evicted state). Epoch projection so the
-    oracle hash is timestamp-render independent. Note the boundary rule:
-    session_window merges while the gap is STRICTLY below the gap duration
-    (an exactly-1800 s gap starts a new session), unlike the lag-cumsum
-    sessionizer's > rule — the oracle encodes session_window's own
-    semantics."""
+    oracle hash is timestamp-render independent. Boundary rule (probed
+    live): session_window merges an event landing exactly on the previous
+    window's close — a new session starts only when the gap EXCEEDS the
+    gap duration, the same > rule as the lag-cumsum sessionizer, and the
+    oracle encodes it identically."""
     from open_ocr_spark.streaming import session_window_stats
 
     s = session_window_stats(_t(spark, sf_dir, "events"), gap_seconds=1800)
@@ -1638,7 +1638,7 @@ ORACLES: dict[str, str] = {
         WITH gaps AS (
             SELECT user_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)

@@ -86,6 +86,15 @@ def stream_extract_deduped(
     part at crawl scale (the kernel runs AFTER the drop, so suppressed
     re-crawls never pay extraction).
 
+    Determinism caveat: "first arrival" is TASK-SCHEDULING order, not
+    event-time order — which replica of a within-horizon re-crawl
+    survives (its warc_ts/payload) can differ between runs over the same
+    files. The batch compaction's latest-per-url (deterministic, content
+    tie-broken) remains the authoritative answer; this stage only bounds
+    duplicated extraction work, which is why its output stays keyed by
+    (url, warc_ts) and is compacted downstream like any other crawl
+    append.
+
     Streaming twin of the reference's one-request-one-result semantics
     (/root/reference/ocr_rpc_client.go:60-101 correlates exactly one
     response per queued request id)."""

@@ -334,6 +334,36 @@ def test_decode_pixels_edge_cases():
         decode_pixels(bmp[:-4])
     # non-image bytes: None (stub path decides what to do)
     assert decode_pixels(b"GIF89a\x01\x00\x01\x00") is None
+    # CRLF after maxval = text-mode-written file: a naive single-byte
+    # skip would decode every pixel one byte off — must refuse
+    crlf = b"P6\n5 3\n255\r\n" + src.tobytes()
+    with _pytest.raises(ValueError, match="CR after maxval"):
+        decode_pixels(crlf)
+    # missing separator after maxval
+    with _pytest.raises(ValueError, match="missing whitespace"):
+        decode_pixels(b"P6 5 3 255")
+
+
+def test_resize_images_corrupt_payload_stub_vs_strict(spark):
+    """A recognized-but-corrupt payload (truncated BMP) must NOT abort a
+    default-mode job: it falls to the deterministic stub like an
+    undecodable format. Strict mode surfaces the ValueError."""
+    import hashlib
+
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import encode_bmp24, resize_images
+
+    src = np.full((3, 5, 3), 7, dtype=np.uint8)
+    corrupt = encode_bmp24(src)[:-4]
+    media = spark.createDataFrame(
+        [(0, corrupt)], "media_id long, payload binary"
+    )
+    row = resize_images(media, 8, 8).collect()[0]
+    want = hashlib.sha1(corrupt + b"8x8").digest()
+    assert bytes(row["payload"]) == want
+    with pytest.raises(Exception):
+        resize_images(media, 8, 8, strict=True).collect()
 
 
 def test_sample_frames_one_to_many(spark):

@@ -135,6 +135,39 @@ def test_snapshot_seq_survives_deleted_earlier_snapshot(tmp_path):
                        buckets_processed=[4])
 
 
+def test_snapshot_commit_without_hardlinks(tmp_path, monkeypatch):
+    """On filesystems where os.link raises OSError (object-store FUSE
+    mounts: EPERM/EOPNOTSUPP), the commit falls back to an O_EXCL create
+    — still succeeds, and a collision still fails loudly."""
+    import errno
+    import os
+
+    import pytest as _pytest
+
+    from open_ocr_spark.pipeline.checkpoint import (
+        snapshot_chain,
+        write_snapshot,
+    )
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    out = str(tmp_path / "run")
+    for i in range(2):
+        write_snapshot(out, run_id=f"r{i}", input_snapshot_id="snap-x",
+                       buckets_processed=[i])
+    seqs = [s["sequence_number"] for s in snapshot_chain(out)]
+    assert seqs == [0, 1]
+    # exclusivity preserved through the fallback path too
+    collider = os.path.join(out, "snapshots", "snap-000002.json")
+    with open(collider, "w") as f:
+        f.write("{}")
+    with _pytest.raises(RuntimeError, match="snapshot collision"):
+        write_snapshot(out, run_id="r2", input_snapshot_id="snap-x",
+                       buckets_processed=[2])
+
+
 def test_snapshot_chain_and_time_travel(spark, tmp_path):
     """Each completed run appends one snapshot with a parent link; reading
     as-of an earlier snapshot returns exactly the buckets committed then,

@@ -118,6 +118,11 @@ def test_session_window_stats_matches_batch_sessionizer(spark):
         (4, "2024-01-01 10:00:00", 2, "click", 8.0),
         (5, "2024-01-01 10:29:00", 2, "view", 16.0),
         (6, "2024-01-01 10:58:00", 2, "click", 32.0),
+        # user 3: gap of EXACTLY 1800 s — merges into one session (Spark
+        # merges an event landing on the window close; new session only
+        # when the gap exceeds the duration, probed live)
+        (7, "2024-01-01 10:00:00", 3, "click", 64.0),
+        (8, "2024-01-01 10:30:00", 3, "view", 128.0),
     ]
     events = spark.createDataFrame(
         rows,
@@ -131,7 +136,9 @@ def test_session_window_stats_matches_batch_sessionizer(spark):
         (r["user_id"], str(r["session_start"])): r
         for r in session_window_stats(events, gap_seconds=1800).collect()
     }
-    assert len(got) == 3
+    assert len(got) == 4
+    s3 = got[(3, "2024-01-01 10:00:00")]
+    assert (s3["n_events"], s3["sum_value"]) == (2, 192.0)
     s1a = got[(1, "2024-01-01 10:00:00")]
     assert (s1a["n_events"], s1a["sum_value"]) == (2, 3.0)
     # close = last event (10:10) + 1800s gap

@@ -2,10 +2,13 @@
 with typed metadata, processed by Arrow-batched kernels over mapInPandas.
 
 The Spark-side plumbing (schema, batching, partitioning, UDF signature) is
-real and tested; the actual media decode is STUBBED because no image/audio
-libraries exist in this container — each stub either raises a clearly-marked
-NotImplementedError (strict mode) or produces a deterministic fake (default)
-so pipelines remain end-to-end runnable.
+real and tested. Pixel decode is REAL for the formats stdlib+numpy can
+handle — PNG (zlib IDAT + numpy unfiltering), uncompressed 24-bit BMP,
+binary PPM — and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV
+fmt/data chunks). Formats that genuinely need PIL/ffmpeg (JPEG pixels,
+video frames) are STUBBED: each stub either raises a clearly-marked
+NotImplementedError (strict mode) or produces a deterministic fake
+(default) so pipelines remain end-to-end runnable.
 
 This mirrors how the reference treats its payloads: opaque bytes plus typed
 metadata, routed by magic bytes (/root/reference/ocr_request.go:9,
@@ -231,17 +234,147 @@ RESIZE_SCHEMA = (
 )
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_unfilter(raw, w: int, h: int, c: int):
+    """Reverse PNG scanline filtering (RFC 2083 §6) into an (h, w*c) uint8
+    array. Filters None/Sub/Up are fully vectorized (Sub's left-recurrence
+    is a per-lane cumsum mod 256); Average and Paeth have a true sequential
+    dependence on the reconstructed left pixel, so those ROWS run an O(w)
+    Python loop over pixels with numpy per-channel lanes — row-local work
+    inside the Arrow batch kernel, never a driver loop. Raises ValueError
+    on a filter byte outside 0-4 (corrupt stream)."""
+    import numpy as np
+
+    stride = w * c
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        )
+        if ftype == 0:
+            recon = row.copy()
+        elif ftype == 1:  # Sub: recon[x] = row[x] + recon[x-c]
+            recon = (
+                np.cumsum(row.reshape(w, c).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up: uint8 add wraps mod 256 natively
+            recon = row + prev
+        elif ftype in (3, 4):
+            rw = row.reshape(w, c).astype(np.int64)
+            up = prev.reshape(w, c).astype(np.int64)
+            rec = np.empty((w, c), dtype=np.int64)
+            left = np.zeros(c, dtype=np.int64)
+            upleft = np.zeros(c, dtype=np.int64)
+            if ftype == 3:  # Average
+                for x in range(w):
+                    left = (rw[x] + (left + up[x]) // 2) & 255
+                    rec[x] = left
+            else:  # Paeth
+                for x in range(w):
+                    p = left + up[x] - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - up[x]), np.abs(p - upleft)
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up[x], upleft),
+                    )
+                    left = (rw[x] + pred) & 255
+                    upleft = up[x]
+                    rec[x] = left
+            recon = rec.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"png: bad filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out
+
+
+def _decode_png(data: bytes):
+    """(h, w, 3) uint8 RGB from a PNG via stdlib zlib + numpy unfiltering.
+
+    REAL decode for the bulk of web PNGs: 8-bit depth, color types 0
+    (grey), 2 (truecolor), 3 (palette), 4 (grey+alpha), 6 (RGBA),
+    non-interlaced. Alpha is dropped (no compositing target exists in a
+    resize stage). Valid-but-out-of-scope shapes (16-bit, sub-byte palette
+    depths, Adam7 interlace) return None — same contract as unsupported
+    containers; structurally corrupt payloads raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(data)
+    ihdr = plte = None
+    idat = []
+    while pos + 8 <= n:
+        clen, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("png: truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("png: missing IHDR or IDAT")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0 or comp != 0 or filt != 0 or ct not in _PNG_CHANNELS:
+        raise ValueError("png: bad IHDR")
+    if depth != 8 or interlace != 0:
+        return None  # valid PNG, out of pure-stdlib scope (16-bit / Adam7)
+    c = _PNG_CHANNELS[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: bad IDAT stream ({exc})") from exc
+    if len(raw) != h * (1 + w * c):
+        raise ValueError("png: IDAT length mismatch")
+    px = _png_unfilter(raw, w, h, c).reshape(h, w, c)
+    if ct == 2:
+        return px.copy()
+    if ct == 6:
+        return px[:, :, :3].copy()
+    if ct == 0:
+        return np.repeat(px, 3, axis=2)
+    if ct == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # ct == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise ValueError("png: palette image without valid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px.reshape(h, w)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("png: palette index out of range")
+    return pal[idx]
+
+
 def decode_pixels(payload: bytes):
-    """numpy (h, w, 3) uint8 array from the two formats stdlib+numpy can
-    decode without PIL/ffmpeg: uncompressed 24-bit BMP (BITMAPINFOHEADER,
-    BI_RGB, bottom-up or top-down) and binary PPM (P6, maxval 255).
-    Returns None for every other format — those genuinely need a decoder
-    library. Raises ValueError for recognized-but-corrupt payloads."""
+    """numpy (h, w, 3) uint8 array from the formats stdlib+numpy can decode
+    without PIL/ffmpeg: PNG (zlib IDAT + numpy unfiltering — 8-bit
+    grey/truecolor/palette/alpha, non-interlaced), uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB, bottom-up or top-down) and binary PPM (P6,
+    maxval 255). Returns None for every other format — those genuinely
+    need a decoder library. Raises ValueError for recognized-but-corrupt
+    payloads."""
     import struct
 
     import numpy as np
 
     data = bytes(payload)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     if data[:2] == b"BM" and len(data) >= 54:
         off, = struct.unpack("<I", data[10:14])
         hdr, = struct.unpack("<I", data[14:18])
@@ -334,6 +467,34 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+def encode_png(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> truecolor 8-bit PNG bytes (filter 0 rows,
+    stdlib zlib deflate). Round-trips through _decode_png exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter: None
+    raw[:, 1:] = arr.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(arr, width: int, height: int):
     """Nearest-neighbor resize via numpy integer index maps (the pixel-
     center convention: src = floor((dst + 0.5) * S / D))."""
@@ -354,8 +515,9 @@ def resize_images(
     batch per Arrow chunk — the shape a training-data image pipeline needs
     (decode → resize → re-encode on the executor, never on the driver).
 
-    REAL pixel path for the formats stdlib+numpy can decode (uncompressed
-    24-bit BMP, binary PPM): decode → numpy nearest-neighbor → re-encode
+    REAL pixel path for the formats stdlib+numpy can decode (PNG via zlib
+    IDAT + numpy unfiltering, uncompressed 24-bit BMP, binary PPM):
+    decode → numpy nearest-neighbor → re-encode
     in the same container, pixel-exact and deterministic. Every other
     format still needs PIL/ffmpeg (absent in this container): strict mode
     raises per payload; default mode emits the deterministic fake (sha1 of
@@ -384,16 +546,17 @@ def resize_images(
                     arr = None
                 if arr is not None:
                     out_arr = resize_nearest(arr, width, height)
-                    out = (
-                        encode_ppm(out_arr)
-                        if payload[:2] == b"P6"
-                        else encode_bmp24(out_arr)
-                    )
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        out = encode_png(out_arr)
+                    elif payload[:2] == b"P6":
+                        out = encode_ppm(out_arr)
+                    else:
+                        out = encode_bmp24(out_arr)
                 elif strict:
                     raise NotImplementedError(
                         "resize of this format requires PIL/ffmpeg (not "
-                        "installed); only 24-bit BMP and P6 PPM decode "
-                        "natively - run with strict=False for the "
+                        "installed); only PNG, 24-bit BMP and P6 PPM "
+                        "decode natively - run with strict=False for the "
                         "deterministic stub"
                     )
                 else:

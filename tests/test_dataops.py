@@ -366,6 +366,172 @@ def test_resize_images_corrupt_payload_stub_vs_strict(spark):
         resize_images(media, 8, 8, strict=True).collect()
 
 
+def _png_forward_filter(src, filter_types):
+    """Forward-filter an (h, w, 3) image with a chosen filter type per row
+    (RFC 2083 §6 encoder side) and wrap it in a valid PNG — lets the tests
+    exercise every decoder filter branch against a known image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = src.shape[:2]
+    flat = src.reshape(h, w * 3).astype(np.int64)
+    out = bytearray()
+    for y, ftype in zip(range(h), filter_types):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * 3, dtype=np.int64)
+        left = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = row - pred
+        out.append(ftype)
+        out.extend((filt & 255).astype(np.uint8).tobytes())
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_and_all_filters():
+    """encode_png -> decode_pixels round-trips exactly, and every PNG
+    filter type (None/Sub/Up/Average/Paeth) reconstructs the same image
+    from an independently forward-filtered stream."""
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import decode_pixels, encode_png
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8).astype(np.uint8)
+    assert np.array_equal(decode_pixels(encode_png(src)), src)
+    # one PNG per filter type, all rows that type
+    for ftype in range(5):
+        png = _png_forward_filter(src, [ftype] * 7)
+        assert np.array_equal(decode_pixels(png), src), f"filter {ftype}"
+    # mixed filters (the realistic case: encoders pick per-row)
+    png = _png_forward_filter(src, [0, 1, 2, 3, 4, 2, 4])
+    assert np.array_equal(decode_pixels(png), src)
+
+
+def test_png_color_types():
+    """Grey, palette, grey+alpha and RGBA PNGs all decode to (h, w, 3) RGB
+    with the spec mapping (grey replicated, alpha dropped, palette
+    dereferenced)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import decode_pixels
+
+    def png(w, h, ct, raw, plte=None):
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+        parts = [b"\x89PNG\r\n\x1a\n",
+                 chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))]
+        if plte is not None:
+            parts.append(chunk(b"PLTE", plte))
+        parts.append(chunk(b"IDAT", zlib.compress(raw)))
+        parts.append(chunk(b"IEND", b""))
+        return b"".join(parts)
+
+    # grey 2x1: values 10, 200
+    got = decode_pixels(png(2, 1, 0, b"\x00\x0a\xc8"))
+    assert np.array_equal(got, [[[10] * 3, [200] * 3]])
+    # grey+alpha: alpha dropped
+    got = decode_pixels(png(2, 1, 4, b"\x00\x0a\xff\xc8\x00"))
+    assert np.array_equal(got, [[[10] * 3, [200] * 3]])
+    # RGBA: alpha dropped
+    got = decode_pixels(png(1, 1, 6, b"\x00\x01\x02\x03\x80"))
+    assert np.array_equal(got, [[[1, 2, 3]]])
+    # palette: indices 1, 0 against a 2-entry PLTE
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    got = decode_pixels(png(2, 1, 3, b"\x00\x01\x00", plte))
+    assert np.array_equal(got, [[[0, 0, 255], [255, 0, 0]]])
+    # palette index out of range is corrupt, not garbage pixels
+    with pytest.raises(ValueError, match="palette index"):
+        decode_pixels(png(2, 1, 3, b"\x00\x05\x00", plte))
+
+
+def test_png_out_of_scope_and_corrupt():
+    """16-bit and interlaced PNGs are valid-but-unsupported (None -> stub
+    path); structural corruption raises ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import decode_pixels, encode_png
+
+    def with_ihdr(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+                + chunk(b"IEND", b""))
+
+    assert decode_pixels(with_ihdr(16, 0)) is None
+    assert decode_pixels(with_ihdr(8, 1)) is None
+    src = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(src)
+    # truncate inside IDAT -> zlib error -> ValueError
+    with pytest.raises(ValueError):
+        decode_pixels(good[: len(good) - 20])
+    # bad filter byte (5) in an otherwise valid stream
+    raw = b"\x05" + b"\x00" * 6 + b"\x00" + b"\x00" * 6
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type"):
+        decode_pixels(bad)
+
+
+def test_resize_images_png_pixel_exact(spark):
+    """PNG input stays PNG through resize (container preserved), and the
+    pixel path is exact: 2x2 -> 4x4 nearest replicates each source pixel."""
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import (
+        decode_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    src = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 0]]], dtype=np.uint8
+    )
+    png = encode_png(src)
+    media = spark.createDataFrame([(0, png)], "media_id long, payload binary")
+    row = resize_images(media, 4, 4, strict=True).collect()[0]
+    out_bytes = bytes(row["payload"])
+    assert out_bytes[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_pixels(out_bytes)
+    assert np.array_equal(out, src.repeat(2, axis=0).repeat(2, axis=1))
+
+
 def test_sample_frames_one_to_many(spark):
     from open_ocr_spark.dataops.multimodal import sample_frames
 

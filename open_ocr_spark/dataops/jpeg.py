@@ -1,0 +1,481 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec in pure stdlib + numpy.
+
+Decoder: baseline sequential DCT, 8-bit samples (SOF0; SOF1 decodes
+identically at 8-bit precision), huffman entropy coding, 1-component
+grayscale or 3-component YCbCr with arbitrary divisible sampling factors
+(4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers (DRI/RSTn), 0xFF00 byte
+stuffing and 0xFF fill bytes. Progressive (SOF2), hierarchical,
+arithmetic-coded and 12-bit frames are valid JPEG but genuinely need a
+decoder library -> ``decode_jpeg`` returns None, the same contract as the
+other media decoders in ``multimodal.decode_pixels`` (structurally corrupt
+streams raise ValueError).
+
+Encoder: baseline YCbCr 4:4:4 (or 2x2-subsampled 4:2:0) / grayscale with
+flat all-ones quantisation tables (near-lossless: the only loss is
+coefficient + colorspace rounding) and fixed-length canonical huffman
+tables built here (12 DC symbols at 4 bits, 162 AC symbols at 8 bits)
+instead of the Annex K defaults — simpler to construct, bitstream-valid,
+decodable by any baseline decoder.
+
+Hot math (DCT/IDCT over all blocks at once via the orthonormal basis
+matrix, dequantisation, zigzag scatter) is vectorized numpy; only the
+entropy coding walks bits in Python, and it runs per Arrow batch inside
+the mapInPandas kernels on the executor — never on the driver.
+
+Parity note: the reference ships image bytes to its OCR engine whole
+(/root/reference/ocr_engine.go, ocr_request.go:9 routes by magic bytes);
+this engine decodes in-process so the resize/feature kernels stay
+library-free.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# Zigzag scan: _ZZ[k] = (row, col) of the k-th coefficient (T.81 fig. 5).
+_ZZ = []
+for _s in range(15):
+    _rng = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (_rng if _s % 2 else reversed(_rng)):
+        _ZZ.append((_r, _s - _r))
+_ZZ_ROW = tuple(r for r, _ in _ZZ)
+_ZZ_COL = tuple(c for _, c in _ZZ)
+
+_DCT_M = None  # lazily-built orthonormal 8x8 DCT-II basis matrix
+
+
+def _dct_matrix():
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
+
+        k = np.arange(8).reshape(8, 1)
+        n = np.arange(8).reshape(1, 8)
+        m = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
+        m[0] /= np.sqrt(2.0)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _build_huff(bits, vals):
+    """Canonical huffman decode table {(length, code): symbol} from a DHT
+    segment's 16 length counts + value list (T.81 annex C)."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(vals):
+                raise ValueError("jpeg: DHT value list shorter than counts")
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; hitting a non-RST marker mid-block is a truncation error."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.buf, self.nbits = 0, 0
+
+    def _fill(self):
+        d, p = self.data, self.pos
+        while p < len(d) and d[p] == 0xFF and p + 1 < len(d) and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p >= len(d):
+            raise ValueError("jpeg: truncated entropy-coded data")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else -1
+            if nxt != 0x00:
+                raise ValueError("jpeg: marker inside entropy-coded block")
+            p += 1  # stuffed zero
+        self.pos = p + 1
+        self.buf = ((self.buf << 8) | b) & 0xFFFFFF
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive_extend(self, size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | self.read_bit()
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker (T.81 §F.2.2.5)."""
+        self.buf = self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= len(d) or d[p] != 0xFF or not 0xD0 <= d[p + 1] <= 0xD7:
+            raise ValueError("jpeg: missing restart marker")
+        self.pos = p + 2
+
+
+def _decode_symbol(r: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def decode_jpeg(data: bytes):
+    """(h, w, 3) uint8 RGB from a baseline JPEG, or None for valid-but-
+    out-of-scope frames (progressive, arithmetic, 12-bit, 4-component,
+    non-divisible sampling). Raises ValueError on structural corruption."""
+    import numpy as np
+
+    data = bytes(data)
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(data)
+    qtabs, hufftabs = {}, {}
+    frame = None
+    restart = 0
+    scan = None
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        while pos < n and data[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= n:
+            raise ValueError("jpeg: truncated marker")
+        m = data[pos]
+        pos += 1
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment length")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("jpeg: truncated segment")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if m == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                bp += 1
+                if pq == 0:
+                    vals = list(body[bp : bp + 64])
+                    bp += 64
+                elif pq == 1:
+                    vals = list(
+                        struct.unpack(">64H", body[bp : bp + 128])
+                    )
+                    bp += 128
+                else:
+                    raise ValueError("jpeg: bad DQT precision")
+                if len(vals) < 64:
+                    raise ValueError("jpeg: truncated DQT")
+                qtabs[tq] = np.array(vals, dtype=np.int32)
+        elif m == 0xC4:  # DHT
+            bp = 0
+            while bp + 17 <= len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                bits = list(body[bp + 1 : bp + 17])
+                count = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + count])
+                bp += 17 + count
+                hufftabs[(tc, th)] = _build_huff(bits, vals)
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(body[:2], "big")
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+            if body[0] != 8:
+                return None  # 12-bit precision
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if h == 0 or w == 0:
+                raise ValueError("jpeg: DNL-deferred dimensions unsupported")
+            if nc not in (1, 3):
+                return None  # CMYK etc.
+            comps = []
+            for i in range(nc):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF, 0xCC):
+            return None  # progressive / lossless / arithmetic / DAC
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            break  # entropy-coded data follows at `pos`
+        # else: APPn / COM — skipped
+    if frame is None or scan is None:
+        raise ValueError("jpeg: missing SOF or SOS")
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        return None  # multi-scan non-interleaved: out of scope
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        return None  # non-divisible sampling needs fractional upsampling
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    order = []  # (coef array, blocks-wide, H, V, dc_tab, ac_tab, qtab)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("jpeg: scan references unknown component")
+        _, ch, cv, tq = by_id[cs]
+        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
+            raise ValueError("jpeg: scan references missing huffman table")
+        if tq not in qtabs:
+            raise ValueError("jpeg: component references missing DQT")
+        bw, bh = mcux * ch, mcuy * cv
+        order.append(
+            [
+                np.zeros((bh * bw, 64), dtype=np.int32),
+                bw, ch, cv, hufftabs[(0, td)], hufftabs[(1, ta)], qtabs[tq],
+            ]
+        )
+    reader = _BitReader(data, pos)
+    preds = [0] * len(order)
+    for idx in range(mcuy * mcux):
+        if restart and idx and idx % restart == 0:
+            reader.restart()
+            preds = [0] * len(order)
+        my, mx = divmod(idx, mcux)
+        for ci, (coefs, bw, ch, cv, dct_t, act_t, _q) in enumerate(order):
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = coefs[(my * cv + by) * bw + mx * ch + bx]
+                    size = _decode_symbol(reader, dct_t)
+                    diff = reader.receive_extend(size) if size else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(reader, act_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC coefficient overrun")
+                        blk[k] = reader.receive_extend(s)
+                        k += 1
+    m_basis = _dct_matrix()
+    planes = []
+    for coefs, bw, ch, cv, _dt, _at, qtab in order:
+        deq = coefs * qtab  # both in zigzag order
+        blocks = np.zeros((deq.shape[0], 8, 8), dtype=np.float64)
+        blocks[:, _ZZ_ROW, _ZZ_COL] = deq
+        px = np.einsum("ki,nkl,lj->nij", m_basis, blocks, m_basis) + 128.0
+        bh = deq.shape[0] // bw
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                          hmax // ch, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    out = np.empty((h, w, 3), dtype=np.float64)
+    out[:, :, 0] = y + 1.402 * (cr - 128.0)
+    out[:, :, 1] = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    out[:, :, 2] = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --- encoder ---------------------------------------------------------------
+
+# Fixed-length canonical tables: every DC size symbol (0-11) at 4 bits,
+# every AC (run,size) symbol plus EOB/ZRL (162 total) at 8 bits. Both leave
+# the all-ones code unused as T.81 requires.
+_DC_SYMS = list(range(12))
+_AC_SYMS = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                                  for s in range(1, 11)])
+_DC_ENC = {s: (i, 4) for i, s in enumerate(_DC_SYMS)}
+_AC_ENC = {s: (i, 8) for i, s in enumerate(_AC_SYMS)}
+_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_AC_BITS = bytes([0] * 7 + [162] + [0] * 8)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, low-order bits) encoding of a DC diff / AC level (T.81 F.1.2)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_blocks(writer: _BitWriter, zz, pred: int) -> int:
+    """Entropy-encode one component block (zigzag int array) and return the
+    updated DC predictor."""
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, ln = _DC_ENC[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last = 0
+    nz = [k for k in range(1, 64) if zz[k]]
+    for k in nz:
+        run = k - last - 1
+        while run >= 16:
+            code, ln = _AC_ENC[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(int(zz[k]))
+        code, ln = _AC_ENC[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+        last = k
+    if last != 63:
+        code, ln = _AC_ENC[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def _plane_blocks(plane, target_h: int, target_w: int):
+    """Edge-pad a plane to (target_h, target_w) and return its zigzagged,
+    rounded DCT coefficient array (nblocks, 64) in block row-major order."""
+    import numpy as np
+
+    h, w = plane.shape
+    plane = np.pad(plane, ((0, target_h - h), (0, target_w - w)),
+                   mode="edge")
+    bh, bw = target_h // 8, target_w // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        .reshape(bh * bw, 8, 8).astype(np.float64) - 128.0
+    )
+    m_basis = _dct_matrix()
+    coefs = np.einsum("ik,nkl,jl->nij", m_basis, blocks, m_basis)
+    # AC magnitudes fit size<=10 for 8-bit input in exact arithmetic; clamp
+    # defensively so a rounding pathology can never emit a size-11 AC symbol
+    zz = np.rint(coefs[:, _ZZ_ROW, _ZZ_COL]).astype(np.int64)
+    zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)
+    return zz, bw
+
+
+def encode_jpeg(arr, subsample: bool = False, grayscale: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG bytes with all-ones quant
+    tables (near-lossless; block-flat grays round-trip exactly).
+    ``subsample`` emits 4:2:0 (2x2-mean chroma), ``grayscale`` a
+    1-component luma frame, ``restart_interval`` a DRI segment + RSTn
+    markers every that many MCUs (predictors reset, as T.81 requires)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("jpeg: bad encode dimensions")
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    if grayscale:
+        comps = [(yp, 1, 1)]
+    else:
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            eh, ew = (h + 1) & ~1, (w + 1) & ~1
+            def down(p):
+                p = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+                return (p.reshape(eh // 2, 2, ew // 2, 2)
+                        .mean(axis=(1, 3)))
+            comps = [(yp, 2, 2), (down(cb), 1, 1), (down(cr), 1, 1)]
+        else:
+            comps = [(yp, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    encoded = []
+    for plane, ch, cv in comps:
+        zz, bw = _plane_blocks(
+            np.clip(np.rint(plane), 0, 255),
+            mcuy * cv * 8, mcux * ch * 8,
+        )
+        encoded.append((zz, bw, ch, cv))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: id 0, 8-bit precision, all-ones table (shared by every comp)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (_p, ch, cv) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, syms in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
+        body = bytes([tc << 4]) + bits + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    writer = _BitWriter()
+    preds = [0] * nc
+    for idx in range(mcuy * mcux):
+        if restart_interval and idx and idx % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            out += bytes([0xFF, 0xD0 + (idx // restart_interval - 1) % 8])
+            writer = _BitWriter()
+            preds = [0] * nc
+        my, mx = divmod(idx, mcux)
+        for ci, (zz, bw, ch, cv) in enumerate(encoded):
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = zz[(my * cv + by) * bw + mx * ch + bx]
+                    preds[ci] = _encode_blocks(writer, blk, preds[ci])
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

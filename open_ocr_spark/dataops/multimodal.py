@@ -3,10 +3,11 @@ with typed metadata, processed by Arrow-batched kernels over mapInPandas.
 
 The Spark-side plumbing (schema, batching, partitioning, UDF signature) is
 real and tested. Pixel decode is REAL for the formats stdlib+numpy can
-handle — PNG (zlib IDAT + numpy unfiltering), uncompressed 24-bit BMP,
-binary PPM — and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV
-fmt/data chunks). Formats that genuinely need PIL/ffmpeg (JPEG pixels,
-video frames) are STUBBED: each stub either raises a clearly-marked
+handle — PNG (zlib IDAT + numpy unfiltering), baseline JPEG (huffman +
+vectorized IDCT, dataops/jpeg.py), uncompressed 24-bit BMP, binary PPM —
+and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV fmt/data
+chunks). Formats that genuinely need PIL/ffmpeg (progressive/arithmetic
+JPEG, video frames) are STUBBED: each stub either raises a clearly-marked
 NotImplementedError (strict mode) or produces a deterministic fake
 (default) so pipelines remain end-to-end runnable.
 
@@ -363,11 +364,13 @@ def _decode_png(data: bytes):
 def decode_pixels(payload: bytes):
     """numpy (h, w, 3) uint8 array from the formats stdlib+numpy can decode
     without PIL/ffmpeg: PNG (zlib IDAT + numpy unfiltering — 8-bit
-    grey/truecolor/palette/alpha, non-interlaced), uncompressed 24-bit BMP
-    (BITMAPINFOHEADER, BI_RGB, bottom-up or top-down) and binary PPM (P6,
-    maxval 255). Returns None for every other format — those genuinely
-    need a decoder library. Raises ValueError for recognized-but-corrupt
-    payloads."""
+    grey/truecolor/palette/alpha, non-interlaced), baseline JPEG (huffman
+    entropy decode + vectorized IDCT, grayscale/YCbCr, any divisible
+    subsampling, restart markers — see dataops/jpeg.py), uncompressed
+    24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up or top-down) and
+    binary PPM (P6, maxval 255). Returns None for every other format —
+    those genuinely need a decoder library (progressive/arithmetic JPEG
+    included). Raises ValueError for recognized-but-corrupt payloads."""
     import struct
 
     import numpy as np
@@ -375,6 +378,10 @@ def decode_pixels(payload: bytes):
     data = bytes(payload)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from open_ocr_spark.dataops.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:2] == b"BM" and len(data) >= 54:
         off, = struct.unpack("<I", data[10:14])
         hdr, = struct.unpack("<I", data[14:18])
@@ -516,10 +523,11 @@ def resize_images(
     (decode → resize → re-encode on the executor, never on the driver).
 
     REAL pixel path for the formats stdlib+numpy can decode (PNG via zlib
-    IDAT + numpy unfiltering, uncompressed 24-bit BMP, binary PPM):
-    decode → numpy nearest-neighbor → re-encode
-    in the same container, pixel-exact and deterministic. Every other
-    format still needs PIL/ffmpeg (absent in this container): strict mode
+    IDAT + numpy unfiltering, baseline JPEG via huffman + vectorized IDCT,
+    uncompressed 24-bit BMP, binary PPM): decode → numpy nearest-neighbor
+    → re-encode in the same container, deterministic (pixel-exact for the
+    lossless containers; JPEG re-encodes near-losslessly with all-ones
+    quant tables). Every other format still needs PIL/ffmpeg: strict mode
     raises per payload; default mode emits the deterministic fake (sha1 of
     input + target dims) so lineage/schema/batching stay end-to-end
     runnable. Recognized-but-corrupt payloads (truncated BMP, malformed
@@ -548,6 +556,10 @@ def resize_images(
                     out_arr = resize_nearest(arr, width, height)
                     if payload[:8] == b"\x89PNG\r\n\x1a\n":
                         out = encode_png(out_arr)
+                    elif payload[:2] == b"\xff\xd8":
+                        from open_ocr_spark.dataops.jpeg import encode_jpeg
+
+                        out = encode_jpeg(out_arr)
                     elif payload[:2] == b"P6":
                         out = encode_ppm(out_arr)
                     else:
@@ -555,9 +567,9 @@ def resize_images(
                 elif strict:
                     raise NotImplementedError(
                         "resize of this format requires PIL/ffmpeg (not "
-                        "installed); only PNG, 24-bit BMP and P6 PPM "
-                        "decode natively - run with strict=False for the "
-                        "deterministic stub"
+                        "installed); only PNG, baseline JPEG, 24-bit BMP "
+                        "and P6 PPM decode natively - run with "
+                        "strict=False for the deterministic stub"
                     )
                 else:
                     out = hashlib.sha1(

@@ -1302,6 +1302,123 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_media_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec (dataops PNG decode + encode) through the driver gate:
+    each document becomes a 2x2 truecolor PNG whose pixels are formulas of
+    doc_id, resized 2x by the real pixel path (strict=True), and the
+    resized payload — itself a PNG — is decoded back in a second Arrow
+    kernel to read the four corners. PNG is lossless, so the oracle's SQL
+    formulas must match exactly; a bug in EITHER the encoder or the
+    decoder (filter handling, chunk layout, palette, CRC offsets) breaks
+    the hash."""
+    import pandas as pd
+
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    def _png_wrap(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.multimodal import encode_png
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a, b = i % 241, (i * 11 + 3) % 241
+                c, d = (i * 13 + 29) % 241, (i * 17 + 31) % 241
+                arr = np.array(
+                    [[[a] * 3, [b] * 3], [[c] * 3, [d] * 3]], dtype=np.uint8
+                )
+                out.append((i, bytearray(encode_png(arr))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_png_wrap, "media_id long, payload binary")
+    resized = resize_images(media, 4, 4, strict=True)
+
+    def _corners(batches):
+        from open_ocr_spark.dataops.multimodal import decode_pixels
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_pixels(bytes(payload))
+                out.append(
+                    (
+                        int(mid), int(arr[0, 0, 0]), int(arr[0, 3, 0]),
+                        int(arr[3, 0, 0]), int(arr[3, 3, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "p00", "p01", "p10", "p11"]
+            )
+
+    return resized.mapInPandas(
+        _corners, "doc_id long, p00 int, p01 int, p10 int, p11 int"
+    ).orderBy("doc_id")
+
+
+def q_media_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG codec (dataops/jpeg.py) through the driver gate: each
+    document becomes an 8x16 grayscale JPEG of two flat 8x8 blocks whose
+    gray levels are formulas of doc_id, resized to 8x8 by the real pixel
+    path (strict=True; decode -> nearest-neighbor -> re-encode as JPEG),
+    and the resized JPEG is decoded back to read one pixel per source
+    block. With all-ones quant tables, flat gray blocks survive BOTH
+    encode/decode round trips exactly (DC is the only nonzero
+    coefficient and it is integer), so the oracle is exact equality —
+    any drift in the huffman tables, DCT basis, colorspace constants or
+    marker layout breaks the hash."""
+    import pandas as pd
+
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    def _jpeg_wrap(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a, b = (i * 2 + 5) % 250, (i * 9 + 40) % 250
+                arr = np.empty((8, 16, 3), dtype=np.uint8)
+                arr[:, :8] = a
+                arr[:, 8:] = b
+                out.append((i, bytearray(encode_jpeg(arr, grayscale=True))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_jpeg_wrap, "media_id long, payload binary")
+    resized = resize_images(media, 8, 8, strict=True)
+
+    def _pixels(batches):
+        from open_ocr_spark.dataops.jpeg import decode_jpeg
+
+        for pdf in batches:
+            out = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                arr = decode_jpeg(bytes(payload))
+                out.append(
+                    (
+                        int(mid), int(w), int(h),
+                        int(arr[0, 0, 0]), int(arr[7, 7, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "p_left", "p_right"],
+            )
+
+    return resized.mapInPandas(
+        _pixels,
+        "doc_id long, width int, height int, p_left int, p_right int",
+    ).orderBy("doc_id")
+
+
 def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/A13 parity, oracle-checked: a per-row `engine` column routes
     each document through the kernel dispatch — every 10th doc uses the
@@ -1392,6 +1509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r3 (must sit inside the window: no prior green) ----------
     "extract_pdf_tj": q_extract_pdf_tj,
     "media_resize": q_media_resize,
+    "media_resize_png": q_media_resize_png,
+    "media_resize_jpeg": q_media_resize_jpeg,
     "session_window_stats": q_session_window_stats,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
@@ -1434,12 +1553,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "binary_payload_stats": q_binary_payload_stats,
     "media_features": q_media_features,
-    "pivot_order_status": q_pivot_order_status,
-    "percentile_order_value": q_percentile_order_value,
     "full_outer_user_activity": q_full_outer_user_activity,
     # -- past the window: recorded green on file (both-rounds, plus
     # -- grouping_sets_docs green r2 — its class stays in-window via
-    # -- rollup_source_lang), rotated out ---------------------------------
+    # -- rollup_source_lang; pivot/percentile rotated out in r3 for the
+    # -- PNG/JPEG codec queries, both double-green) -----------------------
+    "pivot_order_status": q_pivot_order_status,
+    "percentile_order_value": q_percentile_order_value,
     "grouping_sets_docs": q_grouping_sets_docs,
     "scan_filter_project": q_scan_filter_project,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -2070,6 +2190,24 @@ ORACLES: dict[str, str] = {
                CAST((doc_id * 3 + 7) % 251 AS INTEGER) AS p01,
                CAST((doc_id * 5 + 11) % 251 AS INTEGER) AS p10,
                CAST((doc_id * 7 + 13) % 251 AS INTEGER) AS p11
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "media_resize_png": """
+        SELECT doc_id,
+               CAST(doc_id % 241 AS INTEGER) AS p00,
+               CAST((doc_id * 11 + 3) % 241 AS INTEGER) AS p01,
+               CAST((doc_id * 13 + 29) % 241 AS INTEGER) AS p10,
+               CAST((doc_id * 17 + 31) % 241 AS INTEGER) AS p11
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "media_resize_jpeg": """
+        SELECT doc_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST((doc_id * 2 + 5) % 250 AS INTEGER) AS p_left,
+               CAST((doc_id * 9 + 40) % 250 AS INTEGER) AS p_right
         FROM documents
         ORDER BY doc_id
     """,

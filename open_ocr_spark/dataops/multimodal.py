@@ -6,8 +6,11 @@ real and tested. Pixel decode is REAL for the formats stdlib+numpy can
 handle — PNG (zlib IDAT + numpy unfiltering), baseline JPEG (huffman +
 vectorized IDCT, dataops/jpeg.py), uncompressed 24-bit BMP, binary PPM —
 and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV fmt/data
-chunks). Formats that genuinely need PIL/ffmpeg (progressive/arithmetic
-JPEG, video frames) are STUBBED: each stub either raises a clearly-marked
+chunks). MP4 video is demuxed for real down to the codec-sample boundary
+(dataops/mp4.py: box tree, sample tables, byte-exact frame extraction
+with true timestamps). What genuinely needs PIL/ffmpeg
+(progressive/arithmetic JPEG, pixel decode of video samples, non-MP4
+video containers) is STUBBED: each stub either raises a clearly-marked
 NotImplementedError (strict mode) or produces a deterministic fake
 (default) so pipelines remain end-to-end runnable.
 
@@ -52,6 +55,8 @@ def sniff_media_type(payload: bytes | None) -> str:
     if not payload:
         return "application/octet-stream"
     head = bytes(payload[:8])
+    if head[4:8] == b"ftyp":  # ISO-BMFF: size(4) + 'ftyp' brand box
+        return "video/mp4"
     for magic, mtype in _MAGIC:
         if head.startswith(magic):
             if magic == b"BM":
@@ -154,8 +159,9 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
 
 
 def _decode_stub(payload: bytes, media_type: str, strict: bool):
-    """Dimensions come from real header parsing where stdlib allows
-    (parse_image_dims: PNG/BMP/GIF); everything else is a STUB — real
+    """Metadata comes from real header/container parsing where stdlib
+    allows (parse_image_dims: PNG/BMP/GIF/JPEG; parse_audio_meta: WAV;
+    dataops/mp4.py: MP4 sample tables); everything else is a STUB — real
     decode needs PIL/ffmpeg, absent in this container.
 
     Deterministic fake for the stubbed part: dimensions and an 8-dim
@@ -164,6 +170,22 @@ def _decode_stub(payload: bytes, media_type: str, strict: bool):
     would with a real decoder."""
     dims = parse_image_dims(payload)
     audio = parse_audio_meta(payload)
+    video = None
+    if bytes(payload[4:8]) == b"ftyp":
+        from open_ocr_spark.dataops.mp4 import parse_mp4
+
+        try:
+            video = parse_mp4(payload)
+        except ValueError:
+            if strict:
+                raise
+    if video is not None:
+        digest = hashlib.sha1(payload).digest()
+        return (
+            video["width"] or None, video["height"] or None,
+            video["n_samples"], None, None, video["duration_s"],
+            [round(b / 255.0, 6) for b in digest[:8]],
+        )
     if strict and dims is None and audio is None:
         raise NotImplementedError(
             "media decode requires PIL/ffmpeg (not installed); "
@@ -597,22 +619,61 @@ def sample_frames(
     no explode/UDTF is needed). Partitioning carries over from the input,
     so a video's frames stay on the executor that held its bytes.
 
-    STUB: frame count and frame bytes are deterministic functions of the
-    payload (real impl: ffmpeg/pyav); plumbing and fan-out shape are real.
+    REAL path for MP4 (ISO-BMFF) payloads: the container's sample table
+    (dataops/mp4.py) gives every codec sample's byte range and decode
+    time; each 1/fps tick emits the byte-exact sample whose dts covers
+    the tick, with the tick as ``ts_s``. What remains stubbed is only
+    PIXEL decode of those samples (H.264 etc. needs ffmpeg) — the frame
+    BYTES, timing, and fan-out are real.
+
+    Non-MP4 video (webm/mkv need a full EBML demuxer): strict mode
+    raises; default mode keeps the deterministic sha1-derived stub so
+    pipelines stay end-to-end runnable.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "frame sampling requires ffmpeg/pyav (not installed); "
-                "run with strict=False for the deterministic stub"
-            )
+        from open_ocr_spark.dataops.mp4 import parse_mp4
+
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
                 payload = bytes(payload)
+                info = None
+                if payload[4:8] == b"ftyp":
+                    try:
+                        info = parse_mp4(payload)
+                    except ValueError:
+                        if strict:
+                            raise
+                if info is not None:
+                    import math
+
+                    samples = info["samples"]
+                    dts = [s[2] for s in samples]
+                    n_ticks = max(
+                        1, math.ceil(info["duration_s"] * fps - 1e-9)
+                    )
+                    idx = 0
+                    for k in range(n_ticks):
+                        tick = k / fps
+                        # sample whose decode time covers this tick
+                        while (idx + 1 < len(dts)
+                               and dts[idx + 1] <= tick + 1e-9):
+                            idx += 1
+                        off, sz, _ = samples[idx]
+                        rows.append(
+                            (media_id, k, round(tick, 6),
+                             payload[off : off + sz])
+                        )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-MP4 frame sampling requires ffmpeg/pyav (not "
+                        "installed); run with strict=False for the "
+                        "deterministic stub"
+                    )
                 digest = hashlib.sha1(payload).digest()
                 n_frames = 1 + digest[2] % 8
                 for i in range(n_frames):

@@ -1419,6 +1419,49 @@ def q_media_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF demux (dataops/mp4.py) through the driver gate: each
+    document becomes a real MP4 with 1 + doc_id%4 one-second video
+    samples whose bytes are doc_id-formulas, and sample_frames
+    (strict=True — the REAL container path, no stub) must emit every
+    sample byte-exactly with its true timestamp. A wrong stsz/stco/stsc
+    interpretation, a broken tick->sample mapping or a bad mdat offset
+    changes first_byte/frame_len/ts_s and breaks the hash."""
+    import pandas as pd
+
+    from open_ocr_spark.dataops.multimodal import sample_frames
+
+    def _mp4_wrap(batches):
+        from open_ocr_spark.dataops.mp4 import mux_mp4
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 1 + i % 4
+                samples = [
+                    bytes([(i * 7 + k * 3) % 256]) * (1 + (i + k) % 5)
+                    for k in range(n)
+                ]
+                out.append(
+                    (i, bytearray(mux_mp4(samples, 64, 48, timescale=600,
+                                          sample_delta=600)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_mp4_wrap, "media_id long, payload binary")
+    frames = sample_frames(media, fps=1.0, strict=True)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_idx"),
+        F.col("ts_s"),
+        F.conv(F.hex(F.substring(F.col("frame"), 1, 1)), 16, 10)
+        .cast("int").alias("first_byte"),
+        F.octet_length("frame").cast("long").alias("frame_len"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/A13 parity, oracle-checked: a per-row `engine` column routes
     each document through the kernel dispatch — every 10th doc uses the
@@ -1511,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_resize_png": q_media_resize_png,
     "media_resize_jpeg": q_media_resize_jpeg,
+    "media_frame_sample_mp4": q_media_frame_sample_mp4,
     "session_window_stats": q_session_window_stats,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
@@ -1526,7 +1570,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_main_text": q_extract_main_text,
     "extract_status_rollup": q_extract_status_rollup,
     "rollup_source_lang": q_rollup_source_lang,
-    "distinct_counts": q_distinct_counts,
     "salted_host_counts": q_salted_host_counts,
     "approx_distinct_users": q_approx_distinct_users,
     "sessionize_events": q_sessionize_events,
@@ -1556,10 +1599,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_user_activity": q_full_outer_user_activity,
     # -- past the window: recorded green on file (both-rounds, plus
     # -- grouping_sets_docs green r2 — its class stays in-window via
-    # -- rollup_source_lang; pivot/percentile rotated out in r3 for the
-    # -- PNG/JPEG codec queries, both double-green) -----------------------
+    # -- rollup_source_lang; pivot/percentile/distinct_counts rotated out
+    # -- in r3 for the PNG/JPEG/MP4 codec queries, all double-green) ------
     "pivot_order_status": q_pivot_order_status,
     "percentile_order_value": q_percentile_order_value,
+    "distinct_counts": q_distinct_counts,
     "grouping_sets_docs": q_grouping_sets_docs,
     "scan_filter_project": q_scan_filter_project,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -2210,6 +2254,16 @@ ORACLES: dict[str, str] = {
                CAST((doc_id * 9 + 40) % 250 AS INTEGER) AS p_right
         FROM documents
         ORDER BY doc_id
+    """,
+    "media_frame_sample_mp4": """
+        SELECT d.doc_id,
+               CAST(u.i AS INTEGER) AS frame_idx,
+               CAST(u.i AS DOUBLE) AS ts_s,
+               CAST((d.doc_id * 7 + u.i * 3) % 256 AS INTEGER) AS first_byte,
+               CAST(1 + (d.doc_id + u.i) % 5 AS BIGINT) AS frame_len
+        FROM documents d
+        JOIN (SELECT unnest(range(0, 8)) AS i) u ON u.i <= d.doc_id % 4
+        ORDER BY doc_id, frame_idx
     """,
     "extract_pdf_tj": """
         SELECT doc_id,

@@ -129,6 +129,133 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, float] | None:
     return rate, channels, duration
 
 
+def decode_wav(payload: bytes):
+    """(samples, rate) from a RIFF/WAVE PCM payload — REAL decode, pure
+    stdlib+numpy: walks chunks to 'fmt ' and 'data', supports integer PCM
+    (format 1) at 8 bits (unsigned, rebased to signed) or 16 bits
+    (signed little-endian), any channel count; samples come back as an
+    (n_frames, n_channels) int32 array. Returns None for non-WAV payloads
+    and for valid-but-out-of-scope encodings (float/ADPCM/mu-law need no
+    library, but they are not this engine's training-data path); raises
+    ValueError when the data chunk overruns the payload."""
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload)
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(data)
+    fmt = None
+    pcm = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= n:
+            audio_fmt, channels, rate = struct.unpack(
+                "<HHI", data[pos + 8 : pos + 16]
+            )
+            bits = struct.unpack("<H", data[pos + 22 : pos + 24])[0]
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            if pos + 8 + size > n:
+                raise ValueError("wav: data chunk overruns payload")
+            pcm = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or pcm is None:
+        return None
+    audio_fmt, channels, rate, bits = fmt
+    if audio_fmt != 1 or channels < 1 or rate < 1 or bits not in (8, 16):
+        return None
+    width = bits // 8
+    frames = len(pcm) // (width * channels)
+    pcm = pcm[: frames * width * channels]
+    if bits == 8:
+        arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        arr = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
+    return arr.reshape(frames, channels), rate
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """(n_frames, n_channels) int16-range samples -> 16-bit PCM WAV bytes.
+    Round-trips through decode_wav exactly."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    pcm = arr.astype("<i2").tobytes()
+    block = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "first_sample int, peak_amp int, sum_abs long"
+)
+
+
+def audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL audio analysis over mapInPandas: decode PCM (decode_wav) and
+    reduce to exact integer stats — frame count, first sample, peak
+    amplitude, total absolute amplitude — the oracle-checkable slice of
+    an audio training pipeline (silence/clipping gates run on exactly
+    these reductions). Non-WAV / non-PCM payloads: strict raises, default
+    emits nulls (rows are kept so joins see every media_id)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = None
+                if payload is not None and len(payload) > 0:
+                    decoded = decode_wav(bytes(payload))
+                if decoded is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "audio_stats: payload is not integer-PCM WAV; "
+                            "run with strict=False to emit null stats"
+                        )
+                    rows.append((media_id, None, None, None, None, None,
+                                 None))
+                    continue
+                arr, rate = decoded
+                amp = np.abs(arr)
+                rows.append(
+                    (
+                        media_id, rate, arr.shape[1], arr.shape[0],
+                        int(arr[0, 0]) if arr.size else None,
+                        int(amp.max()) if arr.size else None,
+                        int(amp.sum()) if arr.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "first_sample", "peak_amp", "sum_abs",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, AUDIO_STATS_SCHEMA
+    )
+
+
 def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """TRUE pixel dimensions from stdlib-parsable container headers —
     PNG (IHDR: big-endian u32 pair at offset 16), BMP (BITMAPINFOHEADER:

@@ -1462,6 +1462,44 @@ def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_audio_stats_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM decode (decode_wav) through the driver gate: each document
+    becomes a mono 16-bit WAV of 4 + doc_id%5 formula samples and
+    audio_stats (strict=True — real decode only) must reproduce the exact
+    integer reductions. The oracle recomputes frame count, first sample,
+    peak and total absolute amplitude from the same formulas with a
+    range join + aggregation — a byte-order, channel-shape or chunk-walk
+    bug changes the integers."""
+    import pandas as pd
+
+    from open_ocr_spark.dataops.multimodal import audio_stats
+
+    def _wav_wrap(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.multimodal import encode_wav
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 4 + i % 5
+                samples = np.array(
+                    [(i * 13 + k * 57) % 201 - 100 for k in range(n)],
+                    dtype=np.int16,
+                )
+                out.append((i, bytearray(encode_wav(samples, 8000))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_wav_wrap, "media_id long, payload binary")
+    return (
+        audio_stats(media, strict=True)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/A13 parity, oracle-checked: a per-row `engine` column routes
     each document through the kernel dispatch — every 10th doc uses the
@@ -1555,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize_png": q_media_resize_png,
     "media_resize_jpeg": q_media_resize_jpeg,
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
+    "audio_stats_wav": q_audio_stats_wav,
     "session_window_stats": q_session_window_stats,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
@@ -1596,11 +1635,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "binary_payload_stats": q_binary_payload_stats,
     "media_features": q_media_features,
-    "full_outer_user_activity": q_full_outer_user_activity,
     # -- past the window: recorded green on file (both-rounds, plus
     # -- grouping_sets_docs green r2 — its class stays in-window via
-    # -- rollup_source_lang; pivot/percentile/distinct_counts rotated out
-    # -- in r3 for the PNG/JPEG/MP4 codec queries, all double-green) ------
+    # -- rollup_source_lang; pivot/percentile/distinct_counts/full_outer
+    # -- rotated out in r3 for the PNG/JPEG/MP4/WAV codec queries, all
+    # -- double-green) ----------------------------------------------------
+    "full_outer_user_activity": q_full_outer_user_activity,
     "pivot_order_status": q_pivot_order_status,
     "percentile_order_value": q_percentile_order_value,
     "distinct_counts": q_distinct_counts,
@@ -2254,6 +2294,21 @@ ORACLES: dict[str, str] = {
                CAST((doc_id * 9 + 40) % 250 AS INTEGER) AS p_right
         FROM documents
         ORDER BY doc_id
+    """,
+    "audio_stats_wav": """
+        SELECT d.doc_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(4 + d.doc_id % 5 AS BIGINT) AS n_samples,
+               CAST((d.doc_id * 13) % 201 - 100 AS INTEGER) AS first_sample,
+               CAST(MAX(ABS((d.doc_id * 13 + u.i * 57) % 201 - 100))
+                   AS INTEGER) AS peak_amp,
+               CAST(SUM(ABS((d.doc_id * 13 + u.i * 57) % 201 - 100))
+                   AS BIGINT) AS sum_abs
+        FROM documents d
+        JOIN (SELECT unnest(range(0, 16)) AS i) u ON u.i < 4 + d.doc_id % 5
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
     """,
     "media_frame_sample_mp4": """
         SELECT d.doc_id,

@@ -1061,3 +1061,53 @@ def test_sniff_bm_requires_dib_header():
     real = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
             + struct.pack("<Iii", 40, 2, 2) + b"\x00" * 28)
     assert sniff_media_type(real) == "image/bmp"
+
+
+def test_decode_wav_roundtrip_and_contract():
+    import numpy as np
+    import pytest as _pytest
+
+    from open_ocr_spark.dataops.multimodal import decode_wav, encode_wav
+
+    s = np.array([[100, -5], [32767, -32768], [0, 7]], dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and np.array_equal(arr, s.astype(np.int32))
+    # 8-bit unsigned PCM rebases to signed
+    import struct
+
+    pcm8 = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm8)) + pcm8 + b"\x00")
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, rate = decode_wav(wav8)
+    assert arr.ravel().tolist() == [-128, 0, 127]
+    # non-WAV -> None; float PCM (fmt 3) -> None; truncated data -> error
+    assert decode_wav(b"RIFFxxxxAVI LIST") is None
+    full = encode_wav(s, 8000)
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_wav(full[:-2])
+
+
+def test_audio_stats_real_path_spark(spark):
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import audio_stats, encode_wav
+
+    wav = encode_wav(np.array([10, -20, 30, -40], dtype=np.int16), 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_stats(df).collect()}
+    assert rows[1]["n_samples"] == 4
+    assert rows[1]["first_sample"] == 10
+    assert rows[1]["peak_amp"] == 40
+    assert rows[1]["sum_abs"] == 100
+    assert rows[1]["sample_rate"] == 16000
+    assert rows[2]["n_samples"] is None  # kept, nulled
+    # strict mode surfaces the undecodable payload
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PCM"):
+        audio_stats(df, strict=True).collect()

@@ -134,7 +134,16 @@ def _decode_symbol(r: _BitReader, table) -> int:
 def decode_jpeg(data: bytes):
     """(h, w, 3) uint8 RGB from a baseline JPEG, or None for valid-but-
     out-of-scope frames (progressive, arithmetic, 12-bit, 4-component,
-    non-divisible sampling). Raises ValueError on structural corruption."""
+    non-divisible sampling). Raises ValueError on structural corruption —
+    struct.error/IndexError from truncated segment bodies are normalized
+    to ValueError so callers route ONE exception to error-as-value."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"jpeg: truncated structure ({exc})") from exc
+
+
+def _decode_jpeg(data: bytes):
     import numpy as np
 
     data = bytes(data)

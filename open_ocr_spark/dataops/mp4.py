@@ -72,7 +72,16 @@ def parse_mp4(data: bytes):
 
     Returns None if the payload is not an MP4 or carries no video track
     with a usable sample table (fragmented movies); raises ValueError on
-    structural corruption."""
+    structural corruption (struct.error from short sample-table buffers
+    is normalized to ValueError so callers have ONE corrupt-payload
+    exception to route to error-as-value)."""
+    try:
+        return _parse_mp4(data)
+    except struct.error as exc:
+        raise ValueError(f"mp4: truncated table ({exc})") from exc
+
+
+def _parse_mp4(data: bytes):
     data = bytes(data)
     if len(data) < 12 or data[4:8] != b"ftyp":
         return None

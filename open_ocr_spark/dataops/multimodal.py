@@ -117,7 +117,10 @@ def parse_audio_meta(payload: bytes) -> tuple[int, int, float] | None:
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        if cid == b"fmt " and pos + 24 <= n:
+        # bound reads by the chunk's DECLARED size, not the file length:
+        # a short fmt chunk (legacy 14-byte WAVEFORMAT) must not read the
+        # next chunk's header bytes as its own fields
+        if cid == b"fmt " and size >= 14 and pos + 8 + size <= n:
             channels, rate = struct.unpack("<HI", data[pos + 10 : pos + 16])
             block_align = struct.unpack("<H", data[pos + 20 : pos + 22])[0]
         elif cid == b"data":
@@ -151,11 +154,20 @@ def decode_wav(payload: bytes):
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        if cid == b"fmt " and pos + 24 <= n:
+        if cid == b"fmt " and size >= 14 and pos + 8 + size <= n:
+            # legacy WAVEFORMAT is 14 bytes (no wBitsPerSample); only read
+            # bits from the chunk when the chunk declares room for it,
+            # else derive from block_align — never read past the chunk
             audio_fmt, channels, rate = struct.unpack(
                 "<HHI", data[pos + 8 : pos + 16]
             )
-            bits = struct.unpack("<H", data[pos + 22 : pos + 24])[0]
+            block_align = struct.unpack("<H", data[pos + 20 : pos + 22])[0]
+            if size >= 16:
+                bits = struct.unpack("<H", data[pos + 22 : pos + 24])[0]
+            elif channels:
+                bits = (block_align // channels) * 8
+            else:
+                bits = 0
             fmt = (audio_fmt, channels, rate, bits)
         elif cid == b"data":
             if pos + 8 + size > n:
@@ -774,6 +786,10 @@ def sample_frames(
                     except ValueError:
                         if strict:
                             raise
+                if info is not None and not info["samples"]:
+                    # structurally valid video track declaring zero
+                    # samples: nothing to emit (indexing would crash)
+                    continue
                 if info is not None:
                     import math
 

@@ -64,6 +64,15 @@ _ENDSTREAM_AT_RE = re.compile(rb"(?:\r?\n)?endstream")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 
+# /DecodeParms (§7.4.4.4): prediction applied by the encoder BEFORE
+# flate/lzw — decoded bytes are wrong until reversed, so ignoring it would
+# ship garbage text with status ok.
+_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\b")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
 # Literal-string escapes (§7.3.4.2): named escapes, octal \ooo (1-3 digits),
 # backslash-EOL line continuation, and the catch-all "ignore the backslash".
 _ESCAPES = {
@@ -222,6 +231,82 @@ _FILTERS = {
 }
 
 
+def _unpredict(body: bytes, head: bytes) -> bytes:
+    """Reverse /DecodeParms prediction (§7.4.4.4): PNG predictors (10-15,
+    per-row filter byte, RFC 2083 §6) and TIFF horizontal differencing
+    (predictor 2) at 8 bits/component. Anything else raises ValueError —
+    error-as-value beats silently wrong text."""
+    if _PARMS_RE.search(head) is None:
+        return body
+    preds = _PRED_RE.findall(head)
+    if not preds:
+        return body  # parms without /Predictor: nothing to reverse
+    if len(preds) > 1 and len(set(preds)) > 1:
+        raise ValueError(
+            "pdf-unsupported:predictor-chain: multiple DecodeParms dicts"
+        )
+    pred = int(preds[0])
+    if pred <= 1:
+        return body
+    m = _COLUMNS_RE.search(head)
+    cols = int(m.group(1)) if m else 1
+    m = _COLORS_RE.search(head)
+    colors = int(m.group(1)) if m else 1
+    m = _BPC_RE.search(head)
+    bpc = int(m.group(1)) if m else 8
+    if bpc != 8 or cols < 1 or colors < 1:
+        raise ValueError("pdf-unsupported:predictor-bpc: only 8-bit rows")
+    bpp = colors  # bytes per pixel at 8 bits/component
+    rowlen = cols * colors
+    if pred == 2:  # TIFF: cumulative sum along each row, stride bpp
+        out = bytearray(body)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + bpp, r0 + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred >= 10:  # PNG: filter-type byte prefixes every row
+        stride = rowlen + 1
+        if len(body) % stride:
+            raise ValueError(
+                "pdf-unsupported:predictor-shape: body not a whole number "
+                "of predicted rows"
+            )
+        out = bytearray()
+        prev = bytearray(rowlen)
+        for r0 in range(0, len(body), stride):
+            ftype = body[r0]
+            row = bytearray(body[r0 + 1 : r0 + stride])
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                for i in range(bpp, rowlen):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(rowlen):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(rowlen):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(rowlen):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    row[i] = (row[i] + pr) & 0xFF
+            else:
+                raise ValueError(
+                    "pdf-unsupported:predictor-filter: bad PNG filter type"
+                )
+            out += row
+            prev = row
+        return bytes(out)
+    raise ValueError(f"pdf-unsupported:predictor-{pred}")
+
+
 def _decode_literal(body: bytes) -> bytes:
     """Decode the escape set of a literal string body (§7.3.4.2)."""
 
@@ -283,7 +368,17 @@ def _inflate_streams(raw: bytes) -> bytes:
             continue  # keyword bytes inside an already-consumed body
         obj_start = raw.rfind(b"obj", 0, m.start())
         head = raw[obj_start if obj_start >= 0 else 0 : m.start()]
-        if obj_start < 0 or not head.rstrip().endswith(b">>"):
+        # comments are whitespace (§7.2.4): a '%...' run between the dict
+        # close and the stream keyword must not hide the '>>'; strip
+        # trailing comments one at a time and re-test (a '%' inside a
+        # dict string never triggers this — the tail already ends '>>')
+        tail = head.rstrip()
+        while not tail.endswith(b">>"):
+            pct = tail.rfind(b"%")
+            if pct < 0 or b"\n" in tail[pct:] or b"\r" in tail[pct:]:
+                break  # no trailing same-line comment left to strip
+            tail = tail[:pct].rstrip()
+        if obj_start < 0 or not tail.endswith(b">>"):
             # not an object's stream keyword (no 'obj ... << ... >>' head):
             # stray bytes, skip rather than misparse
             continue
@@ -329,6 +424,7 @@ def _inflate_streams(raw: bytes) -> bytes:
                 raise ValueError(f"pdf-unsupported:filter-{pretty}")
             for name in names:  # filter chains apply in declaration order
                 body = _FILTERS[name](body)
+            body = _unpredict(body, head)
         out.append(raw[pos : m.start()])
         out.append(b"stream\n")
         out.append(body)

@@ -150,21 +150,21 @@ def write_snapshot(
         ) from None
     except OSError:
         # filesystem without hard links (object-store FUSE mounts raise
-        # EPERM/EOPNOTSUPP): keep the exclusivity guarantee with an
-        # O_EXCL create of the final name, then copy + fsync through it
-        try:
-            fd = os.open(final, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
+        # EPERM/EOPNOTSUPP): os.replace keeps the write ATOMIC — a crash
+        # mid-commit can never leave a torn snap-NNNNNN.json that would
+        # poison snapshot_chain or block every later commit with a
+        # collision error. Collision detection falls back to an explicit
+        # existence check: one syscall racier than O_EXCL, which only
+        # matters for two concurrent writers on the same table (out of
+        # scope — the job is the table's single committer).
+        if os.path.exists(final):
             os.unlink(tmp)
             raise RuntimeError(
                 f"snapshot collision: {final} already exists - refusing "
                 "to overwrite a committed snapshot"
             ) from None
-        with os.fdopen(fd, "wb") as f:
-            with open(tmp, "rb") as src:
-                f.write(src.read())
-            f.flush()
-            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        return snapshot
     os.unlink(tmp)
     return snapshot
 

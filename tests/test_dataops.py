@@ -1089,6 +1089,39 @@ def test_decode_wav_roundtrip_and_contract():
         decode_wav(full[:-2])
 
 
+def test_wav_legacy_14_byte_fmt_chunk():
+    """Legacy WAVEFORMAT fmt chunks declare size 14 (no wBitsPerSample):
+    field reads must be bounded by the chunk's DECLARED size — reading to
+    the file bound would take bits-per-sample from the next chunk's header
+    bytes. Bits derive from block_align instead, and the meta walk stays
+    consistent."""
+    import struct
+
+    import numpy as np
+
+    from open_ocr_spark.dataops.multimodal import (
+        decode_wav,
+        parse_audio_meta,
+    )
+
+    samples = np.arange(-4, 4, dtype=np.int16).reshape(-1, 1)
+    pcm = samples.astype("<i2").tobytes()
+    fmt14 = struct.pack("<HHIIH", 1, 1, 8000, 16000, 2)  # ends at block_align
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 14) + fmt14
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, rate = decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(arr[:, 0], np.arange(-4, 4))
+    assert parse_audio_meta(wav) == (8000, 1, round(len(pcm) / 16000, 6))
+    # a fmt chunk whose declared size can't hold even WAVEFORMAT: no fmt
+    body2 = (b"WAVE" + b"fmt " + struct.pack("<I", 8) + fmt14[:8]
+             + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    assert decode_wav(wav2) is None
+    assert parse_audio_meta(wav2) is None
+
+
 def test_audio_stats_real_path_spark(spark):
     import numpy as np
 

@@ -545,3 +545,86 @@ def test_tokenizer_rawtext_resync_edges():
             b"</p></article>")
     text = extract_main_text(html)
     assert "actual words" in text and "not content" not in text
+
+
+def test_pdf_comment_between_dict_close_and_stream():
+    """S7.2.4: comments are whitespace — a '% ...' run between the dict's
+    '>>' and the stream keyword must not make the anchor guard skip a real
+    stream (which would ship empty text with status ok)."""
+    pdf = _flate_pdf(b"BT (noted) Tj ET")
+    commented = pdf.replace(b">>\nstream\n", b">> % generator note\nstream\n")
+    assert commented != pdf
+    assert extract_pdf_text(commented) == "noted"
+    # two stacked comment lines
+    stacked = pdf.replace(b">>\nstream\n", b">> %a\n%b\nstream\n")
+    assert extract_pdf_text(stacked) == "noted"
+
+
+def _predictor_pdf(body: bytes, parms: bytes) -> bytes:
+    return (
+        b"%PDF-1.5\n1 0 obj\n<< /Filter /FlateDecode /DecodeParms " + parms
+        + b" /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """Forward-apply the PNG Up filter (type 2) so the decoder's reversal
+    is pinned against an independent construction."""
+    assert len(data) % columns == 0
+    out = bytearray()
+    prev = bytes(columns)
+    for r0 in range(0, len(data), columns):
+        row = data[r0 : r0 + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def test_pdf_flate_png_predictor_reversed():
+    """/DecodeParms << /Predictor 12 /Columns N >> on a FlateDecode stream:
+    the PNG row prediction must be reversed after inflation — ignoring it
+    would scan garbage bytes and emit wrong/empty text with status ok."""
+    import zlib
+
+    content = b"BT (predicted text) Tj ET\n"
+    cols = 13
+    content += b" " * ((-len(content)) % cols)
+    body = zlib.compress(_png_predict_up(content, cols))
+    pdf = _predictor_pdf(body, b"<< /Predictor 12 /Columns 13 >>")
+    assert extract_pdf_text(pdf) == "predicted text"
+
+
+def test_pdf_flate_tiff_predictor_reversed():
+    import zlib
+
+    content = b"BT (tiffed) Tj ET\n"
+    cols = 6
+    content += b" " * ((-len(content)) % cols)
+    diff = bytearray(content)
+    for r0 in range(0, len(diff), cols):  # forward horizontal differencing
+        for i in range(r0 + cols - 1, r0, -1):
+            diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+    body = zlib.compress(bytes(diff))
+    pdf = _predictor_pdf(body, b"<< /Predictor 2 /Columns 6 >>")
+    assert extract_pdf_text(pdf) == "tiffed"
+
+
+def test_pdf_unsupported_predictor_shapes_error():
+    """Non-8-bit rows and unknown predictor ids must be error-as-value
+    (ValueError), never silently-wrong decoded bytes."""
+    import zlib
+
+    body = zlib.compress(b"BT (x) Tj ET")
+    pdf = _predictor_pdf(
+        body, b"<< /Predictor 12 /Columns 4 /BitsPerComponent 4 >>"
+    )
+    with pytest.raises(ValueError, match="pdf-unsupported:predictor"):
+        extract_pdf_text(pdf)
+    pdf = _predictor_pdf(body, b"<< /Predictor 3 /Columns 4 >>")
+    with pytest.raises(ValueError, match="pdf-unsupported:predictor"):
+        extract_pdf_text(pdf)
+    # predictor 1 (or parms without /Predictor) is a no-op, not an error
+    pdf = _predictor_pdf(body, b"<< /Predictor 1 >>")
+    assert extract_pdf_text(pdf) == "x"

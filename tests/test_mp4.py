@@ -111,5 +111,67 @@ def test_corrupt_tables_normalize_to_valueerror():
     broken = bytearray(mp4)
     i = mp4.find(b"stsz")
     broken[i + 12 : i + 16] = (999_999).to_bytes(4, "big")
-    with pytest.raises(ValueError, match="truncated table"):
+    with pytest.raises(ValueError, match="stsz entries overrun box"):
         parse_mp4(bytes(broken))
+
+
+def test_hostile_declared_counts_raise_fast():
+    """A tiny corrupt/hostile file declaring a 32-bit table count must
+    raise ValueError BEFORE any expansion — never build a billions-element
+    list (executor hang/OOM) or read table entries from sibling boxes."""
+    mp4 = mux_mp4([b"abc", b"de"], 8, 8)
+
+    def patched(tag: bytes, off: int, value: int) -> bytes:
+        broken = bytearray(mp4)
+        i = mp4.find(tag)
+        broken[i + off : i + off + 4] = value.to_bytes(4, "big")
+        return bytes(broken)
+
+    # stts run count 0xFFFFFFFF (entry count stays 1 -> fits its box)
+    with pytest.raises(ValueError, match="sample count mismatch"):
+        parse_mp4(patched(b"stts", 12, 0xFFFFFFFF))
+    # stts entry count beyond the box extent
+    with pytest.raises(ValueError, match="stts entries overrun box"):
+        parse_mp4(patched(b"stts", 8, 0x00FFFFFF))
+    # uniform stsz declaring more sample bytes than the whole file
+    broken = bytearray(mp4)
+    i = mp4.find(b"stsz")
+    broken[i + 8 : i + 12] = (1).to_bytes(4, "big")       # uniform size 1
+    broken[i + 12 : i + 16] = (2**31).to_bytes(4, "big")  # n_samples huge
+    with pytest.raises(ValueError, match="declared samples overrun file"):
+        parse_mp4(bytes(broken))
+    # stco / stsc entry counts beyond their boxes
+    with pytest.raises(ValueError, match="stco entries overrun box"):
+        parse_mp4(patched(b"stco", 8, 0x00FFFFFF))
+    with pytest.raises(ValueError, match="stsc entries overrun box"):
+        parse_mp4(patched(b"stsc", 8, 0x00FFFFFF))
+    # stsc run pointing outside the chunk range
+    with pytest.raises(ValueError, match="stsc run outside chunk range"):
+        parse_mp4(patched(b"stsc", 12, 99))
+
+
+def _zero_sample_mp4() -> bytes:
+    """Structurally valid video track declaring ZERO samples: empty
+    stts/stsz/stsc/stco tables but a nonzero mdhd duration."""
+    mp4 = bytearray(mux_mp4([b"abc"], 8, 8))
+    for tag, off in ((b"stts", 8), (b"stsz", 12), (b"stsc", 8), (b"stco", 8)):
+        i = mp4.find(tag)
+        mp4[i + off : i + off + 4] = b"\x00\x00\x00\x00"
+    return bytes(mp4)
+
+
+def test_zero_sample_track_parses_and_samples_no_frames(spark):
+    """n_samples=0 with nonzero duration is valid-but-empty: parse_mp4
+    returns an empty sample list and sample_frames emits no rows instead
+    of crashing the kernel with an IndexError (even in strict mode)."""
+    from open_ocr_spark.dataops.multimodal import sample_frames
+
+    payload = _zero_sample_mp4()
+    info = parse_mp4(payload)
+    assert info is not None
+    assert info["n_samples"] == 0 and info["samples"] == []
+    assert info["duration_s"] > 0
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "media_id long, payload binary"
+    )
+    assert sample_frames(df, fps=2.0, strict=True).collect() == []

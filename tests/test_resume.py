@@ -137,8 +137,11 @@ def test_snapshot_seq_survives_deleted_earlier_snapshot(tmp_path):
 
 def test_snapshot_commit_without_hardlinks(tmp_path, monkeypatch):
     """On filesystems where os.link raises OSError (object-store FUSE
-    mounts: EPERM/EOPNOTSUPP), the commit falls back to an O_EXCL create
-    — still succeeds, and a collision still fails loudly."""
+    mounts: EPERM/EOPNOTSUPP), the commit falls back to an atomic
+    os.replace — still succeeds, a collision still fails loudly, and no
+    tmp file or torn final file is ever left behind (an O_EXCL+write
+    fallback would leave a torn snap-NNNNNN.json on a crash mid-copy,
+    which poisons snapshot_chain and blocks every later commit)."""
     import errno
     import os
 
@@ -159,6 +162,15 @@ def test_snapshot_commit_without_hardlinks(tmp_path, monkeypatch):
                        buckets_processed=[i])
     seqs = [s["sequence_number"] for s in snapshot_chain(out)]
     assert seqs == [0, 1]
+    # fallback commits are complete JSON and leave no tmp residue
+    import json
+
+    sdir = os.path.join(out, "snapshots")
+    names = sorted(os.listdir(sdir))
+    assert names == ["snap-000000.json", "snap-000001.json"]
+    for name in names:
+        with open(os.path.join(sdir, name)) as f:
+            assert "snapshot_id" in json.load(f)
     # exclusivity preserved through the fallback path too
     collider = os.path.join(out, "snapshots", "snap-000002.json")
     with open(collider, "w") as f:

@@ -123,3 +123,67 @@ def test_multipart_parser_total(body, ctype):
 
     req, err = _parse_multipart_request(body, ctype)
     assert (req is None) != (err is None)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    cols=st.integers(min_value=1, max_value=17),
+    colors=st.integers(min_value=1, max_value=3),
+    ftypes=st.lists(st.integers(min_value=0, max_value=4), max_size=40),
+)
+def test_png_predictor_reversal_roundtrips(data, cols, colors, ftypes):
+    """Forward-applying any mix of PNG row filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 S6) and reversing through the PDF kernel's _unpredict
+    must return the original bytes for every row shape."""
+    from open_ocr_spark.kernels.pdf_text import _unpredict
+
+    rowlen = cols * colors
+    n_rows = len(data) // rowlen
+    data = data[: n_rows * rowlen]
+    bpp = colors
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    predicted = bytearray()
+    prev = bytes(rowlen)
+    for r in range(n_rows):
+        row = data[r * rowlen : (r + 1) * rowlen]
+        ftype = ftypes[r % len(ftypes)] if ftypes else 2
+        predicted.append(ftype)
+        for i in range(rowlen):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            ref = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                   4: paeth(left, up, ul)}[ftype]
+            predicted.append((row[i] - ref) & 0xFF)
+        prev = row
+    head = (b"<< /Predictor 12 /Columns " + str(cols).encode()
+            + b" /Colors " + str(colors).encode()
+            + b" /DecodeParms >>")  # parms marker present
+    assert _unpredict(bytes(predicted), head) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    cols=st.integers(min_value=1, max_value=17),
+)
+def test_tiff_predictor_reversal_roundtrips(data, cols):
+    from open_ocr_spark.kernels.pdf_text import _unpredict
+
+    diff = bytearray(data)
+    for r0 in range(0, (len(diff) // cols) * cols, cols):
+        for i in range(r0 + cols - 1, r0, -1):
+            diff[i] = (diff[i] - diff[i - 1]) & 0xFF
+    head = (b"<< /DecodeParms << /Predictor 2 /Columns "
+            + str(cols).encode() + b" >> >>")
+    out = _unpredict(bytes(diff), head)
+    # full rows round-trip exactly; a trailing partial row is untouched
+    whole = (len(data) // cols) * cols
+    assert out[:whole] == data[:whole]
+    assert out[whole:] == diff[whole:]

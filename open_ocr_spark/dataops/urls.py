@@ -1,0 +1,78 @@
+"""URL canonicalization + canonical-URL dedup.
+
+A crawl sees the same logical page under many spellings — scheme/host
+case, explicit default ports, `www.` prefixes, trailing slashes,
+tracking query parameters (`utm_*`, `fbclid`, `gclid`, `ref`), parameter
+order, fragments.  The reference keys its whole pipeline on the request
+url (ocr_request.go:21 `ImgUrl`); at corpus scale the url must be
+canonicalized first or per-url dedup/grouping splinters.
+
+All pure Catalyst: `parse_url` (JVM) decomposes, `filter`/`array_sort`
+higher-order functions normalise the query string, `concat` reassembles.
+No shuffle — canonicalization is a projection; downstream dedup shuffles
+once on the canonical string (uniform key: hostnames are skewed but the
+full canonical url is not; for per-HOST grouping use the salted
+partitioning in pipeline/partitioning.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped during canonicalization (the common
+# analytics families; callers with stricter policies pre-filter).
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL:
+
+    - scheme and host lowercased; `www.` prefix and default port dropped
+      (`parse_url(..., 'HOST')` already excludes the port)
+    - trailing slashes stripped from the path
+    - tracking params dropped, surviving params sorted bytewise
+    - fragment dropped
+
+    Null-safe: a null url canonicalizes to null (no parse garbage).
+    """
+    col = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.parse_url(col, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(col, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    params = F.filter(
+        F.split(F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(canonical_url, n_variants, rep_doc): one group per canonical URL
+    with the variant count and the min-id representative — the url-level
+    twin of exact content dedup (dedup.py), run FIRST in a crawl pipeline
+    because it needs no content reads.  One hash-aggregate shuffle on the
+    canonical string."""
+    return (
+        df.select(
+            canonicalize_url(url_col).alias("canonical_url"), F.col(id_col)
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min(id_col).alias("rep_doc"),
+        )
+    )

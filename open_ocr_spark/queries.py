@@ -678,6 +678,98 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BOILER_HEAD = "Accept cookies to continue"
+_BOILER_FOOT = "All rights reserved. Powered by ExampleCMS."
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup (CCNet/RefinedWeb-style boilerplate removal): give
+    every document a deterministic line structure (10-word chunks) plus a
+    shared cookie-banner header and rights footer, then strip every line
+    that occurs in >= 2 distinct documents.  The oracle reproduces the
+    chunking with unnest(range)/list-slice and the dedup with a
+    count-distinct + anti-flag join, so both the frequency threshold and
+    the order-preserving reassembly are value-hashed."""
+    from open_ocr_spark.dataops.lines import chunk_words_to_lines, dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    with_lines = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_HEAD),
+            F.lit("\n"),
+            F.array_join(chunk_words_to_lines(F.col("text"), 10), "\n"),
+            F.lit("\n"),
+            F.lit(_BOILER_FOOT),
+        ).alias("text"),
+    )
+    return dedup_lines(with_lines, min_docs=2).orderBy("doc_id")
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Three crawl spellings of each logical page https://src{K}.example.com
+    /page/{L}: explicit :443 + tracking params + fragment; uppercase host +
+    trailing slash; unsorted params + utm/ref noise."""
+    lid = F.expr("doc_id DIV 3").cast("string")
+    src = F.expr("(doc_id DIV 3) % 20").cast("string")
+    variant = F.col("doc_id") % 3
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://www.src"), src, F.lit(".example.com:443/page/"),
+                lid, F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://SRC"), src, F.lit(".EXAMPLE.COM/page/"),
+                lid, F.lit("/?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://src"), src, F.lit(".example.com/page/"),
+                lid, F.lit("?b=2&utm_campaign=x&a=1&ref=rss"),
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-url dedup: three crawl spellings of
+    every logical page must collapse to one canonical group of 3 (2 at the
+    tail).  Exercises scheme/host case folding, default-port and www.
+    stripping, trailing-slash normalisation, tracking-param removal, and
+    bytewise param sorting — the oracle re-derives the canonical form with
+    regexes + list_filter/list_sort, no parse_url."""
+    from open_ocr_spark.dataops.urls import dedup_by_canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_by_canonical_url(_messy_urls(docs)).orderBy("canonical_url")
+
+
+def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing (concat-then-chunk pretraining layout):
+    whitespace token counts, md5-bucketed running sum, seq_id = start DIV
+    budget.  Engine-independent by construction (md5 bucket + id order), so
+    the oracle reproduces the exact assignment with a window sum."""
+    from open_ocr_spark.dataops.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(toks, budget=200, n_buckets=8).orderBy(
+        "bucket", "seq_id"
+    )
+
+
 def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + HAVING through the SQL surface: orders above the
     global average price, grouped with a post-aggregation filter. Catalyst
@@ -1595,6 +1687,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_mp4": q_media_frame_sample_mp4,
     "audio_stats_wav": q_audio_stats_wav,
     "session_window_stats": q_session_window_stats,
+    "line_dedup_docs": q_line_dedup_docs,
+    "canonical_url_dedup": q_canonical_url_dedup,
+    "pack_training_sequences": q_pack_training_sequences,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -1621,13 +1716,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
-    "doc_fingerprints": q_doc_fingerprints,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "bpe_token_counts": q_bpe_token_counts,
-    "orders_above_avg": q_orders_above_avg,
     "prepare_corpus": q_prepare_corpus,
-    "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1639,7 +1731,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- grouping_sets_docs green r2 — its class stays in-window via
     # -- rollup_source_lang; pivot/percentile/distinct_counts/full_outer
     # -- rotated out in r3 for the PNG/JPEG/MP4/WAV codec queries, all
-    # -- double-green) ----------------------------------------------------
+    # -- double-green; orders_above_avg/doc_fingerprints/lang_id rotated
+    # -- out (r2 green on file) for the line-dedup/url-canon/packing
+    # -- queries) ---------------------------------------------------------
+    "orders_above_avg": q_orders_above_avg,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_id": q_lang_id,
     "full_outer_user_activity": q_full_outer_user_activity,
     "pivot_order_status": q_pivot_order_status,
     "percentile_order_value": q_percentile_order_value,
@@ -2386,6 +2483,115 @@ ORACLES: dict[str, str] = {
                     THEN 'train' ELSE 'test' END AS split
         FROM documents
         ORDER BY doc_id
+    """,
+    "line_dedup_docs": """
+        WITH chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i*10+1 : i*10+10], ' ') AS line
+            FROM (
+                SELECT doc_id, w,
+                       unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i
+                FROM (
+                    SELECT doc_id,
+                           string_split(coalesce(text, ''), ' ') AS w
+                    FROM documents
+                )
+            )
+        ),
+        doclines AS (
+            SELECT doc_id, CAST(-1 AS BIGINT) AS pos,
+                   'Accept cookies to continue' AS line
+            FROM documents
+            UNION ALL
+            SELECT doc_id, pos, line FROM chunks
+            UNION ALL
+            SELECT doc_id, CAST(2147483647 AS BIGINT),
+                   'All rights reserved. Powered by ExampleCMS.'
+            FROM documents
+        ),
+        freq AS (
+            SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM doclines GROUP BY line
+            ) WHERE nd >= 2
+        )
+        SELECT d.doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE f.line IS NULL) AS n_kept,
+               coalesce(string_agg(d.line, chr(10) ORDER BY d.pos)
+                            FILTER (WHERE f.line IS NULL), '') AS text_clean
+        FROM doclines d LEFT JOIN freq f ON d.line = f.line
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+    "canonical_url_dedup": """
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'https://www.src'
+                          || ((doc_id // 3) % 20)::VARCHAR
+                          || '.example.com:443/page/' || (doc_id // 3)::VARCHAR
+                          || '?utm_source=feed&b=2&a=1#frag'
+                     WHEN 1 THEN 'HTTPS://SRC'
+                          || ((doc_id // 3) % 20)::VARCHAR
+                          || '.EXAMPLE.COM/page/' || (doc_id // 3)::VARCHAR
+                          || '/?a=1&b=2'
+                     ELSE 'https://src'
+                          || ((doc_id // 3) % 20)::VARCHAR
+                          || '.example.com/page/' || (doc_id // 3)::VARCHAR
+                          || '?b=2&utm_campaign=x&a=1&ref=rss'
+                   END AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                       ':[0-9]+$', ''), '^www\\.', '') AS host,
+                   regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                       '/+$', '') AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+            FROM urls
+        )
+        SELECT scheme || '://' || host || path
+               || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                   AS canonical_url,
+               count(*) AS n_variants,
+               min(doc_id) AS rep_doc
+        FROM parts
+        GROUP BY 1
+        ORDER BY canonical_url
+    """,
+    "pack_training_sequences": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(coalesce(text, ''), ' '))
+                       AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 8 AS BIGINT) AS bucket
+            FROM documents
+        ),
+        cum AS (
+            SELECT bucket, doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id) AS running
+            FROM toks
+        )
+        SELECT bucket,
+               CAST((running - n_tokens) // 200 AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM cum
+        GROUP BY bucket, seq_id
+        ORDER BY bucket, seq_id
     """,
     "engine_dispatch": """
         SELECT doc_id,

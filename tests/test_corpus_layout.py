@@ -1,0 +1,166 @@
+"""Line-level dedup, URL canonicalization, and sequence packing: edge
+cases the sf-table oracle rows can't isolate (all-boilerplate docs,
+within-doc repeats, URL corner spellings, over-budget documents)."""
+
+import pyspark.sql.functions as F
+
+from open_ocr_spark.dataops.lines import chunk_words_to_lines, dedup_lines
+from open_ocr_spark.dataops.packing import md5_bucket, pack_sequences
+from open_ocr_spark.dataops.urls import canonicalize_url, dedup_by_canonical_url
+
+
+# ---------------------------------------------------------------- lines
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    rows = [
+        (1, "cookie banner\nreal content one\nfooter"),
+        (2, "cookie banner\nreal content two\nfooter"),
+        (3, "cookie banner\nunique middle\nfooter"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "real content one"
+    assert out[2]["text_clean"] == "real content two"
+    assert out[3]["text_clean"] == "unique middle"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+
+
+def test_dedup_lines_keeps_doc_with_all_lines_removed(spark):
+    rows = [(1, "banner\nfooter"), (2, "banner\nfooter"), (3, "solo")]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # all-boilerplate docs survive with empty text (dropping is the
+    # quality gate's decision, not the dedup's)
+    assert out[1]["text_clean"] == "" and out[1]["n_kept"] == 0
+    assert out[3]["text_clean"] == "solo"
+
+
+def test_dedup_lines_counts_documents_not_occurrences(spark):
+    # a line repeated WITHIN one doc is rare corpus-wide: kept, both copies,
+    # in order
+    rows = [(1, "echo\nmiddle\necho"), (2, "other")]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "echo\nmiddle\necho"
+
+
+def test_chunk_words_to_lines_ragged_tail(spark):
+    df = spark.range(1).select(
+        chunk_words_to_lines(F.lit("a b c d e f g"), 3).alias("lines")
+    )
+    assert df.collect()[0]["lines"] == ["a b c", "d e f", "g"]
+
+
+# ----------------------------------------------------------------- urls
+
+
+def _canon(spark, url):
+    return (
+        spark.range(1)
+        .select(canonicalize_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_canonicalize_url_full_normalisation(spark):
+    assert (
+        _canon(
+            spark,
+            "HTTPS://WWW.Ex.COM:443/page/7/?utm_source=x&b=2&a=1#frag",
+        )
+        == "https://ex.com/page/7?a=1&b=2"
+    )
+
+
+def test_canonicalize_url_no_query_no_path(spark):
+    assert _canon(spark, "http://ex.com") == "http://ex.com"
+    assert _canon(spark, "http://ex.com/?utm_campaign=y") == "http://ex.com"
+
+
+def test_canonicalize_url_keeps_ref_valued_params(spark):
+    # 'ref' as a PARAM NAME is tracking noise; 'href=' / 'prefix' params
+    # must not be caught by the name regex
+    assert (
+        _canon(spark, "https://ex.com/p?href=z&ref=rss")
+        == "https://ex.com/p?href=z"
+    )
+
+
+def test_dedup_by_canonical_url_groups_variants(spark):
+    rows = [
+        (1, "https://www.ex.com/a?utm_source=x"),
+        (2, "HTTPS://EX.COM/a"),
+        (3, "https://ex.com/a/"),
+        (4, "https://ex.com/b"),
+    ]
+    out = {
+        r["canonical_url"]: r
+        for r in dedup_by_canonical_url(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert out["https://ex.com/a"]["n_variants"] == 3
+    assert out["https://ex.com/a"]["rep_doc"] == 1
+    assert out["https://ex.com/b"]["n_variants"] == 1
+
+
+# -------------------------------------------------------------- packing
+
+
+def test_pack_sequences_offset_assignment(spark):
+    # one bucket so the layout is hand-checkable: budgets of 10 over
+    # token runs 4,4,4,12,4 -> starts 0,4,8,12,24 -> seqs 0,0,0,1,2
+    rows = [(i, n) for i, n in enumerate([4, 4, 4, 12, 4])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        (r["bucket"], r["seq_id"]): r
+        for r in pack_sequences(df, budget=10, n_buckets=1).collect()
+    }
+    assert out[(0, 0)]["n_docs"] == 3 and out[(0, 0)]["seq_tokens"] == 12
+    assert out[(0, 1)]["n_docs"] == 1  # the over-budget doc owns its start
+    assert out[(0, 2)]["first_doc"] == 4
+
+
+def test_pack_sequences_deterministic_across_parallelism(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(
+        map(tuple, pack_sequences(df.repartition(1), budget=32).collect())
+    )
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(16), budget=32).collect())
+    )
+    assert a == b
+
+
+def test_md5_bucket_matches_duckdb(spark):
+    import duckdb
+
+    got = (
+        spark.range(50)
+        .select("id", md5_bucket(F.col("id"), 16).alias("b"))
+        .collect()
+    )
+    want = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT i, ('0x' || substring(md5(i::VARCHAR), 1, 4))::INT % 16 "
+            "FROM range(50) t(i)"
+        )
+        .fetchall()
+    )
+    for r in got:
+        assert r["b"] == want[r["id"]]

@@ -1,0 +1,94 @@
+"""Benchmark decontamination: flag training documents that share an
+n-gram with an evaluation/benchmark set (the GPT-3/PaLM-style 13-gram
+overlap rule; n is a parameter because the right value depends on the
+tokenizer and corpus).
+
+A training corpus that contains eval data poisons every downstream
+measurement, so this runs after dedup and before packing in a real
+pipeline.  The reference has no corpus-level ops at all (it is a
+per-document engine, /root/reference/ocr_request.go); this belongs to the
+LLM-pipeline tier the graft adds.
+
+Scale shape (100 TB corpus, ~MB-to-GB benchmark): the benchmark side is
+shingled and distinct-ed first — eval sets are tiny relative to the
+corpus, so Spark broadcasts them (AQE converts even a declared shuffle
+join once the build side is measured small; we declare the broadcast
+explicitly because the asymmetry is structural, not statistical).  The
+corpus side is shingled with `transform(sequence(...))` — pure Catalyst,
+no Python — and never collected or re-shuffled: the broadcast hash join
+filters it map-side, so the only exchange carries the HITS (corpus rows
+that matched an eval shingle), which is output-sized, not corpus-sized.
+Per-doc de-duplication of shingles (`array_distinct`) bounds the explode
+at distinct-grams-per-doc before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """array<string> of the word-level n-grams of a text: split on single
+    spaces, one gram per window of n consecutive words, space-rejoined.
+    A text with fewer than n words has no grams (empty array, not null).
+    Pure Catalyst (split/sequence/transform/slice/array_join)."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.coalesce(col, F.lit("")), " ")
+    n_grams = F.size(words) - F.lit(n - 1)
+    return F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - F.lit(1)),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_grams, n_hits, contaminated) per training document:
+    `n_hits` = how many of the document's DISTINCT n-grams appear anywhere
+    in the benchmark, `contaminated` = n_hits > 0.  Every input document
+    gets a row (clean docs have n_hits = 0) so the caller can anti-filter
+    or audit without a second pass.
+
+    The benchmark's grams are distinct-ed and broadcast; a gram shared by
+    many benchmark rows matches once.  Documents shorter than n words
+    have 0 grams and are trivially clean.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "n_grams"
+        ),
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

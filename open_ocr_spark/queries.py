@@ -770,6 +770,73 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): every 50th
+    document plays the eval set; a training document is contaminated when
+    any of its distinct word 5-grams appears in the eval set.  The oracle
+    re-derives both shingle sets with unnest(range)/list-slice and the
+    hit counts with a join + group-by, so the gram window arithmetic, the
+    per-doc distinct, and the broadcast-join semantics are all
+    value-hashed.  The word soup shares a small vocabulary, so natural
+    5-gram collisions (not just the eval docs themselves) must match too."""
+    from open_ocr_spark.dataops.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=5).orderBy("doc_id")
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container roundtrip (Common-Crawl-native ingest, A1/A3 over
+    the crawl's own format): pack documents 10-per-file into spec-shaped
+    WARC response records built entirely in Catalyst (version line, CRLF
+    headers, Content-Length in BYTES, record separators), then explode
+    the files back into records with the stdlib parser.  The oracle is
+    the identity on documents — any header, length, or separator bug in
+    the parser (or the builder) breaks the byte-equality of text and the
+    record count per file."""
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "https://crawl.example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+    )
+    files = (
+        docs.select(
+            F.expr("doc_id DIV 10").alias("file_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                    ),
+                    "\r\n\r\n",
+                ),
+                "utf-8",
+            ).alias("warc")
+        )
+    )
+    return records_from_warc(files, "warc").select(
+        "file_id",
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        F.octet_length("payload").alias("n_bytes"),
+        F.decode("payload", "utf-8").alias("text"),
+    ).orderBy("file_id", "rec_index")
+
+
 def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + HAVING through the SQL surface: orders above the
     global average price, grouped with a post-aggregation filter. Catalyst
@@ -1690,6 +1757,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_docs": q_line_dedup_docs,
     "canonical_url_dedup": q_canonical_url_dedup,
     "pack_training_sequences": q_pack_training_sequences,
+    "decontaminate_docs": q_decontaminate_docs,
+    "warc_roundtrip": q_warc_roundtrip,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -1714,7 +1783,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
-    "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
@@ -1725,7 +1793,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "binary_payload_stats": q_binary_payload_stats,
     "media_features": q_media_features,
     # -- past the window: recorded green on file (both-rounds, plus
     # -- grouping_sets_docs green r2 — its class stays in-window via
@@ -1733,7 +1800,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated out in r3 for the PNG/JPEG/MP4/WAV codec queries, all
     # -- double-green; orders_above_avg/doc_fingerprints/lang_id rotated
     # -- out (r2 green on file) for the line-dedup/url-canon/packing
-    # -- queries) ---------------------------------------------------------
+    # -- queries; token_counts/binary_payload_stats (green r1 AND r2)
+    # -- rotated out for decontaminate_docs/warc_roundtrip) ---------------
+    "token_counts": q_token_counts,
+    "binary_payload_stats": q_binary_payload_stats,
     "orders_above_avg": q_orders_above_avg,
     "doc_fingerprints": q_doc_fingerprints,
     "lang_id": q_lang_id,
@@ -2592,6 +2662,52 @@ ORACLES: dict[str, str] = {
         FROM cum
         GROUP BY bucket, seq_id
         ORDER BY bucket, seq_id
+    """,
+    "decontaminate_docs": """
+        WITH words AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i+1 : i+5], ' ') AS gram
+            FROM (
+                SELECT doc_id, w,
+                       unnest(range(greatest(len(w) - 4, 0))) AS i
+                FROM words
+            )
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+        ),
+        totals AS (
+            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM grams g JOIN bench b USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN totals t ON d.doc_id = t.doc_id
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id
+    """,
+    "warc_roundtrip": """
+        SELECT doc_id // 10 AS file_id,
+               CAST(doc_id % 10 AS INTEGER) AS rec_index,
+               'response' AS warc_type,
+               'https://crawl.example.com/doc/' || doc_id::VARCHAR
+                   AS target_uri,
+               CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER)
+                   AS n_bytes,
+               coalesce(text, '') AS text
+        FROM documents
+        ORDER BY file_id, rec_index
     """,
     "engine_dispatch": """
         SELECT doc_id,

@@ -1,0 +1,148 @@
+"""WARC container source: spec-shaped parsing, gzip member-per-record,
+hostile payloads as error values, and decontamination shingle edges."""
+
+import gzip
+
+import pyspark.sql.functions as F
+
+from open_ocr_spark.dataops.decontam import decontaminate, word_ngrams
+from open_ocr_spark.sources import parse_warc_bytes, records_from_warc
+
+
+def _record(uri: str, body: bytes, rtype: str = "response") -> bytes:
+    return (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+def _warc(*recs: bytes) -> bytes:
+    return b"\r\n\r\n".join(recs)
+
+
+# ------------------------------------------------------------ pure parser
+
+
+def test_parse_plain_multi_record():
+    recs = parse_warc_bytes(
+        _warc(_record("u/1", b"hello"), _record("u/2", b"world!"))
+    )
+    assert [r["error"] for r in recs] == [None, None]
+    assert [r["target_uri"] for r in recs] == ["u/1", "u/2"]
+    assert [r["payload"] for r in recs] == [b"hello", b"world!"]
+    assert [r["rec_index"] for r in recs] == [0, 1]
+
+
+def test_parse_gzip_member_per_record():
+    # Common Crawl compresses one gzip member PER record
+    blob = gzip.compress(_record("u/1", b"a") + b"\r\n\r\n") + gzip.compress(
+        _record("u/2", b"bb")
+    )
+    recs = parse_warc_bytes(blob)
+    assert [(r["target_uri"], r["payload"]) for r in recs] == [
+        ("u/1", b"a"),
+        ("u/2", b"bb"),
+    ]
+
+
+def test_parse_payload_containing_separator_bytes():
+    # Content-Length framing must win over separator scanning
+    body = b"x\r\n\r\nWARC/1.0 fake\r\n\r\ny"
+    recs = parse_warc_bytes(_warc(_record("u/1", body), _record("u/2", b"z")))
+    assert [r["error"] for r in recs] == [None, None]
+    assert recs[0]["payload"] == body
+
+
+def test_parse_errors_are_values():
+    cases = {
+        b"NOTWARC": "missing WARC/ magic",
+        b"WARC/1.0\r\nWARC-Type: response\r\n": "unterminated header",
+        b"WARC/1.0\r\nnocolonhere\r\n\r\n": "malformed header",
+        b"WARC/1.0\r\nWARC-Type: x\r\n\r\n": "no Content-Length",
+        b"WARC/1.0\r\nContent-Length: ten\r\n\r\n": "bad Content-Length",
+        b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort": "out of range",
+        b"\x1f\x8bjunk": "gzip",
+    }
+    for blob, needle in cases.items():
+        recs = parse_warc_bytes(blob)
+        assert recs[-1]["error"] is not None and needle in recs[-1]["error"]
+
+
+def test_parse_bad_separator_keeps_good_prefix():
+    blob = _record("u/1", b"ok") + b"XXXX" + _record("u/2", b"lost")
+    recs = parse_warc_bytes(blob)
+    assert recs[0]["error"] is None and recs[0]["payload"] == b"ok"
+    assert "separator" in recs[1]["error"]
+
+
+def test_parse_decompression_cap():
+    bomb = gzip.compress(b"\0" * 4096)
+    recs = parse_warc_bytes(bomb, limit=1024)
+    assert "over limit" in recs[0]["error"]
+
+
+def test_parse_empty_and_empty_body():
+    assert parse_warc_bytes(b"") == []
+    (rec,) = parse_warc_bytes(_record("u/e", b""))
+    assert rec["payload"] == b"" and rec["error"] is None
+
+
+# ------------------------------------------------------------- spark side
+
+
+def test_records_from_warc_explodes_with_passthrough(spark):
+    rows = [
+        (1, _warc(_record("u/1", b"aa"), _record("u/2", b"bb"))),
+        (2, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, warc binary")
+    out = records_from_warc(df).orderBy("file_id", "rec_index").collect()
+    assert [(r["file_id"], r["target_uri"]) for r in out] == [
+        (1, "u/1"),
+        (1, "u/2"),
+        (2, None),
+    ]
+    assert out[2]["error"] is not None  # error-as-value row, job green
+
+
+# ------------------------------------------------------------ decontam
+
+
+def test_word_ngrams_short_text_is_empty(spark):
+    out = spark.range(1).select(
+        word_ngrams(F.lit("a b"), 3).alias("g"),
+        word_ngrams(F.lit("a b c d"), 3).alias("h"),
+    ).collect()[0]
+    assert out["g"] == [] and out["h"] == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # contains the bench 3-gram
+            (2, "quick brown dog sleeps now"),  # shares words, no 3-gram
+            (3, "xx"),                          # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "lorem the quick brown fox ipsum")], "bid long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 2
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, "a b c")], "bid long, text string")
+    (row,) = decontaminate(docs, bench, n=3).collect()
+    # 'a b c' appears 3x in the doc but is ONE distinct gram -> one hit
+    assert row["n_hits"] == 1 and row["n_grams"] == 3  # abc, bca, cab

@@ -62,33 +62,40 @@ def decontaminate(
     The benchmark's grams are distinct-ed and broadcast; a gram shared by
     many benchmark rows matches once.  Documents shorter than n words
     have 0 grams and are trivially clean.
+
+    Single corpus pass by construction: the shingle array is built once,
+    its size (n_grams) rides along through `explode_outer` (which also
+    keeps 0-gram docs as one null-gram row), the broadcast left join
+    marks hits map-side, and the per-doc count collapses via partial
+    aggregation — the one exchange carries ~one row per document, never
+    the text and never the shingles.  The naive two-branch form (inner
+    join for hits + separate totals scan) reads and shingles the text
+    column TWICE; at corpus scale the extra full-column scan costs more
+    than this shuffle of id-sized rows.
     """
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
-        ).alias("gram"),
-    )
     bench_grams = (
         benchmark.select(
             F.explode(word_ngrams(F.col(bench_text_col), n)).alias("gram")
         )
         .distinct()
+        .withColumn("hit", F.lit(True))
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
-    )
-    totals = docs.select(
+    exploded = docs.select(
         F.col(id_col),
-        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-            "n_grams"
-        ),
-    )
-    return totals.join(hits, id_col, "left").select(
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    ).select(
         id_col,
-        "n_grams",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
     )

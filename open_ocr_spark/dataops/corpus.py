@@ -59,3 +59,72 @@ def prepare_corpus(
         "quality_score",
         F.col("text_clean").alias("text"),
     )
+
+
+def prepare_corpus_full(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.3,
+    line_min_docs: int = 2,
+    ngram: int = 5,
+) -> DataFrame:
+    """The whole crawl-to-corpus chain as ONE declarative plan:
+
+        line-level boilerplate dedup -> exact dedup -> quality gate
+        -> PII scrub -> benchmark decontamination -> split
+
+    (doc_id, split, n_tokens, quality_score, text) for every surviving
+    document. Ordering is the load-bearing part: the quality gate must
+    see line-cleaned but unscrubbed text (true token counts, no banner
+    inflation); the scrub runs only on gated survivors; decontamination
+    greps the text that would actually ship (cleaned + scrubbed); the
+    split is assigned by md5 of the surviving doc_id, engine- and
+    parallelism-independent.
+
+    The decontamination gate is inlined rather than composed from
+    decontaminate(): a two-branch form (flags + join back) would execute
+    the whole upstream chain twice — here the survivors explode into
+    shingles once, a broadcast left join marks hits map-side, and a
+    first()-carry aggregate collapses back to one row per doc (partial
+    aggregation makes the exchange ~one row per document). Shuffles in
+    the full plan: the line dedup's two uniform hash aggs, the exact
+    dedup's content window, and this one — each on a uniform key, none
+    carrying more than the corpus' surviving rows.
+    """
+    from open_ocr_spark.dataops.decontam import word_ngrams
+    from open_ocr_spark.dataops.lines import dedup_lines
+
+    cleaned = dedup_lines(docs, min_docs=line_min_docs).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    prepared = prepare_corpus(cleaned, min_quality)
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col("text"), ngram)).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    exploded = prepared.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        "quality_score",
+        "text",
+        F.explode_outer(
+            F.array_distinct(word_ngrams(F.col("text"), ngram))
+        ).alias("gram"),
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("split").alias("split"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("quality_score").alias("quality_score"),
+            F.first("text").alias("text"),
+            F.count("hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") == 0)
+        .drop("n_hits")
+    )

@@ -770,6 +770,42 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prepare_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE crawl-to-corpus chain, value-hashed end to end: wrap every
+    document in boilerplate lines + a PII tail, then line-dedup ->
+    exact-dedup -> quality gate -> PII scrub -> 5-gram decontamination
+    (eval set = every 50th raw document) -> md5 split, one plan.  The
+    oracle reproduces each stage in SQL IN ORDER, so any stage-ordering
+    bug (gating scrubbed counts, decontaminating pre-scrub text, splitting
+    before dedup) or any drift in one stage's semantics fails the hash of
+    the final text bytes."""
+    from open_ocr_spark.dataops.corpus import prepare_corpus_full
+    from open_ocr_spark.dataops.lines import chunk_words_to_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_tail = " contact a1.b-c@mail-host.example.net or call +1-555-0100-22"
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_HEAD),
+            F.lit("\n"),
+            F.array_join(
+                chunk_words_to_lines(
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")), F.lit(pii_tail)
+                    ),
+                    10,
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+            F.lit(_BOILER_FOOT),
+        ).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return prepare_corpus_full(wrapped, bench, ngram=5).orderBy("doc_id")
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3-style n-gram overlap): every 50th
     document plays the eval set; a training document is contaminated when
@@ -1759,6 +1795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_training_sequences": q_pack_training_sequences,
     "decontaminate_docs": q_decontaminate_docs,
     "warc_roundtrip": q_warc_roundtrip,
+    "prepare_corpus_full": q_prepare_corpus_full,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -1783,7 +1820,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
-    "quality_scores": q_quality_scores,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "bpe_token_counts": q_bpe_token_counts,
@@ -1801,7 +1837,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- double-green; orders_above_avg/doc_fingerprints/lang_id rotated
     # -- out (r2 green on file) for the line-dedup/url-canon/packing
     # -- queries; token_counts/binary_payload_stats (green r1 AND r2)
-    # -- rotated out for decontaminate_docs/warc_roundtrip) ---------------
+    # -- rotated out for decontaminate_docs/warc_roundtrip;
+    # -- quality_scores (green r1 AND r2, and its scoring math is pinned
+    # -- inside prepare_corpus/prepare_corpus_full's oracles) rotated out
+    # -- for prepare_corpus_full) ------------------------------------------
+    "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "binary_payload_stats": q_binary_payload_stats,
     "orders_above_avg": q_orders_above_avg,
@@ -2662,6 +2702,116 @@ ORACLES: dict[str, str] = {
         FROM cum
         GROUP BY bucket, seq_id
         ORDER BY bucket, seq_id
+    """,
+    "prepare_corpus_full": """
+        WITH src AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || ' contact a1.b-c@mail-host.example.net'
+                   || ' or call +1-555-0100-22' AS t
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i*10+1 : i*10+10], ' ') AS line
+            FROM (
+                SELECT doc_id, w,
+                       unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i
+                FROM (SELECT doc_id, string_split(t, ' ') AS w FROM src)
+            )
+        ),
+        doclines AS (
+            SELECT doc_id, CAST(-1 AS BIGINT) AS pos,
+                   'Accept cookies to continue' AS line
+            FROM documents
+            UNION ALL
+            SELECT doc_id, pos, line FROM chunks
+            UNION ALL
+            SELECT doc_id, CAST(2147483647 AS BIGINT),
+                   'All rights reserved. Powered by ExampleCMS.'
+            FROM documents
+        ),
+        freq AS (
+            SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS nd
+                FROM doclines GROUP BY line
+            ) WHERE nd >= 2
+        ),
+        cleaned AS (
+            SELECT d.doc_id,
+                   coalesce(string_agg(d.line, chr(10) ORDER BY d.pos)
+                                FILTER (WHERE f.line IS NULL), '') AS text
+            FROM doclines d LEFT JOIN freq f ON d.line = f.line
+            GROUP BY d.doc_id
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(text, '[ \t\n]+', ' ', 'g')) AS nt
+            FROM cleaned
+        ),
+        dedup AS (
+            SELECT min(doc_id) AS doc_id FROM base GROUP BY nt
+        ),
+        kept AS (
+            SELECT b.doc_id, b.text, b.nt FROM base b JOIN dedup USING (doc_id)
+        ),
+        q AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   CASE WHEN length(nt) = 0 THEN 0
+                        ELSE len(string_split(nt, ' ')) END AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM kept
+        ),
+        scored AS (
+            SELECT doc_id, text, n_tokens,
+                   floor((least(1.0, n_tokens / 100.0) * 0.5
+                          + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                                  ELSE 0.0 END) * 0.3
+                          + least(1.0, (CASE WHEN n_tokens > 0
+                                        THEN (n_chars - (n_tokens - 1)) / n_tokens
+                                        ELSE 0.0 END) / 8.0) * 0.2)
+                         * 10000.0 + 0.5) / 10000.0 AS quality_score
+            FROM q
+        ),
+        gated AS (
+            SELECT doc_id, n_tokens, quality_score,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                       '[+][0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}',
+                       '<PHONE>', 'g') AS text
+            FROM scored
+            WHERE quality_score >= 0.3
+        ),
+        bgrams AS (
+            SELECT DISTINCT array_to_string(w[i+1 : i+5], ' ') AS gram
+            FROM (
+                SELECT w, unnest(range(greatest(len(w) - 4, 0))) AS i
+                FROM (
+                    SELECT string_split(coalesce(text, ''), ' ') AS w
+                    FROM documents WHERE doc_id % 50 = 0
+                )
+            )
+        ),
+        cgrams AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i+1 : i+5], ' ') AS gram
+            FROM (
+                SELECT doc_id, w, unnest(range(greatest(len(w) - 4, 0))) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM gated)
+            )
+        ),
+        bad AS (
+            SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)
+        )
+        SELECT g.doc_id,
+               CASE WHEN ('0x' || substring(md5(g.doc_id::VARCHAR), 1, 4))::INT
+                         % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split,
+               g.n_tokens, g.quality_score, g.text
+        FROM gated g LEFT JOIN bad ON g.doc_id = bad.doc_id
+        WHERE bad.doc_id IS NULL
+        ORDER BY g.doc_id
     """,
     "decontaminate_docs": """
         WITH words AS (

@@ -164,3 +164,55 @@ def test_md5_bucket_matches_duckdb(spark):
     )
     for r in got:
         assert r["b"] == want[r["id"]]
+
+
+# ------------------------------------------------ full-chain composition
+
+
+def test_prepare_corpus_full_stage_ordering(spark):
+    from open_ocr_spark.dataops.corpus import prepare_corpus_full
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 20
+    rows = [
+        # the banner line appears in 3 docs (>= min_docs, stripped); the
+        # body line in only 2 (kept), leaving docs 1 and 2 exact dups
+        # AFTER the line clean — the exact-dedup stage must collapse them
+        (1, "banner\n" + body.strip()),
+        (2, "banner\n" + body.strip()),
+        # contaminated: contains the benchmark phrase verbatim
+        (3, body.strip() + " the secret eval question answer key"),
+        # all-boilerplate: line-cleaned to '', must be quality-gated out
+        (4, "banner"),
+        # clean survivor
+        (5, ("omega " + body).strip()),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "the secret eval question answer key")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in prepare_corpus_full(
+            docs, bench, line_min_docs=3, ngram=5
+        ).collect()
+    }
+    assert set(out) == {1, 5}  # 2 deduped, 3 decontaminated, 4 gated
+    assert out[1]["text"] == body.strip()  # banner line stripped
+    assert out[1]["split"] in ("train", "test")
+
+
+def test_prepare_corpus_full_scrubs_after_gating(spark):
+    from open_ocr_spark.dataops.corpus import prepare_corpus_full
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 20
+    docs = spark.createDataFrame(
+        [(1, body.strip() + " mail me at someone@example.org today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "unrelated eval words only here")], "doc_id long, text string"
+    )
+    (row,) = prepare_corpus_full(docs, bench, line_min_docs=2).collect()
+    assert "<EMAIL>" in row["text"] and "someone@example.org" not in row["text"]
+    # n_tokens was computed on the UNscrubbed text (gate sees true counts)
+    assert row["n_tokens"] == len((body.strip() + " mail me at x today").split())

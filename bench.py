@@ -186,6 +186,9 @@ HEADLINE = [
     "range_join_event_pairs",
     "train_test_split",
     "prepare_corpus",
+    "prepare_corpus_full",
+    "line_dedup_docs",
+    "decontaminate_docs",
 ]
 
 

@@ -8,8 +8,10 @@ stage can run vectorized inside one Arrow batch with zero subprocesses and
 zero per-row Python on the Spark side.
 
 Determinism requirements (SURVEY.md §7.3 "Hard #1/#2"): stdlib-only parsing,
-explicit utf-8/replace decoding, no environment-dependent behavior. The same
-bytes must yield the same tree on every executor at any parallelism.
+an explicit frozen decode policy (WHATWG-style charset sniff: BOM, then a
+1024-byte <meta> prescan with label normalization, then utf-8; always
+errors=replace), no environment-dependent behavior. The same bytes must
+yield the same tree on every executor at any parallelism.
 
 Tree representation (hot-path layout): element nodes are ``Node``; text
 runs are plain ``str`` entries in ``children`` — no object allocation per
@@ -20,7 +22,63 @@ main-content roots are collected in document order at parse time
 
 from __future__ import annotations
 
+import codecs
+import re
 from html.parser import HTMLParser
+
+# --- charset sniff ----------------------------------------------------------
+# WHATWG "encoding sniffing algorithm", reduced to its deterministic core:
+# a byte-order mark wins; else a <meta charset=...> / <meta http-equiv
+# content="...charset=..."> found in the first 1024 bytes; else utf-8.
+# Labels normalize per the WHATWG encoding registry's big equivalence
+# classes (every latin1-family label means windows-1252 on the web; a meta
+# claiming utf-16 is a lie by construction — the prescan READ it as ASCII —
+# and maps to utf-8, as the spec prescribes). Unknown labels fall back to
+# utf-8. Decoding is always errors=replace: a wrong declaration degrades to
+# replacement characters, never raises, and stays byte-deterministic.
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)", re.I
+)
+
+# WHATWG label -> Python codec, for the classes where they differ.
+_CHARSET_ALIASES = {
+    "iso-8859-1": "cp1252", "latin1": "cp1252", "latin-1": "cp1252",
+    "us-ascii": "cp1252", "ascii": "cp1252", "windows-1252": "cp1252",
+    "iso8859-1": "cp1252", "l1": "cp1252",
+    "gb2312": "gb18030", "gbk": "gb18030", "gb_2312-80": "gb18030",
+    "shift-jis": "shift_jis", "sjis": "shift_jis", "x-sjis": "shift_jis",
+    "euc-kr": "cp949", "ks_c_5601-1987": "cp949", "korean": "cp949",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+    "unicode": "utf-8",
+}
+
+
+def sniff_charset(raw: bytes) -> str:
+    """The Python codec name the frozen decode policy picks for a page."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # the utf-16 codec reads the BOM for endianness AND strips it;
+        # the -le/-be variants would leave a U+FEFF in the text
+        return "utf-16"
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii").lower()
+        label = _CHARSET_ALIASES.get(label, label)
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            return "utf-8"
+    return "utf-8"
+
+
+def decode_html_bytes(raw: bytes | bytearray | memoryview) -> str:
+    """bytes -> str under the frozen sniff policy (never raises)."""
+    raw = bytes(raw)
+    return raw.decode(sniff_charset(raw), errors="replace")
+
 
 # Elements whose entire subtree carries no extractable text.
 SKIP_TAGS = frozenset(
@@ -185,7 +243,7 @@ def parse_html_stdlib(raw: bytes | str) -> Node:
     fast tokenizer below is cross-checked against (tests assert identical
     extraction on the golden fixtures)."""
     if isinstance(raw, (bytes, bytearray, memoryview)):
-        raw = bytes(raw).decode("utf-8", errors="replace")
+        raw = decode_html_bytes(raw)
     builder = _TreeBuilder()
     try:
         builder.feed(raw)
@@ -223,10 +281,11 @@ _RAWTEXT_CLOSE = {
 
 
 def parse_html(raw: bytes | str) -> Node:
-    """Parse HTML bytes (utf-8, errors=replace — frozen decode policy) or a
-    str into a Node tree. Never raises on malformed markup."""
+    """Parse HTML bytes (frozen sniff-then-replace decode policy, see
+    decode_html_bytes) or a str into a Node tree. Never raises on
+    malformed markup."""
     if isinstance(raw, (bytes, bytearray, memoryview)):
-        raw = bytes(raw).decode("utf-8", errors="replace")
+        raw = decode_html_bytes(raw)
     root = Node("#document")
     candidates: list[Node] = []
     root.candidates = candidates

@@ -628,3 +628,60 @@ def test_pdf_unsupported_predictor_shapes_error():
     # predictor 1 (or parms without /Predictor) is a no-op, not an error
     pdf = _predictor_pdf(body, b"<< /Predictor 1 >>")
     assert extract_pdf_text(pdf) == "x"
+
+
+# --- charset sniff (frozen decode policy) -----------------------------------
+
+
+def test_sniff_charset_meta_and_boms():
+    from open_ocr_spark.kernels.htmltree import sniff_charset
+
+    assert sniff_charset(b"<html><body>plain") == "utf-8"
+    assert sniff_charset(b'<meta charset="windows-1252">') == "cp1252"
+    assert sniff_charset(b"<META CHARSET=ISO-8859-1>") == "cp1252"
+    assert (
+        sniff_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=Shift_JIS">'
+        )
+        == "shift_jis"
+    )
+    assert sniff_charset(b'<meta charset="gb2312">') == "gb18030"
+    # unknown label -> utf-8; meta claiming utf-16 is a lie -> utf-8
+    assert sniff_charset(b'<meta charset="klingon-9">') == "utf-8"
+    assert sniff_charset(b'<meta charset="utf-16">') == "utf-8"
+    # BOMs win over meta
+    assert sniff_charset(b"\xef\xbb\xbf<meta charset=latin1>") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfex\x00") == "utf-16"
+    assert sniff_charset(b"\xfe\xff\x00x") == "utf-16"
+    # meta past the 1024-byte prescan window is ignored
+    assert sniff_charset(b" " * 1024 + b'<meta charset="latin1">') == "utf-8"
+
+
+def test_decode_html_bytes_cp1252_and_utf16():
+    from open_ocr_spark.kernels.htmltree import decode_html_bytes
+
+    page = '<meta charset="iso-8859-1"><p>café ’quote’</p>'
+    assert decode_html_bytes(page.encode("cp1252")) == page
+    u16 = "﻿<p>café</p>".encode("utf-16-le")
+    assert decode_html_bytes(u16) == "<p>café</p>"  # BOM stripped
+    # undeclared cp1252 bytes degrade to replacement chars, never raise
+    assert "�" in decode_html_bytes("café".encode("cp1252"))
+
+
+def test_extraction_honours_declared_charset():
+    from open_ocr_spark.kernels.html_extract import extract_main_text
+    from open_ocr_spark.kernels.htmltree import parse_html
+
+    body = "Gute Nacht für alle Gäste im großen Saal " * 30
+    page = (
+        '<html><head><meta charset="windows-1252"></head>'
+        f"<body><div><p>{body.strip()}</p></div></body></html>"
+    )
+    raw = page.encode("cp1252")
+    text = extract_main_text(raw)
+    assert "für" in text and "großen" in text and "�" not in text
+    # both parsers agree on non-utf8 bytes (cross-check invariant)
+    from open_ocr_spark.kernels.htmltree import parse_html_stdlib
+
+    assert parse_html(raw).candidates and parse_html_stdlib(raw).candidates

@@ -146,3 +146,47 @@ def test_decontaminate_counts_distinct_grams_once(spark):
     (row,) = decontaminate(docs, bench, n=3).collect()
     # 'a b c' appears 3x in the doc but is ONE distinct gram -> one hit
     assert row["n_hits"] == 1 and row["n_grams"] == 3  # abc, bca, cab
+
+
+# ------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_uri_chars = st.text(
+    st.characters(min_codepoint=33, max_codepoint=126, exclude_characters="\r\n"),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_uri_chars, st.binary(max_size=200)), min_size=1, max_size=6
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_property(recs, use_gzip):
+    """build -> parse is the identity for any record set (payloads may
+    contain separators, WARC magic, gzip magic — framing must win), in
+    both plain and member-per-record gzip encodings."""
+    blob = _warc(*[_record(u, b) for u, b in recs])
+    if use_gzip:
+        parts = [_record(u, b) + b"\r\n\r\n" for u, b in recs[:-1]]
+        parts.append(_record(*recs[-1]))
+        blob = b"".join(gzip.compress(p) for p in parts)
+    out = parse_warc_bytes(blob)
+    assert [r["error"] for r in out] == [None] * len(recs)
+    assert [(r["target_uri"], r["payload"]) for r in out] == recs
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=400))
+def test_warc_parser_total_on_garbage(blob):
+    """parse_warc_bytes never raises: any byte string yields records
+    and/or one trailing error record."""
+    out = parse_warc_bytes(blob)
+    assert all(
+        (r["error"] is None) == (r["payload"] is not None) for r in out
+    )

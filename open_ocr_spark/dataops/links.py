@@ -1,0 +1,73 @@
+"""Outlink extraction and the host-level link graph.
+
+The reference keys everything on a single request url
+(/root/reference/ocr_request.go:6-17) and never looks INTO a page for
+links; a crawl pipeline must — the link graph drives ranking,
+prioritisation, and spam heuristics.  Extraction here is pure Catalyst:
+three `regexp_extract_all` passes (double-quoted, single-quoted, bare
+href values — disjoint classes, so no double counting) keep the hot
+path JVM-side with zero Python, and only absolute http(s) targets
+survive (relative-link resolution needs per-page base handling the
+graph doesn't: hosts are what we aggregate).
+
+Scale shape: extraction is a projection (no shuffle); the host-edge
+aggregate is one hash agg on a (src_host, dst_host) key.  Host keys are
+skewed (big sites attract links) — the aggregate itself is safe
+(map-side combine collapses the skew before the exchange) but anyone
+JOINING on dst_host downstream should use the salted partitioning in
+pipeline/partitioning.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HREF_DQ = r'<[aA]\s[^>]*[hH][rR][eE][fF]\s*=\s*"([^"]*)"'
+_HREF_SQ = r"<[aA]\s[^>]*[hH][rR][eE][fF]\s*=\s*'([^']*)'"
+_HREF_BARE = r"<[aA]\s[^>]*[hH][rR][eE][fF]\s*=\s*([^\s>\"'][^\s>]*)"
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url): one row per absolute http(s) outlink occurrence
+    (repeated links repeat — callers distinct if they need to).  The html
+    column may be binary (decoded utf-8 JVM-side) or string."""
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    hrefs = F.concat(
+        F.regexp_extract_all(html, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_SQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_BARE), F.lit(1)),
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(hrefs).alias("dst_url"),
+        )
+        .filter(
+            F.col("dst_url").startswith("http://")
+            | F.col("dst_url").startswith("https://")
+        )
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links): the host-level link graph with link
+    multiplicity.  One hash-aggregate shuffle; hosts lowercased so the
+    graph is spelling-insensitive."""
+    return (
+        links.select(
+            F.lower(F.parse_url(F.col("src_url"), F.lit("HOST"))).alias(
+                "src_host"
+            ),
+            F.lower(F.parse_url(F.col("dst_url"), F.lit("HOST"))).alias(
+                "dst_host"
+            ),
+        )
+        .filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

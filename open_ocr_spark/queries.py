@@ -770,6 +770,66 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_pages(docs: DataFrame) -> DataFrame:
+    """Synthetic pages with a deterministic outlink structure: page for
+    doc D lives on host h{D%20}, links twice to h{(7D+1)%20} (once
+    double-quoted, once bare) and once single-quoted to h{(3D+2)%20},
+    plus a relative link that extraction must skip."""
+    def host(expr):
+        return F.concat(
+            F.lit("https://h"), expr.cast("string"), F.lit(".example.com")
+        )
+
+    a1 = host((F.col("doc_id") * 7 + 1) % 20)
+    a2 = host((F.col("doc_id") * 3 + 2) % 20)
+    url = F.concat(
+        host(F.col("doc_id") % 20), F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="'), a1,
+        F.lit("/x\">one</a> <a href='"), a2,
+        F.lit("/y'>two</a><a href=/rel>skip</a><a href="), a1,
+        F.lit("/bare>three</a></body></html>"),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + host-level link graph, pure Catalyst: three
+    regexp passes (double-quoted / single-quoted / bare hrefs), absolute
+    http(s) filter, host fold, multiplicity counts.  The oracle re-derives
+    the hrefs with DuckDB's regexp_extract_all and the hosts with a regex
+    (no parse_url there), so quoting classes, the relative-link skip, and
+    the double-link multiplicity are all value-hashed."""
+    from open_ocr_spark.dataops.links import extract_links, host_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    return host_edges(extract_links(_link_pages(docs))).orderBy(
+        "src_host", "dst_host"
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-graph pipeline: build pages -> extract links -> host
+    graph -> 5 rounds of deterministic integer-domain PageRank.  Integer
+    arithmetic makes the ranks EXACT (order-independent sums), so the
+    oracle value-hashes them from 5 unrolled SQL iterations instead of
+    epsilon-comparing floats — any drift in degree counts, dangling-node
+    handling, or the update formula fails the hash."""
+    from open_ocr_spark.dataops.links import extract_links, host_edges
+    from open_ocr_spark.dataops.pagerank import pagerank_int
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = host_edges(extract_links(_link_pages(docs))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return (
+        pagerank_int(edges, iterations=5)
+        .select(F.col("node").alias("host"), "rank")
+        .orderBy("host")
+    )
+
+
 def q_prepare_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE crawl-to-corpus chain, value-hashed end to end: wrap every
     document in boilerplate lines + a PII tail, then line-dedup ->
@@ -1796,6 +1856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "warc_roundtrip": q_warc_roundtrip,
     "prepare_corpus_full": q_prepare_corpus_full,
+    "host_link_graph": q_host_link_graph,
+    "host_pagerank": q_host_pagerank,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -1814,7 +1876,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "sessionize_events": q_sessionize_events,
     "host_doc_counts": q_host_doc_counts,
-    "base64_roundtrip": q_base64_roundtrip,
     "exact_dedup_groups": q_exact_dedup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1824,7 +1885,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "bpe_token_counts": q_bpe_token_counts,
     "prepare_corpus": q_prepare_corpus,
-    "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1840,7 +1900,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rotated out for decontaminate_docs/warc_roundtrip;
     # -- quality_scores (green r1 AND r2, and its scoring math is pinned
     # -- inside prepare_corpus/prepare_corpus_full's oracles) rotated out
-    # -- for prepare_corpus_full) ------------------------------------------
+    # -- for prepare_corpus_full; base64_roundtrip/embedding_topk (green
+    # -- r1 AND r2) rotated out for host_link_graph/host_pagerank) --------
+    "base64_roundtrip": q_base64_roundtrip,
+    "embedding_topk": q_embedding_topk,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "binary_payload_stats": q_binary_payload_stats,
@@ -2702,6 +2765,97 @@ ORACLES: dict[str, str] = {
         FROM cum
         GROUP BY bucket, seq_id
         ORDER BY bucket, seq_id
+    """,
+    "host_link_graph": """
+        WITH pages AS (
+            SELECT 'https://h' || (doc_id % 20)::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url,
+                   '<html><body><p>intro</p><a href="'
+                       || 'https://h' || ((doc_id * 7 + 1) % 20)::VARCHAR
+                       || '.example.com/x">one</a> <a href='''
+                       || 'https://h' || ((doc_id * 3 + 2) % 20)::VARCHAR
+                       || '.example.com/y''>two</a><a href=/rel>skip</a><a href='
+                       || 'https://h' || ((doc_id * 7 + 1) % 20)::VARCHAR
+                       || '.example.com/bare>three</a></body></html>' AS html
+            FROM documents
+        ),
+        links AS (
+            SELECT url AS src_url,
+                   unnest(
+                       regexp_extract_all(html,
+                           '<[aA]\\s[^>]*[hH][rR][eE][fF]\\s*=\\s*"([^"]*)"', 1)
+                       || regexp_extract_all(html,
+                           '<[aA]\\s[^>]*[hH][rR][eE][fF]\\s*=\\s*''([^'']*)''', 1)
+                       || regexp_extract_all(html,
+                           '<[aA]\\s[^>]*[hH][rR][eE][fF]\\s*=\\s*([^\\s>"''][^\\s>]*)', 1)
+                   ) AS dst_url
+            FROM pages
+        )
+        SELECT lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                   AS src_host,
+               lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                   AS dst_host,
+               count(*) AS n_links
+        FROM links
+        WHERE dst_url LIKE 'http://%' OR dst_url LIKE 'https://%'
+        GROUP BY 1, 2
+        ORDER BY src_host, dst_host
+    """,
+    "host_pagerank": """
+        WITH es AS (
+            SELECT DISTINCT (doc_id % 20) AS src,
+                            ((doc_id * 7 + 1) % 20) AS dst
+            FROM documents
+            UNION
+            SELECT DISTINCT (doc_id % 20), ((doc_id * 3 + 2) % 20)
+            FROM documents
+        ),
+        nodes AS (SELECT src AS n FROM es UNION SELECT dst FROM es),
+        dg AS (SELECT src, count(*) AS deg FROM es GROUP BY src),
+        r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+        r1 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r0 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r2 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r1 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r3 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r2 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r4 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r3 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r5 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r4 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        )
+        SELECT 'h' || n::VARCHAR || '.example.com' AS host, rank
+        FROM r5
+        ORDER BY host
     """,
     "prepare_corpus_full": """
         WITH src AS (

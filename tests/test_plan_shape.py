@@ -218,3 +218,65 @@ def test_aqe_skew_join_splits_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_bench_and_scans_corpus_once(spark):
+    """The corpus side of decontamination must be filtered by a BROADCAST
+    join (never a shuffle of the exploded shingles) and the corpus text
+    must be scanned once — the totals ride through explode_outer, they are
+    not a second scan."""
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.decontam import decontaminate
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = spark.createDataFrame(
+        [(0, "some eval words here")], "doc_id long, text string"
+    )
+    plan = plan_of(decontaminate(corpus, bench, n=5))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert _nodes(plan, "Scan parquet") == 1  # bench is a local relation
+
+
+def test_line_dedup_no_cartesian_and_partial_aggs(spark):
+    from open_ocr_spark.dataops.lines import dedup_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup_lines(docs))
+    assert "CartesianProduct" not in plan
+    # frequent-line count and reassembly both hash-aggregate with
+    # map-side partials (never SortAggregate on the line strings)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """The running-sum window must be partitioned by bucket — a global
+    (unpartitioned) window is the single-reducer scale killer."""
+    from open_ocr_spark.dataops.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "n_chars as n_tokens"
+    )
+    plan = plan_of(pack_sequences(docs, budget=100, n_buckets=8))
+    assert _nodes(plan, "Window") == 1
+    # the window's exchange hash-partitions on bucket (range exchange per
+    # bucket), and no unpartitioned-window warning shape exists
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pagerank_plans_stay_shallow(spark):
+    """localCheckpoint per iteration must cut lineage: the final ranks
+    plan is one join + one agg + one join deep, not 5 iterations deep."""
+    from open_ocr_spark.dataops.pagerank import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 10}") for i in range(30)],
+        "src string, dst string",
+    )
+    ranks = pagerank_int(edges, iterations=5)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    # a checkpointed frame plans as a scan of the materialized RDD
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan

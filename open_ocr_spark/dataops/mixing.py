@@ -1,0 +1,74 @@
+"""Source-temperature mixing: deterministic downsampling so the corpus'
+source mixture matches target proportions ∝ n_s^tau (the standard
+multi-source rebalancing for pretraining — tau = 1 keeps the natural
+mix, tau = 0 equalizes sources, 0 < tau < 1 damps the head).
+
+Given per-source counts n_s, the kept count is m_s = K·n_s^tau with the
+largest K for which every m_s <= n_s, i.e. K = n_min^(1-tau) — the
+smallest source is kept whole and every larger source is thinned by
+rate_s = (n_min/n_s)^(1-tau).
+
+Acceptance is hash-deterministic, not random: a document is kept iff
+the first 32 bits of md5(id) fall below floor(rate_s·2^32).  The kept
+SET is therefore a pure function of (ids, counts) — identical at any
+parallelism, on reruns, and across engines — which is what lets a
+DuckDB oracle value-hash the sampled ids instead of checking counts
+only.  Cross-engine float note: for tau = 0.5 the rate is
+sqrt(n_min/n_s); IEEE-754 requires division and sqrt to be correctly
+rounded, so BOTH engines compute bit-identical cutoffs.  Arbitrary tau
+uses pow(), whose last ulp may differ between libm implementations —
+fine for production, but oracle queries should stick to tau = 0.5.
+
+Scale shape: one hash aggregate on the low-cardinality source column
+(map-side combine collapses it), a one-row global min broadcast back,
+and a broadcast join of the ~|sources| rate table onto the corpus —
+the corpus itself is scanned once and never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 4294967296  # 2^32
+
+
+def _md5_32(col) -> F.Column:
+    """First 32 bits of md5(id) as a long — the same expression DuckDB
+    spells ('0x' || substring(md5(...), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+) -> DataFrame:
+    """The rows of `docs` kept by temperature-tau source rebalancing
+    (all original columns pass through).  tau = 0.5 is the cross-engine
+    bit-exact case (see module docstring)."""
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau out of range [0, 1]: {tau}")
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    if tau == 0.5:
+        rate = F.sqrt(F.col("_nmin") / F.col("_n"))
+    else:
+        rate = F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - tau))
+    cutoffs = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            source_col,
+            F.floor(rate * F.lit(float(_HASH_SPACE)))
+            .cast("long")
+            .alias("_cutoff"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(cutoffs), source_col)
+        .filter(_md5_32(F.col(id_col)) < F.col("_cutoff"))
+        .drop("_cutoff")
+    )

@@ -830,6 +830,30 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source rebalancing over a skewed 60/30/10 mix (the
+    table's own sources are uniform, which would never thin): the kept
+    ids are a pure function of (ids, per-source counts) via md5
+    acceptance below a sqrt-rate cutoff — division and sqrt are
+    IEEE-correctly-rounded in both engines, so the oracle hashes the
+    EXACT kept set, not counts."""
+    from open_ocr_spark.dataops.mixing import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("head"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("body"))
+        .otherwise(F.lit("tail"))
+        .alias("source"),
+    )
+    return (
+        temperature_sample(skewed, tau=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_prepare_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE crawl-to-corpus chain, value-hashed end to end: wrap every
     document in boilerplate lines + a PII tail, then line-dedup ->
@@ -1858,6 +1882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prepare_corpus_full": q_prepare_corpus_full,
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
+    "temperature_sample": q_temperature_sample,
     # -- recorded green in r1 only, dropped from the r2 window -----------
     "extract_pdf_text": q_extract_pdf_text,
     "extract_structured_spans": q_extract_structured_spans,
@@ -2765,6 +2790,30 @@ ORACLES: dict[str, str] = {
         FROM cum
         GROUP BY bucket, seq_id
         ORDER BY bucket, seq_id
+    """,
+    "temperature_sample": """
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 6 THEN 'head'
+                        WHEN doc_id % 10 < 9 THEN 'body'
+                        ELSE 'tail' END AS source
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, count(*) AS n FROM docs GROUP BY source
+        ),
+        mn AS (SELECT min(n) AS nmin FROM counts),
+        cutoffs AS (
+            SELECT source,
+                   CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 4294967296.0) AS BIGINT) AS cutoff
+            FROM counts, mn
+        )
+        SELECT d.doc_id, d.source
+        FROM docs d JOIN cutoffs c USING (source)
+        WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+              < c.cutoff
+        ORDER BY d.doc_id
     """,
     "host_link_graph": """
         WITH pages AS (

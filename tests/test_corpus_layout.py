@@ -216,3 +216,41 @@ def test_prepare_corpus_full_scrubs_after_gating(spark):
     assert "<EMAIL>" in row["text"] and "someone@example.org" not in row["text"]
     # n_tokens was computed on the UNscrubbed text (gate sees true counts)
     assert row["n_tokens"] == len((body.strip() + " mail me at x today").split())
+
+
+# ------------------------------------------------------------- mixing
+
+
+def test_temperature_sample_keeps_smallest_source_whole(spark):
+    import pytest
+
+    from open_ocr_spark.dataops.mixing import temperature_sample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(450)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(docs, tau=0.5).groupBy("source").count()
+    out = {r["source"]: r["count"] for r in kept.collect()}
+    assert out["small"] == 50  # rate 1.0: the floor source is never thinned
+    # big is thinned toward sqrt(50/400) = 0.354 of 400 = ~141
+    assert 100 < out["big"] < 180
+    # tau=1 keeps the natural mix entirely
+    all_kept = temperature_sample(docs, tau=1.0).count()
+    assert all_kept == 450
+    with pytest.raises(ValueError):
+        temperature_sample(docs, tau=1.5)
+
+
+def test_temperature_sample_deterministic_across_parallelism(spark):
+    from open_ocr_spark.dataops.mixing import temperature_sample
+
+    rows = [(i, f"s{min(i % 7, 2)}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(1)).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs.repartition(16)).collect()
+    )
+    assert a == b and 0 < len(a) < 300

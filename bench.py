@@ -416,6 +416,15 @@ def run_once(
         ),
         "extraction_1m_seconds": ext_1m["seconds"],
         "extraction_1m_all_seconds": ext_1m["all_seconds"],
+        # Machine-state evidence for the recorded numbers: pure-CPU
+        # throughput (Miter/s) at the full core count, measured right
+        # after the suite. This host throttles in multi-second bursts
+        # and its ceiling swings run-to-run (BASELINE.md protocol
+        # notes), so a recorded suite time is only interpretable next
+        # to the machine's own throughput at that moment.
+        "cpu_control_miters_per_sec": cpu_control(
+            32 if cores == "*" else int(cores)
+        ),
         "master": master,
     }
     spark.stop()

@@ -29,12 +29,21 @@ from pyspark.sql import functions as F
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:
-    """array<string> of the word-level n-grams of a text: split on single
-    spaces, one gram per window of n consecutive words, space-rejoined.
-    A text with fewer than n words has no grams (empty array, not null).
-    Pure Catalyst (split/sequence/transform/slice/array_join)."""
+    """array<string> of the word-level n-grams of a text: whitespace runs
+    (spaces, tabs, newlines) are normalised to single spaces first, then
+    one gram per window of n consecutive words, space-rejoined.  The
+    normalisation matters: an eval passage reformatted across lines must
+    still match, and line-deduped corpus text (lines.py rejoins with \\n)
+    would otherwise contribute zero matchable grams per short line.  A
+    text with fewer than n words has no grams (empty array, not null).
+    Pure Catalyst (regexp_replace/split/sequence/transform/slice)."""
     col = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.coalesce(col, F.lit("")), " ")
+    words = F.split(
+        F.trim(
+            F.regexp_replace(F.coalesce(col, F.lit("")), r"[ \t\n\r]+", " ")
+        ),
+        " ",
+    )
     n_grams = F.size(words) - F.lit(n - 1)
     return F.when(
         n_grams > 0,

@@ -23,9 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HREF_DQ = r'<[aA]\s[^>]*[hH][rR][eE][fF]\s*=\s*"([^"]*)"'
-_HREF_SQ = r"<[aA]\s[^>]*[hH][rR][eE][fF]\s*=\s*'([^']*)'"
-_HREF_BARE = r"<[aA]\s[^>]*[hH][rR][eE][fF]\s*=\s*([^\s>\"'][^\s>]*)"
+# The attribute name must start at a whitespace boundary — `(?:[^>]*\s)?`
+# instead of `[^>]*` — or `data-href` / `xlink:href` (attribute names in
+# which "href" is a mere suffix) would match and fabricate outlinks the
+# page's real link structure does not have.
+_HREF_DQ = r'<[aA]\s(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*"([^"]*)"'
+_HREF_SQ = r"<[aA]\s(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*'([^']*)'"
+_HREF_BARE = r"<[aA]\s(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*([^\s>\"'][^\s>]*)"
 
 
 def extract_links(

@@ -185,7 +185,12 @@ def _parse_mp4(data: bytes):
                 struct.unpack_from(">III", data, p + 4 + 12 * i)[:2]
                 for i in range(n_runs)
             ]
-            # expand runs to per-chunk sample counts
+            # expand runs to per-chunk sample counts.  The expansion below
+            # indexes per_chunk from chunk 1, so the first run MUST start
+            # there (ISO 14496-12 requires it); a first_chunk != 1 would
+            # silently shift every sample onto the wrong chunk offset.
+            if runs and runs[0][0] != 1:
+                raise ValueError("mp4: stsc first run must start at chunk 1")
             per_chunk = []
             for ri, (first, spc) in enumerate(runs):
                 last = (

@@ -235,7 +235,16 @@ def audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 decoded = None
                 if payload is not None and len(payload) > 0:
-                    decoded = decode_wav(bytes(payload))
+                    try:
+                        decoded = decode_wav(bytes(payload))
+                    except ValueError:
+                        # Structurally corrupt WAV (truncated data chunk,
+                        # bad sizes): same contract as non-WAV — strict
+                        # raises, default emits nulls so one crawl-damaged
+                        # payload cannot abort the job.
+                        if strict:
+                            raise
+                        decoded = None
                 if decoded is None:
                     if strict:
                         raise NotImplementedError(

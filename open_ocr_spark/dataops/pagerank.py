@@ -56,12 +56,17 @@ def pagerank_int(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Pin the loop-invariant frames ONCE (same rationale as the ranks pin
+    # below): without this, every iteration's plan re-runs the edge
+    # distinct + degree aggregate + join — iterations× redundant full
+    # edge-list shuffles at the ~1e10-edge target scale.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    edeg = e.join(deg, "src").select("src", "dst", "deg")
+    edeg = e.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     base = (100 - damping_pct) * SCALE // 100
     ranks = nodes.withColumn("rank", F.lit(SCALE).cast("long"))
     for _ in range(int(iterations)):

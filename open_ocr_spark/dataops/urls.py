@@ -28,8 +28,11 @@ _TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of an http(s) URL:
 
-    - scheme and host lowercased; `www.` prefix and default port dropped
-      (`parse_url(..., 'HOST')` already excludes the port)
+    - scheme and host lowercased; `www.` prefix dropped
+    - the scheme's DEFAULT port dropped (http:80, https:443); any other
+      explicit port is KEPT — `ex.com:8080` is a different origin than
+      `ex.com` and must not merge with it (`parse_url(..., 'HOST')`
+      excludes every port, so the port is re-read from the AUTHORITY)
     - trailing slashes stripped from the path
     - tracking params dropped, surviving params sorted bytewise
     - fragment dropped
@@ -38,8 +41,24 @@ def canonicalize_url(url: Column | str) -> Column:
     """
     col = F.col(url) if isinstance(url, str) else url
     proto = F.lower(F.parse_url(col, F.lit("PROTOCOL")))
-    host = F.regexp_replace(
-        F.lower(F.parse_url(col, F.lit("HOST"))), r"^www\.", ""
+    # Port from the authority tail (userinfo sits before '@', so a ':'
+    # there cannot reach this anchor-at-end pattern).
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(col, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$",
+        1,
+    )
+    default_port = (
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    host = F.concat(
+        F.regexp_replace(
+            F.lower(F.parse_url(col, F.lit("HOST"))), r"^www\.", ""
+        ),
+        F.when(
+            (port != "") & ~default_port, F.concat(F.lit(":"), port)
+        ).otherwise(F.lit("")),
     )
     path = F.regexp_replace(
         F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit("")), "/+$", ""

@@ -707,12 +707,15 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _messy_urls(docs: DataFrame) -> DataFrame:
-    """Three crawl spellings of each logical page https://src{K}.example.com
-    /page/{L}: explicit :443 + tracking params + fragment; uppercase host +
-    trailing slash; unsorted params + utm/ref noise."""
-    lid = F.expr("doc_id DIV 3").cast("string")
-    src = F.expr("(doc_id DIV 3) % 20").cast("string")
-    variant = F.col("doc_id") % 3
+    """Four crawl spellings of each logical page https://src{K}.example.com
+    /page/{L}: explicit default :443 + tracking params + fragment;
+    uppercase host + trailing slash; unsorted params + utm/ref noise —
+    those three must collapse to ONE group — plus a NON-default :8080
+    origin that must stay its own group (a different origin, not a
+    spelling)."""
+    lid = F.expr("doc_id DIV 4").cast("string")
+    src = F.expr("(doc_id DIV 4) % 20").cast("string")
+    variant = F.col("doc_id") % 4
     url = (
         F.when(
             variant == 0,
@@ -728,10 +731,17 @@ def _messy_urls(docs: DataFrame) -> DataFrame:
                 lid, F.lit("/?a=1&b=2"),
             ),
         )
-        .otherwise(
+        .when(
+            variant == 2,
             F.concat(
                 F.lit("https://src"), src, F.lit(".example.com/page/"),
                 lid, F.lit("?b=2&utm_campaign=x&a=1&ref=rss"),
+            )
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://src"), src, F.lit(".example.com:8080/page/"),
+                lid, F.lit("?a=1&b=2"),
             )
         )
     )
@@ -740,11 +750,13 @@ def _messy_urls(docs: DataFrame) -> DataFrame:
 
 def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-url dedup: three crawl spellings of
-    every logical page must collapse to one canonical group of 3 (2 at the
-    tail).  Exercises scheme/host case folding, default-port and www.
-    stripping, trailing-slash normalisation, tracking-param removal, and
-    bytewise param sorting — the oracle re-derives the canonical form with
-    regexes + list_filter/list_sort, no parse_url."""
+    every logical page must collapse to one canonical group, while a
+    fourth spelling on a NON-default port stays its own group.  Exercises
+    scheme/host case folding, default-port-only stripping (https:443
+    dropped, :8080 kept), www. stripping, trailing-slash normalisation,
+    tracking-param removal, and bytewise param sorting — the oracle
+    re-derives the canonical form with regexes + list_filter/list_sort,
+    no parse_url."""
     from open_ocr_spark.dataops.urls import dedup_by_canonical_url
 
     docs = _t(spark, sf_dir, "documents")
@@ -2725,29 +2737,47 @@ ORACLES: dict[str, str] = {
     "canonical_url_dedup": """
         WITH urls AS (
             SELECT doc_id,
-                   CASE doc_id % 3
+                   CASE doc_id % 4
                      WHEN 0 THEN 'https://www.src'
-                          || ((doc_id // 3) % 20)::VARCHAR
-                          || '.example.com:443/page/' || (doc_id // 3)::VARCHAR
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.example.com:443/page/' || (doc_id // 4)::VARCHAR
                           || '?utm_source=feed&b=2&a=1#frag'
                      WHEN 1 THEN 'HTTPS://SRC'
-                          || ((doc_id // 3) % 20)::VARCHAR
-                          || '.EXAMPLE.COM/page/' || (doc_id // 3)::VARCHAR
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.EXAMPLE.COM/page/' || (doc_id // 4)::VARCHAR
                           || '/?a=1&b=2'
-                     ELSE 'https://src'
-                          || ((doc_id // 3) % 20)::VARCHAR
-                          || '.example.com/page/' || (doc_id // 3)::VARCHAR
+                     WHEN 2 THEN 'https://src'
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.example.com/page/' || (doc_id // 4)::VARCHAR
                           || '?b=2&utm_campaign=x&a=1&ref=rss'
+                     ELSE 'https://src'
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.example.com:8080/page/' || (doc_id // 4)::VARCHAR
+                          || '?a=1&b=2'
                    END AS url
             FROM documents
         ),
-        parts AS (
-            SELECT doc_id,
+        auth AS (
+            SELECT doc_id, url,
                    lower(regexp_extract(url,
                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                   regexp_replace(regexp_replace(lower(regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                       ':[0-9]+$', ''), '^www\\.', '') AS host,
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+                       AS authority
+            FROM urls
+        ),
+        parts AS (
+            SELECT doc_id, scheme,
+                   regexp_replace(regexp_replace(authority,
+                       ':[0-9]+$', ''), '^www\\.', '')
+                   || CASE WHEN regexp_extract(authority,
+                               ':([0-9]+)$', 1) <> ''
+                            AND NOT (scheme = 'https' AND regexp_extract(
+                                authority, ':([0-9]+)$', 1) = '443')
+                            AND NOT (scheme = 'http' AND regexp_extract(
+                                authority, ':([0-9]+)$', 1) = '80')
+                       THEN ':' || regexp_extract(authority, ':([0-9]+)$', 1)
+                       ELSE '' END AS host,
                    regexp_replace(regexp_extract(url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
                        '/+$', '') AS path,
@@ -2755,7 +2785,7 @@ ORACLES: dict[str, str] = {
                        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
                        p -> p <> '' AND NOT regexp_matches(p,
                            '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
-            FROM urls
+            FROM auth
         )
         SELECT scheme || '://' || host || path
                || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
@@ -2992,7 +3022,9 @@ ORACLES: dict[str, str] = {
             FROM (
                 SELECT w, unnest(range(greatest(len(w) - 4, 0))) AS i
                 FROM (
-                    SELECT string_split(coalesce(text, ''), ' ') AS w
+                    SELECT string_split(trim(regexp_replace(
+                        coalesce(text, ''), '[ \t\n\r]+', ' ', 'g')), ' ')
+                        AS w
                     FROM documents WHERE doc_id % 50 = 0
                 )
             )
@@ -3001,7 +3033,9 @@ ORACLES: dict[str, str] = {
             SELECT DISTINCT doc_id, array_to_string(w[i+1 : i+5], ' ') AS gram
             FROM (
                 SELECT doc_id, w, unnest(range(greatest(len(w) - 4, 0))) AS i
-                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM gated)
+                FROM (SELECT doc_id, string_split(trim(regexp_replace(
+                          text, '[ \t\n\r]+', ' ', 'g')), ' ') AS w
+                      FROM gated)
             )
         ),
         bad AS (
@@ -3018,7 +3052,9 @@ ORACLES: dict[str, str] = {
     """,
     "decontaminate_docs": """
         WITH words AS (
-            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(coalesce(text, ''),
+                       '[ \t\n\r]+', ' ', 'g')), ' ') AS w
             FROM documents
         ),
         grams AS (

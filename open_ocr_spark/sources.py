@@ -381,10 +381,13 @@ def records_from_warc(
 
     import pandas as pd
 
+    from pyspark.sql.types import StructType
+
     passthrough = [f for f in files.schema.fields if f.name != payload_col]
-    schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in passthrough]
-        + [WARC_RECORD_FIELDS]
+    # Programmatic schema (not a DDL string): passthrough column names are
+    # caller-controlled and need no identifier quoting this way.
+    schema = StructType(
+        list(passthrough) + list(StructType.fromDDL(WARC_RECORD_FIELDS))
     )
     pass_names = [f.name for f in passthrough]
     rec_names = [
@@ -395,14 +398,15 @@ def records_from_warc(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for tup in pdf.itertuples(index=False):
-                row = tup._asdict()
-                blob = row.pop(payload_col)
-                base = [row[c] for c in pass_names]
+            # Access columns BY NAME (itertuples positionally renames any
+            # column that is not a valid Python identifier to _1, _2, ...).
+            for blob, *base in zip(
+                pdf[payload_col], *[pdf[c] for c in pass_names]
+            ):
                 for rec in parse_warc_bytes(
                     bytes(blob) if blob is not None else b""
                 ):
-                    rows.append(base + [rec[c] for c in rec_names])
+                    rows.append(list(base) + [rec[c] for c in rec_names])
             yield pd.DataFrame(rows, columns=pass_names + rec_names)
 
     return files.mapInPandas(kernel, schema)

@@ -254,3 +254,30 @@ def test_temperature_sample_deterministic_across_parallelism(spark):
         for r in temperature_sample(docs.repartition(16)).collect()
     )
     assert a == b and 0 < len(a) < 300
+
+
+def test_canonicalize_url_keeps_non_default_port(spark):
+    # ex.com:8080 is a DIFFERENT origin than ex.com; only the scheme's
+    # default port is a spelling variant.
+    assert _canon(spark, "https://ex.com:8080/x") == "https://ex.com:8080/x"
+    assert _canon(spark, "http://ex.com:8443/x") == "http://ex.com:8443/x"
+    assert _canon(spark, "https://ex.com:443/x") == "https://ex.com/x"
+    assert _canon(spark, "http://WWW.Ex.com:80/x") == "http://ex.com/x"
+    # default-for-the-OTHER-scheme is not default here
+    assert _canon(spark, "http://ex.com:443/x") == "http://ex.com:443/x"
+
+
+def test_dedup_by_canonical_url_ports_do_not_merge(spark):
+    rows = [
+        (1, "https://ex.com/a"),
+        (2, "https://ex.com:443/a"),
+        (3, "https://ex.com:8080/a"),
+    ]
+    out = {
+        r["canonical_url"]: r
+        for r in dedup_by_canonical_url(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert out["https://ex.com/a"]["n_variants"] == 2
+    assert out["https://ex.com:8080/a"]["n_variants"] == 1

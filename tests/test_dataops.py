@@ -1144,3 +1144,21 @@ def test_audio_stats_real_path_spark(spark):
 
     with _pytest.raises(Exception, match="PCM"):
         audio_stats(df, strict=True).collect()
+
+
+def test_audio_stats_truncated_wav_is_null_not_fatal(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from open_ocr_spark.dataops.multimodal import audio_stats, encode_wav
+
+    wav = encode_wav(np.array([1, -2, 3, -4], dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav[:-3]))],  # data chunk cut
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_stats(df).collect()}
+    assert rows[1]["n_samples"] == 4
+    assert rows[2]["n_samples"] is None  # null row, job green
+    with _pytest.raises(Exception, match="overrun"):
+        audio_stats(df, strict=True).collect()

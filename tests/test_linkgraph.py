@@ -90,3 +90,18 @@ def test_pagerank_exact_across_parallelism(spark):
     r1 = {r["node"]: r["rank"] for r in pagerank_int(df1, 4).collect()}
     r2 = {r["node"]: r["rank"] for r in pagerank_int(df2, 4).collect()}
     assert r1 == r2  # bit-exact, not epsilon-close
+
+
+def test_extract_links_ignores_href_suffixed_attributes(spark):
+    # data-href / xlink:href contain 'href' as a suffix — no outlink; and
+    # an anchor with BOTH real href and data-href yields the href only.
+    html = (
+        '<a data-href="https://fake.com/d">no real href</a>'
+        '<a xlink:href="https://fake.com/x">svg-ish</a>'
+        '<a href="https://real.com/a" data-href="https://fake.com/b">r</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://s.com/p", html)], "url string, html string"
+    )
+    got = sorted(r["dst_url"] for r in extract_links(df).collect())
+    assert got == ["https://real.com/a"]

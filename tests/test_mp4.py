@@ -145,8 +145,12 @@ def test_hostile_declared_counts_raise_fast():
         parse_mp4(patched(b"stco", 8, 0x00FFFFFF))
     with pytest.raises(ValueError, match="stsc entries overrun box"):
         parse_mp4(patched(b"stsc", 8, 0x00FFFFFF))
-    # stsc run pointing outside the chunk range
-    with pytest.raises(ValueError, match="stsc run outside chunk range"):
+    # stsc run pointing outside the chunk range: refused either as a
+    # first-run anchor violation (checked first) or as range overrun
+    with pytest.raises(
+        ValueError,
+        match="first run must start at chunk 1|stsc run outside chunk range",
+    ):
         parse_mp4(patched(b"stsc", 12, 99))
 
 
@@ -175,3 +179,17 @@ def test_zero_sample_track_parses_and_samples_no_frames(spark):
         [(3, bytearray(payload))], "media_id long, payload binary"
     )
     assert sample_frames(df, fps=2.0, strict=True).collect() == []
+
+
+def test_stsc_first_run_not_at_chunk_one_raises():
+    """A first stsc run starting past chunk 1 would shift every sample
+    onto the wrong chunk offset if expanded positionally — it must raise
+    (ISO 14496-12 requires the first run to start at chunk 1)."""
+    mp4 = mux_mp4([b"abc", b"de"], 8, 8)
+    i = mp4.find(b"stsc")
+    broken = bytearray(mp4)
+    # first run's first_chunk field sits 8 bytes after the box tag
+    # (4 version/flags + 4 entry_count)
+    broken[i + 12 : i + 16] = (2).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="first run must start at chunk 1"):
+        parse_mp4(bytes(broken))

@@ -190,3 +190,43 @@ def test_warc_parser_total_on_garbage(blob):
     assert all(
         (r["error"] is None) == (r["payload"] is not None) for r in out
     )
+
+
+def test_records_from_warc_non_identifier_passthrough_column(spark):
+    # itertuples() positionally renames any column that is not a valid
+    # Python identifier (to _1, _2, ...); the kernel must read columns
+    # by name so passthrough names like 'file id' survive.
+    df = spark.createDataFrame(
+        [("f one", _warc(_record("u/1", b"aa")))],
+        ["file id", "warc"],
+    ).withColumn("warc", F.col("warc").cast("binary"))
+    out = records_from_warc(df).collect()
+    assert [(r["file id"], r["target_uri"]) for r in out] == [
+        ("f one", "u/1")
+    ]
+
+
+def test_word_ngrams_normalize_whitespace(spark):
+    # Grams must match across newlines / tab runs: an eval passage
+    # reformatted over lines (or line-deduped text rejoined with \n)
+    # still contaminates.
+    out = spark.range(1).select(
+        word_ngrams(F.lit("the quick\nbrown\tfox  jumps"), 3).alias("g"),
+        word_ngrams(F.lit("  padded   text here "), 3).alias("h"),
+    ).collect()[0]
+    assert out["g"] == [
+        "the quick brown", "quick brown fox", "brown fox jumps"
+    ]
+    assert out["h"] == ["padded text here"]
+
+
+def test_decontaminate_matches_across_line_breaks(spark):
+    docs = spark.createDataFrame(
+        [(1, "intro line\nthe quick\nbrown fox ends")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox")], "bid long, text string"
+    )
+    out = decontaminate(docs, bench, n=4).collect()[0]
+    assert out["contaminated"] and out["n_hits"] == 1

@@ -379,16 +379,23 @@ def run_once(
                 json.dump(result, f)
         return result
 
+    # per-query best-of-3 with all rounds recorded (the same protocol the
+    # 1M extraction uses): one throttle burst must not land in the JSON
+    # as a fake per-query regression (VERDICT r3 items 1-2)
     query_secs: dict[str, float] = {"extract_pipeline": extraction["seconds"]}
+    query_all: dict[str, list[float]] = {
+        "extract_pipeline": extraction["all_seconds"]
+    }
     for name in HEADLINE:
         fn = QUERIES[name]
         walls = []
-        for _ in range(2):  # best-of-2: see throttling note above
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            walls.append(time.time() - t0)
-        query_secs[name] = round(min(walls), 3)
+            walls.append(round(time.time() - t0, 3))
+        query_secs[name] = min(walls)
+        query_all[name] = walls
 
     # BASELINE.md-comparable headline: a 1M-doc extraction run, so
     # round-over-round docs/sec is apples-to-apples with the recorded
@@ -403,6 +410,7 @@ def run_once(
         "value": total,
         "unit": "sec",
         "queries": query_secs,
+        "queries_all_seconds": query_all,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "extraction_docs": extraction["docs"],
         "extraction_docs_per_sec": extraction["docs_per_sec"],
@@ -423,7 +431,7 @@ def run_once(
         # notes), so a recorded suite time is only interpretable next
         # to the machine's own throughput at that moment.
         "cpu_control_miters_per_sec": cpu_control(
-            32 if cores == "*" else int(cores)
+            (os.cpu_count() or 32) if cores == "*" else int(cores)
         ),
         "master": master,
     }

@@ -287,6 +287,32 @@ _PERMS = [
 ]
 
 
+# --- base hashes ------------------------------------------------------------
+# Two interchangeable 31-bit base hashes. xxhash64 is the production
+# default (one JVM intrinsic per value). The md5 form exists so the SAME
+# pipeline is reproducible in engines without xxhash64 (DuckDB has md5 but
+# not xxhash64) — it is the oracle-checkable twin, the exact pattern
+# packing.py/mixing.py use for their md5-derived bucket keys. Both are
+# deterministic and uniform; md5 costs one digest per DISTINCT shingle,
+# amortized by the exact-collapse pre-pass.
+
+
+def _h31_xxhash(col):
+    return F.pmod(F.xxhash64(col), F.lit(_MH_PRIME))
+
+
+def _h31_md5(col):
+    # first 8 hex chars -> 32-bit int -> mod 2^31-1; DuckDB mirror:
+    # ('0x' || substring(md5(x), 1, 8))::BIGINT % 2147483647
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(_MH_PRIME),
+    )
+
+
+_H31 = {"xxhash": _h31_xxhash, "md5": _h31_md5}
+
+
 def minhash_signature(shingles_col):
     """32-wide MinHash signature: h_i = min over shingles of
     (a_i * h31(s) + b_i) mod (2^31-1), h31 = pmod(xxhash64(s), 2^31-1) —
@@ -308,14 +334,15 @@ def minhash_signature(shingles_col):
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, hashing: str = "xxhash"
+) -> DataFrame:
     """(doc_id, sig array<long>) via explode → codegen'd hash aggregate:
     one shuffle on doc_id, 32 min() aggregates over the shingle hashes.
     ~10× faster than the higher-order-function form (HOFs are interpreted,
-    hash aggregates are whole-stage-codegen'd) and identical output."""
-    sh = shingle_rows(docs, k).withColumn(
-        "h31", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME))
-    )
+    hash aggregates are whole-stage-codegen'd) and identical output.
+    ``hashing`` picks the 31-bit base hash (see _H31)."""
+    sh = shingle_rows(docs, k).withColumn("h31", _H31[hashing](F.col("shingle")))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h31") + F.lit(b), F.lit(_MH_PRIME))).alias(
             f"_m{i}"
@@ -337,6 +364,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 8,
     threshold: float = 0.8,
+    hashing: str = "xxhash",
 ) -> DataFrame:
     """Scale-path near-dup detection: collapse exact duplicates, MinHash +
     banded LSH over the DISTINCT contents only, verify candidates with
@@ -359,7 +387,8 @@ def minhash_lsh_pairs(
     """
     members, reps = _content_collapsed(docs)
     rep_pairs = _minhash_lsh_pairs_direct(
-        reps.select("doc_id", "text"), k=k, bands=bands, threshold=threshold
+        reps.select("doc_id", "text"), k=k, bands=bands, threshold=threshold,
+        hashing=hashing,
     )
     return _expand_rep_pairs(members, reps, rep_pairs, k)
 
@@ -369,20 +398,39 @@ def _minhash_lsh_pairs_direct(
     k: int = 3,
     bands: int = 8,
     threshold: float = 0.8,
+    hashing: str = "xxhash",
 ) -> DataFrame:
     """Doc-level MinHash+LSH without the exact-collapse pre-pass: correct
     but quadratic in identical-content cluster sizes at every stage. Kept
-    as the equivalence reference for minhash_lsh_pairs."""
+    as the equivalence reference for minhash_lsh_pairs.
+
+    Band keys: the xxhash default buckets on murmur ``hash(slice, band)``
+    (fixed-width long keys, cheapest shuffle). The md5 form buckets on the
+    EXACT band content ``"band,m_i,..."`` instead — collision-free and
+    engine-independent, so an external oracle can reproduce candidacy by
+    slice equality with no access to Spark's murmur."""
     rows = bands
     per_band = len(_PERMS) // rows
-    sigs = minhash_signatures(docs, k)
+    sigs = minhash_signatures(docs, k, hashing=hashing)
 
-    band_cols = [
-        F.hash(F.slice(F.col("sig"), b * per_band + 1, per_band), F.lit(b)).alias(
-            "band_hash"
-        )
-        for b in range(rows)
-    ]
+    if hashing == "md5":
+        band_cols = [
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                F.slice(F.col("sig"), b * per_band + 1, per_band).cast(
+                    "array<string>"
+                ),
+            ).alias("band_hash")
+            for b in range(rows)
+        ]
+    else:
+        band_cols = [
+            F.hash(
+                F.slice(F.col("sig"), b * per_band + 1, per_band), F.lit(b)
+            ).alias("band_hash")
+            for b in range(rows)
+        ]
     # banded is self-joined (two consumers of one subtree) and cand feeds
     # three consumers (the doc prune, the verify join, the output); both
     # are SMALL — (doc_id, band_hash) longs and the output-proportional
@@ -447,14 +495,25 @@ def _minhash_lsh_pairs_direct(
 # --- 4. SimHash --------------------------------------------------------------
 
 
-def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame, bits: int = 64, hashing: str = "xxhash"
+) -> DataFrame:
     """(doc_id, simhash) with the exact-collapse pre-pass: identical
     normalized text ⇒ identical distinct-token set ⇒ identical SimHash,
     so the 64-vote aggregate runs once per distinct content and members
     get their fingerprint by a content-hash join (broadcast-eligible when
-    the distinct side is small)."""
+    the distinct side is small).
+
+    ``hashing="md5"`` swaps the per-token xxhash64 for a 62-bit value
+    assembled from two md5-derived 31-bit halves (hi*2^31 + lo) and caps
+    the fingerprint at 62 bits — the widest form both this engine and an
+    md5-only oracle can build without signed-int64 overflow."""
+    if hashing == "md5":
+        bits = min(bits, 62)
     members, reps = _content_collapsed(docs)
-    rep_fp = _simhash_fingerprints_direct(reps.select("doc_id", "text"), bits)
+    rep_fp = _simhash_fingerprints_direct(
+        reps.select("doc_id", "text"), bits, hashing=hashing
+    )
     by_content = (
         reps.select("_ch", "doc_id")
         .join(rep_fp, "doc_id")
@@ -463,15 +522,32 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 64) -> DataFrame:
     return members.join(by_content, "_ch").select("doc_id", "simhash")
 
 
-def _simhash_fingerprints_direct(docs: DataFrame, bits: int = 64) -> DataFrame:
+def _tok_hash62_md5(col):
+    # two independent 31-bit halves from one digest; < 2^62 so every
+    # downstream sum/shift stays inside a signed long in ANY engine.
+    # DuckDB mirror: ('0x'||substring(md5(t),1,8))::BIGINT % 2147483648
+    #   * 2147483648 + ('0x'||substring(md5(t),9,8))::BIGINT % 2147483648
+    two31 = F.lit(2147483648)
+    hi = F.pmod(F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), two31)
+    lo = F.pmod(F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long"), two31)
+    return hi * two31 + lo
+
+
+def _simhash_fingerprints_direct(
+    docs: DataFrame, bits: int = 64, hashing: str = "xxhash"
+) -> DataFrame:
     """Doc-level SimHash via explode → codegen'd hash aggregate: per-token
     xxhash64, per-bit majority vote as 64 sum() aggregates (+1/-1), then
     bit reassembly in a single projection. One uniform shuffle on doc_id;
     everything whole-stage-codegen'd. Kept as the equivalence reference."""
+    tok_hash = (
+        _tok_hash62_md5(F.col("tok")) if hashing == "md5"
+        else F.xxhash64("tok")
+    )
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     votes = [
         F.sum(
             F.when(

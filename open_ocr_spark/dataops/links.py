@@ -37,7 +37,17 @@ def extract_links(
 ) -> DataFrame:
     """(src_url, dst_url): one row per absolute http(s) outlink occurrence
     (repeated links repeat — callers distinct if they need to).  The html
-    column may be binary (decoded utf-8 JVM-side) or string."""
+    column may be binary (decoded utf-8 JVM-side) or string.
+
+    Charset note — this utf-8 decode intentionally diverges from the
+    extraction kernel's sniff-then-replace policy (kernels/htmltree.py
+    sniff_charset): link extraction only consumes the ASCII-compatible
+    ``<a href=...>`` byte structure, which every web charset this engine
+    sniffs (cp1252/shift_jis/gb18030/cp949 are all ASCII supersets)
+    encodes identically, so staying JVM-side with a single decode is the
+    right trade.  Non-ASCII bytes inside an href may surface as mojibake
+    under a non-utf-8 charset; callers with such corpora should decode
+    under the sniff policy first and pass the string column."""
     html = F.col(html_col)
     if dict(pages.dtypes)[html_col] == "binary":
         html = F.decode(html, "UTF-8")

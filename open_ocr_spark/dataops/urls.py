@@ -40,11 +40,11 @@ def canonicalize_url(url: Column | str) -> Column:
     Null-safe: a null url canonicalizes to null (no parse garbage).
     """
     col = F.col(url) if isinstance(url, str) else url
-    proto = F.lower(F.parse_url(col, F.lit("PROTOCOL")))
+    proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
     # Port from the authority tail (userinfo sits before '@', so a ':'
     # there cannot reach this anchor-at-end pattern).
     port = F.regexp_extract(
-        F.coalesce(F.parse_url(col, F.lit("AUTHORITY")), F.lit("")),
+        F.coalesce(F.try_parse_url(col, F.lit("AUTHORITY")), F.lit("")),
         r":(\d+)$",
         1,
     )
@@ -54,17 +54,17 @@ def canonicalize_url(url: Column | str) -> Column:
     )
     host = F.concat(
         F.regexp_replace(
-            F.lower(F.parse_url(col, F.lit("HOST"))), r"^www\.", ""
+            F.lower(F.try_parse_url(col, F.lit("HOST"))), r"^www\.", ""
         ),
         F.when(
             (port != "") & ~default_port, F.concat(F.lit(":"), port)
         ).otherwise(F.lit("")),
     )
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(col, F.lit("PATH")), F.lit("")), "/+$", ""
+        F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")), "/+$", ""
     )
     params = F.filter(
-        F.split(F.coalesce(F.parse_url(col, F.lit("QUERY")), F.lit("")), "&"),
+        F.split(F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit("")), "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
     )
     qs = F.array_join(F.array_sort(params), "&")
@@ -84,10 +84,19 @@ def dedup_by_canonical_url(
     with the variant count and the min-id representative — the url-level
     twin of exact content dedup (dedup.py), run FIRST in a crawl pipeline
     because it needs no content reads.  One hash-aggregate shuffle on the
-    canonical string."""
+    canonical string.
+
+    A URL `canonicalize_url` cannot parse (relative path, missing scheme
+    or host) falls back to its ORIGINAL spelling as its own canonical
+    form: at crawl scale a crawler emits malformed records, and grouping
+    them all under one NULL canonical would silently collapse every
+    malformed document into a single representative."""
     return (
         df.select(
-            canonicalize_url(url_col).alias("canonical_url"), F.col(id_col)
+            F.coalesce(
+                canonicalize_url(url_col), F.col(url_col)
+            ).alias("canonical_url"),
+            F.col(id_col),
         )
         .groupBy("canonical_url")
         .agg(

@@ -41,6 +41,13 @@ _META_CHARSET_RE = re.compile(
     rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9._-]+)", re.I
 )
 
+# The WHATWG prescan skips comments: a commented-out <meta charset=...>
+# must not win over the real declaration.  Closed comments are removed
+# from the window; an UNCLOSED comment swallows the rest of the window
+# (the spec jumps past "-->" and never finds it, ending the prescan).
+_HTML_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_OPEN_COMMENT_RE = re.compile(rb"<!--.*\Z", re.S)
+
 # WHATWG label -> Python codec, for the classes where they differ.
 _CHARSET_ALIASES = {
     "iso-8859-1": "cp1252", "latin1": "cp1252", "latin-1": "cp1252",
@@ -62,7 +69,10 @@ def sniff_charset(raw: bytes) -> str:
         # the utf-16 codec reads the BOM for endianness AND strips it;
         # the -le/-be variants would leave a U+FEFF in the text
         return "utf-16"
-    m = _META_CHARSET_RE.search(raw[:1024])
+    window = _OPEN_COMMENT_RE.sub(
+        b"", _HTML_COMMENT_RE.sub(b"", raw[:1024])
+    )
+    m = _META_CHARSET_RE.search(window)
     if m:
         label = m.group(1).decode("ascii").lower()
         label = _CHARSET_ALIASES.get(label, label)

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_ocr_spark.dataops.dedup import (
+    _MH_PRIME,
+    _PERMS,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -529,6 +531,32 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE_NONE (xxhash64-derived bits); rows-only check, no sort."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
+
+
+def q_minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH pipeline — exact-collapse, 32-perm signatures,
+    8-band bucketing, candidate generation, exact-Jaccard verification,
+    pair expansion — on the md5-derived 31-bit base hash, which DuckDB can
+    reproduce.  The oracle rebuilds every stage (shingles, signature
+    minima, band-slice equality for candidacy — including LSH's false
+    NEGATIVES — and the verify threshold), so a green row hash-checks the
+    whole algorithm end to end, not just the verify step.  The xxhash64
+    production default (q_minhash_lsh_pairs) is plan-identical; only the
+    leaf hash expression differs."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, threshold=0.8, hashing="md5").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """62-bit SimHash on md5-derived per-token hashes (two 31-bit halves):
+    the oracle recomputes every per-bit majority vote and the bit
+    reassembly in DuckDB.  Same plan as the xxhash64 production form
+    (explode → codegen'd 62-sum hash aggregate), one fewer usable bit
+    pair so the fingerprint stays signed-int64-safe in any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, hashing="md5").orderBy("doc_id")
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,6 +1899,9 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new in r4 (no prior green: must sit inside the window) ----------
+    "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
+    "simhash_fingerprints_md5": q_simhash_fingerprints_md5,
     # -- never driver-recorded in any round (VERDICT r2 item 1) ----------
     "engine_dispatch": q_engine_dispatch,
     "asof_last_order": q_asof_last_order,
@@ -3088,7 +3119,9 @@ ORACLES: dict[str, str] = {
     """,
     "warc_roundtrip": """
         SELECT doc_id // 10 AS file_id,
-               CAST(doc_id % 10 AS INTEGER) AS rec_index,
+               CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                       ORDER BY doc_id) - 1
+                   AS INTEGER) AS rec_index,
                'response' AS warc_type,
                'https://crawl.example.com/doc/' || doc_id::VARCHAR
                    AS target_uri,
@@ -3131,3 +3164,122 @@ ORACLES: dict[str, str] = {
         ORDER BY o_custkey, rk
     """,
 }
+
+
+# --- generated oracles (md5-hashed dedup tiers) ------------------------------
+# The md5 MinHash/SimHash oracles enumerate 32 permutation minima / 62 bit
+# votes, so they are GENERATED from the same _PERMS constants the Spark
+# plan uses rather than hand-written — one source of truth for the
+# permutation parameters.  Formulated doc-level (no exact-collapse): the
+# collapse is a pure execution optimization (identical normalized text ⇒
+# identical shingle/token sets ⇒ identical signatures and fingerprints),
+# so the doc-level formulation is result-identical and much simpler SQL;
+# the pytest suite separately asserts collapsed == direct.
+
+
+def _minhash_md5_oracle() -> str:
+    per_band = len(_PERMS) // 8
+    mins = ",\n                   ".join(
+        f"min(({a} * h31 + {b}) % {_MH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    bands = "\n                OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{j} = b.m{j}"
+            for j in range(bnd * per_band, (bnd + 1) * per_band)
+        )
+        + ")"
+        for bnd in range(8)
+    )
+    return f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                       AS t
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM norm WHERE len(t) >= 3
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM idx
+        ),
+        h AS (
+            SELECT doc_id, shingle,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT
+                       % {_MH_PRIME} AS h31
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h GROUP BY doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {bands}
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_md5_oracle(bits: int = 62) -> str:
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((h62 >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    assemble = "\n             + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm
+        ),
+        h AS (
+            SELECT doc_id,
+                   (('0x' || substring(md5(tok), 1, 8))::BIGINT % 2147483648)
+                       * 2147483648
+                   + (('0x' || substring(md5(tok), 9, 8))::BIGINT % 2147483648)
+                       AS h62
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {assemble} AS simhash
+        FROM votes
+        ORDER BY doc_id
+    """
+
+
+ORACLES["minhash_lsh_pairs_md5"] = _minhash_md5_oracle()
+ORACLES["simhash_fingerprints_md5"] = _simhash_md5_oracle()

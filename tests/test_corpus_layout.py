@@ -117,6 +117,27 @@ def test_dedup_by_canonical_url_groups_variants(spark):
     assert out["https://ex.com/b"]["n_variants"] == 1
 
 
+def test_dedup_by_canonical_url_malformed_pass_through(spark):
+    # unparseable urls keep their original spelling as their own group —
+    # they must NOT all merge into one NULL group (ADVICE r3)
+    rows = [
+        (1, "relative/path.html"),
+        (2, "not a url at all"),
+        (3, "https://ex.com/a"),
+        (4, "https://ex.com/a/"),
+    ]
+    out = {
+        r["canonical_url"]: r
+        for r in dedup_by_canonical_url(
+            spark.createDataFrame(rows, "doc_id long, url string")
+        ).collect()
+    }
+    assert out["relative/path.html"]["n_variants"] == 1
+    assert out["not a url at all"]["n_variants"] == 1
+    assert out["https://ex.com/a"]["n_variants"] == 2
+    assert None not in out
+
+
 # -------------------------------------------------------------- packing
 
 

@@ -95,6 +95,38 @@ def test_simhash_near_dup(docs):
         assert pairs[(0, 2)] <= 16
 
 
+def test_minhash_md5_collapsed_equals_direct(docs):
+    """The md5-hashed oracle twin: collapsed pipeline == direct doc-level
+    formulation (the oracle SQL is formulated doc-level, so this is the
+    equivalence its green row rests on)."""
+    from open_ocr_spark.dataops.dedup import _minhash_lsh_pairs_direct
+
+    collapsed = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                 minhash_lsh_pairs(docs, k=3, threshold=0.8,
+                                   hashing="md5").collect()}
+    direct = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+              _minhash_lsh_pairs_direct(docs.select("doc_id", "text"), k=3,
+                                        threshold=0.8,
+                                        hashing="md5").collect()}
+    assert collapsed == direct
+    assert (0, 1, 1.0) in collapsed
+
+
+def test_simhash_md5_collapsed_equals_direct_and_62bit(docs):
+    from open_ocr_spark.dataops.dedup import _simhash_fingerprints_direct
+
+    collapsed = {r["doc_id"]: r["simhash"] for r in
+                 simhash_fingerprints(docs, hashing="md5").collect()}
+    direct = {r["doc_id"]: r["simhash"] for r in
+              _simhash_fingerprints_direct(
+                  docs.select("doc_id", "text"), 62,
+                  hashing="md5").collect()}
+    assert collapsed == direct
+    assert collapsed[0] == collapsed[1]
+    # 62-bit cap: signed-int64-safe in any engine
+    assert all(0 <= v < (1 << 62) for v in collapsed.values())
+
+
 def test_word_shingles_edge(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], "doc_id long, text string")
     got = df.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()

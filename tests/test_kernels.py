@@ -658,6 +658,29 @@ def test_sniff_charset_meta_and_boms():
     assert sniff_charset(b" " * 1024 + b'<meta charset="latin1">') == "utf-8"
 
 
+def test_sniff_charset_skips_commented_meta():
+    from open_ocr_spark.kernels.htmltree import sniff_charset
+
+    # a commented-out meta must not win over the real one (WHATWG prescan
+    # skips comments), regardless of order within the window
+    assert (
+        sniff_charset(
+            b'<!-- <meta charset="shift_jis"> --><meta charset="latin1">'
+        )
+        == "cp1252"
+    )
+    assert (
+        sniff_charset(
+            b'<meta charset="latin1"><!-- <meta charset="shift_jis"> -->'
+        )
+        == "cp1252"
+    )
+    # only a commented meta -> fallback
+    assert sniff_charset(b'<!-- <meta charset="shift_jis"> -->') == "utf-8"
+    # an UNCLOSED comment swallows the rest of the prescan window
+    assert sniff_charset(b'<!-- oops <meta charset="latin1">') == "utf-8"
+
+
 def test_decode_html_bytes_cp1252_and_utf16():
     from open_ocr_spark.kernels.htmltree import decode_html_bytes
 

@@ -636,14 +636,20 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE_NONE: LSH-bucketed ANN (approximate by construction)."""
+    """LSH-bucketed ANN. Approximate vs exact top-k, but fully
+    deterministic: the hyperplanes are fixed LCG ±1 patterns, so the
+    oracle replays bucket assignment and the bucket-restricted top-k
+    exactly (generated from the same _hyperplane constants)."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, query_vec_id=0, k=10)
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE_NONE: IVF ANN — label-seeded centroids + one Lloyd
-    refinement, nprobe-cell search (approximate by construction)."""
+    """IVF ANN — label-seeded centroids + one Lloyd refinement,
+    nprobe-cell search. Approximate vs exact top-k but deterministic end
+    to end, so the oracle replays the whole index build (seed means,
+    argmax assignment, refined means, reassignment) and the probed-cell
+    search in SQL."""
     from open_ocr_spark.dataops.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -685,9 +691,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE_NONE scale path: multi-band hyperplane-LSH candidates +
-    exact verification (no all-pairs node). Subset-of-exact and recall are
-    pytest-checked; rows-only here."""
+    """Scale path: multi-band hyperplane-LSH candidates + exact
+    verification (no all-pairs node). Deterministic plane constants make
+    the candidate generation — including LSH's false negatives — SQL
+    replayable, so the oracle checks the full banded pipeline; recall
+    vs exact is additionally pytest-checked."""
     from open_ocr_spark.dataops.similarity import embedding_near_dup_pairs
 
     corpus = _near_dup_embedding_corpus(spark, sf_dir)
@@ -3283,3 +3291,162 @@ def _simhash_md5_oracle(bits: int = 62) -> str:
 
 ORACLES["minhash_lsh_pairs_md5"] = _minhash_md5_oracle()
 ORACLES["simhash_fingerprints_md5"] = _simhash_md5_oracle()
+
+
+# --- generated oracles (hyperplane-LSH / IVF ANN) ----------------------------
+# The ANN tiers are approximate-by-construction but fully DETERMINISTIC:
+# hyperplanes are fixed LCG ±1 patterns and IVF seeds from label means, so
+# an external engine can replay candidate generation exactly.  The plane
+# literals are emitted from the SAME _hyperplane() the Spark plan uses —
+# one source of truth.  Float determinism: both engines fold the dot
+# products over the same float32 leaf values in index order in float64,
+# and every EMITTED similarity is rounded to 4dp; the only cross-engine
+# exposure is the sign test of raw bucket dots / argmax over cell sims,
+# which can differ only on exact float ties (checked empirically at all
+# three SFs by tools/check_contract.py).
+
+
+def _plane_sql(plane_id: int, dim: int = 64) -> str:
+    from open_ocr_spark.dataops.similarity import _hyperplane
+
+    vals = ", ".join(
+        "1.0" if x > 0 else "-1.0" for x in _hyperplane(dim, plane_id)
+    )
+    return f"[{vals}]"
+
+
+def _bucket_sql(vec_expr: str, n_planes: int = 8, plane_offset: int = 0) -> str:
+    bits = "\n                 + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(p + plane_offset)})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"({bits})"
+
+
+def _lsh_topk_oracle() -> str:
+    return f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT v AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round(list_dot_product(v, qe)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+        FROM b, q
+        WHERE vec_id != 0 AND bucket = qb
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+_NEAR_DUP_CORPUS_SQL = """
+        base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        pert AS (
+            SELECT vec_id + 100000 AS vec_id,
+                   list_prepend(CAST(CAST(e[1] + 0.05 AS FLOAT) AS DOUBLE),
+                                e[2:]) AS e
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        corpus AS (
+            SELECT * FROM base UNION ALL SELECT * FROM pert
+        )"""
+
+
+def _near_dup_lsh_oracle(bands: int = 2, n_planes: int = 8) -> str:
+    band_selects = "\n            UNION ALL\n            ".join(
+        f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea, b.e AS eb
+            FROM (SELECT vec_id, e, {_bucket_sql('e', n_planes, bnd * n_planes)}
+                      AS bkt FROM corpus) a
+            JOIN (SELECT vec_id, e, {_bucket_sql('e', n_planes, bnd * n_planes)}
+                      AS bkt FROM corpus) b
+              ON a.bkt = b.bkt AND a.vec_id < b.vec_id"""
+        for bnd in range(bands)
+    )
+    return f"""
+        WITH {_NEAR_DUP_CORPUS_SQL},
+        cand AS (
+            {band_selects}
+        )
+        SELECT DISTINCT vec_a, vec_b,
+               round(list_dot_product(ea, eb)
+                     / (sqrt(list_dot_product(ea, ea))
+                        * sqrt(list_dot_product(eb, eb))), 4) AS cos_sim
+        FROM cand
+        WHERE round(list_dot_product(ea, eb)
+                    / (sqrt(list_dot_product(ea, ea))
+                       * sqrt(list_dot_product(eb, eb))), 4) >= 0.99
+    """
+
+
+def _ivf_topk_oracle(k: int = 10, nprobe: int = 2, dim: int = 64) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        pos AS (SELECT unnest(range({dim})) AS p),
+        seed AS (
+            SELECT cell, list(m ORDER BY p) AS centroid FROM (
+                SELECT label AS cell, p, round(avg(v[p + 1]), 4) AS m
+                FROM e, pos GROUP BY label, p
+            ) GROUP BY cell
+        ),
+        a1 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell, row_number() OVER (
+                    PARTITION BY e.vec_id ORDER BY
+                    coalesce(CASE WHEN list_dot_product(e.v, e.v) > 0
+                                   AND list_dot_product(s.centroid, s.centroid) > 0
+                             THEN list_dot_product(e.v, s.centroid)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(s.centroid, s.centroid)))
+                             END, -1.0) DESC, s.cell ASC) AS rn
+                FROM e, seed s
+            ) WHERE rn = 1
+        ),
+        refined AS (
+            SELECT cell, list(m ORDER BY p) AS centroid FROM (
+                SELECT a1.cell, p, avg(e.v[p + 1]) AS m
+                FROM e JOIN a1 USING (vec_id), pos GROUP BY a1.cell, p
+            ) GROUP BY cell
+        ),
+        a2 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, r.cell, row_number() OVER (
+                    PARTITION BY e.vec_id ORDER BY
+                    coalesce(CASE WHEN list_dot_product(e.v, e.v) > 0
+                                   AND list_dot_product(r.centroid, r.centroid) > 0
+                             THEN list_dot_product(e.v, r.centroid)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(r.centroid, r.centroid)))
+                             END, -1.0) DESC, r.cell ASC) AS rn
+                FROM e, refined r
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+        probe AS (
+            SELECT r.cell FROM refined r, q
+            ORDER BY list_dot_product(r.centroid, qe)
+                     / (sqrt(list_dot_product(r.centroid, r.centroid))
+                        * sqrt(list_dot_product(qe, qe))) DESC, r.cell ASC
+            LIMIT {nprobe}
+        )
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(e.v, qe)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+        FROM e JOIN a2 USING (vec_id), q
+        WHERE a2.cell IN (SELECT cell FROM probe) AND e.vec_id != 0
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT {k}
+    """
+
+
+ORACLES["embedding_lsh_topk"] = _lsh_topk_oracle()
+ORACLES["embedding_near_dup_lsh"] = _near_dup_lsh_oracle()
+ORACLES["embedding_ivf_topk"] = _ivf_topk_oracle()

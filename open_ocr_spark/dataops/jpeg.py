@@ -1,10 +1,13 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec in pure stdlib + numpy.
+"""Baseline + progressive JPEG (ITU-T T.81 / ISO 10918-1) codec in pure
+stdlib + numpy.
 
-Decoder: baseline sequential DCT, 8-bit samples (SOF0; SOF1 decodes
-identically at 8-bit precision), huffman entropy coding, 1-component
-grayscale or 3-component YCbCr with arbitrary divisible sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers (DRI/RSTn), 0xFF00 byte
-stuffing and 0xFF fill bytes. Progressive (SOF2), hierarchical,
+Decoder: sequential DCT (SOF0; SOF1 decodes identically at 8-bit
+precision) AND progressive DCT (SOF2: spectral selection + successive
+approximation — DC first/refine, AC first with EOB runs, AC refinement
+with correction bits, T.81 annex G), 8-bit samples, huffman entropy
+coding, 1-component grayscale or 3-component YCbCr with arbitrary
+divisible sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers
+(DRI/RSTn), 0xFF00 byte stuffing and 0xFF fill bytes. Hierarchical,
 arithmetic-coded and 12-bit frames are valid JPEG but genuinely need a
 decoder library -> ``decode_jpeg`` returns None, the same contract as the
 other media decoders in ``multimodal.decode_pixels`` (structurally corrupt
@@ -104,10 +107,14 @@ class _BitReader:
         self.nbits -= 1
         return (self.buf >> self.nbits) & 1
 
-    def receive_extend(self, size: int) -> int:
+    def receive(self, size: int) -> int:
         v = 0
         for _ in range(size):
             v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, size: int) -> int:
+        v = self.receive(size)
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
     def restart(self):
@@ -154,6 +161,8 @@ def _decode_jpeg(data: bytes):
     frame = None
     restart = 0
     scan = None
+    progressive = False
+    prog = None
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -203,7 +212,7 @@ def _decode_jpeg(data: bytes):
                 hufftabs[(tc, th)] = _build_huff(bits, vals)
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if body[0] != 8:
                 return None  # 12-bit precision
             h = int.from_bytes(body[1:3], "big")
@@ -219,12 +228,22 @@ def _decode_jpeg(data: bytes):
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF, 0xCC):
-            return None  # progressive / lossless / arithmetic / DAC
+            return None  # lossless / hierarchical / arithmetic / DAC
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if progressive:
+                if prog is None:
+                    prog = _prog_init(frame, n - pos)
+                    if prog is None:
+                        return None  # non-divisible sampling
+                pos = _prog_scan(
+                    data, pos, body, prog, hufftabs, qtabs, restart
+                )
+                continue  # back to marker parsing: more scans follow
             ns = body[0]
             scan = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
@@ -232,6 +251,10 @@ def _decode_jpeg(data: bytes):
             ]
             break  # entropy-coded data follows at `pos`
         # else: APPn / COM — skipped
+    if progressive:
+        if prog is None:
+            raise ValueError("jpeg: missing SOF or SOS")
+        return _prog_reconstruct(prog)
     if frame is None or scan is None:
         raise ValueError("jpeg: missing SOF or SOS")
     h, w, comps = frame
@@ -306,9 +329,22 @@ def _decode_jpeg(data: bytes):
                             raise ValueError("jpeg: AC coefficient overrun")
                         blk[k] = reader.receive_extend(s)
                         k += 1
+    return _reconstruct(
+        [(coefs, bw, ch, cv, qtab)
+         for coefs, bw, ch, cv, _dt, _at, qtab in order],
+        h, w, hmax, vmax,
+    )
+
+
+def _reconstruct(parts, h, w, hmax, vmax):
+    """Shared dequant + IDCT + upsample + colorspace tail for the baseline
+    and progressive paths. ``parts``: per component in frame order,
+    (zigzag coef array (nblocks, 64), blocks-wide, H, V, qtab)."""
+    import numpy as np
+
     m_basis = _dct_matrix()
     planes = []
-    for coefs, bw, ch, cv, _dt, _at, qtab in order:
+    for coefs, bw, ch, cv, qtab in parts:
         deq = coefs * qtab  # both in zigzag order
         blocks = np.zeros((deq.shape[0], 8, 8), dtype=np.float64)
         blocks[:, _ZZ_ROW, _ZZ_COL] = deq
@@ -330,6 +366,230 @@ def _decode_jpeg(data: bytes):
     out[:, :, 1] = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     out[:, :, 2] = y + 1.772 * (cb - 128.0)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --- progressive decoding (T.81 annex G) -------------------------------------
+# Coefficients accumulate across scans in per-component zigzag arrays over
+# the MCU-padded block grid; non-interleaved scans walk the component's
+# TRUE block grid (tbw x tbh) while interleaved DC scans walk MCUs, so the
+# two addressings share one array via the padded row stride.
+
+
+def _prog_init(frame, remaining: int):
+    """Allocate progressive coefficient state, or None for frames the
+    sequential path would also reject (non-divisible sampling)."""
+    import numpy as np
+
+    h, w, comps = frame
+    if len(comps) == 1:
+        # single-component frames: scans are non-interleaved, declared
+        # sampling does not shape them (same rule as the baseline path)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # every block costs >= 1 bit in its (mandatory) DC-first scan, so a
+    # frame declaring more blocks than the file has bits is hostile —
+    # checked BEFORE allocating (same rationale as the baseline guard)
+    total_blocks = mcuy * mcux * sum(c[1] * c[2] for c in comps)
+    if total_blocks > 8 * remaining + 64:
+        raise ValueError("jpeg: declared dimensions exceed entropy data")
+    state = {"h": h, "w": w, "hmax": hmax, "vmax": vmax,
+             "mcux": mcux, "mcuy": mcuy, "order": [c[0] for c in comps],
+             "comps": {}}
+    for cid, ch, cv, tq in comps:
+        bw, bh = mcux * ch, mcuy * cv
+        cw = -(-(w * ch) // hmax)  # component size in samples (A.1.1)
+        chh = -(-(h * cv) // vmax)
+        state["comps"][cid] = {
+            "coefs": np.zeros((bh * bw, 64), dtype=np.int32),
+            "bw": bw,
+            "tbw": -(-cw // 8),  # TRUE block grid (non-interleaved scans)
+            "tbh": -(-chh // 8),
+            "ch": ch, "cv": cv, "tq": tq, "qtab": None,
+        }
+    return state
+
+
+def _prog_scan(data, pos, body, prog, hufftabs, qtabs, restart):
+    """Decode one progressive scan's entropy data; returns the new pos."""
+    ns = body[0]
+    scomps = [
+        (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+        for i in range(ns)
+    ]
+    off = 1 + 2 * ns
+    ss, se = body[off], body[off + 1]
+    ah, al = body[off + 2] >> 4, body[off + 2] & 15
+    for cs, _td, _ta in scomps:
+        if cs not in prog["comps"]:
+            raise ValueError("jpeg: scan references unknown component")
+        c = prog["comps"][cs]
+        if c["qtab"] is None:
+            if c["tq"] not in qtabs:
+                raise ValueError("jpeg: component references missing DQT")
+            c["qtab"] = qtabs[c["tq"]]
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: DC scan with nonzero Se")
+        _prog_dc_scan(reader, scomps, prog, ah, al, restart, hufftabs)
+    else:
+        if ns != 1:
+            raise ValueError("jpeg: interleaved AC scan")
+        if se > 63:
+            raise ValueError("jpeg: bad AC spectral band")
+        _prog_ac_scan(reader, scomps[0], prog, ss, se, ah, al, restart,
+                      hufftabs)
+    return reader.pos
+
+
+def _prog_dc_scan(reader, scomps, prog, ah, al, restart, hufftabs):
+    tabs = {}
+    if ah == 0:
+        for cs, td, _ta in scomps:
+            if (0, td) not in hufftabs:
+                raise ValueError("jpeg: scan references missing huffman table")
+            tabs[cs] = hufftabs[(0, td)]
+    preds = {cs: 0 for cs, _, _ in scomps}
+    interleaved = len(scomps) > 1
+    if interleaved:
+        nunits = prog["mcux"] * prog["mcuy"]
+    else:
+        c0 = prog["comps"][scomps[0][0]]
+        nunits = c0["tbw"] * c0["tbh"]
+    for idx in range(nunits):
+        if restart and idx and idx % restart == 0:
+            reader.restart()
+            preds = {cs: 0 for cs, _, _ in scomps}
+        if interleaved:
+            my, mx = divmod(idx, prog["mcux"])
+            for cs, _td, _ta in scomps:
+                c = prog["comps"][cs]
+                for by in range(c["cv"]):
+                    for bx in range(c["ch"]):
+                        blk = c["coefs"][
+                            (my * c["cv"] + by) * c["bw"] + mx * c["ch"] + bx
+                        ]
+                        _prog_dc_unit(reader, blk, tabs.get(cs), preds, cs,
+                                      ah, al)
+        else:
+            cs = scomps[0][0]
+            c = prog["comps"][cs]
+            row, col = divmod(idx, c["tbw"])
+            blk = c["coefs"][row * c["bw"] + col]
+            _prog_dc_unit(reader, blk, tabs.get(cs), preds, cs, ah, al)
+
+
+def _prog_dc_unit(reader, blk, tab, preds, cs, ah, al):
+    if ah == 0:  # first pass: huffman-coded point-transformed diffs
+        size = _decode_symbol(reader, tab)
+        diff = reader.receive_extend(size) if size else 0
+        preds[cs] += diff
+        blk[0] = preds[cs] << al
+    elif reader.read_bit():  # refinement: one magnitude bit per block
+        blk[0] |= 1 << al
+
+
+def _prog_ac_scan(reader, scomp, prog, ss, se, ah, al, restart, hufftabs):
+    cs, _td, ta = scomp
+    if (1, ta) not in hufftabs:
+        raise ValueError("jpeg: scan references missing huffman table")
+    act = hufftabs[(1, ta)]
+    c = prog["comps"][cs]
+    coefs, bw, tbw = c["coefs"], c["bw"], c["tbw"]
+    unit = _prog_ac_first_unit if ah == 0 else _prog_ac_refine_unit
+    eobrun = 0
+    for idx in range(tbw * c["tbh"]):
+        if restart and idx and idx % restart == 0:
+            reader.restart()
+            eobrun = 0
+        row, col = divmod(idx, tbw)
+        eobrun = unit(reader, coefs[row * bw + col], act, ss, se, al, eobrun)
+
+
+def _prog_ac_first_unit(r, blk, act, ss, se, al, eobrun):
+    """First AC pass for one block (T.81 G.1.2.2): run/size coding with
+    EOBn run-length symbols. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, act)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr != 15:  # EOBn: run of 2^rr + bits all-zero bands
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.receive(rr)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("jpeg: AC coefficient overrun")
+        blk[k] = r.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine_unit(r, blk, act, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3): newly-nonzero coefficients arrive as ±1<<al, every
+    previously-nonzero coefficient crossed gets a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(r, act)
+            rr, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if rr != 15:  # EOBn: corrections continue below
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.receive(rr)
+                    break
+                # ZRL: skip 16 zero-history positions with corrections
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement magnitude")
+                newval = p1 if r.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                else:
+                    if rr == 0:
+                        if s:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    rr -= 1
+                k += 1
+    if eobrun > 0:  # tail of an EOB run: correction bits only
+        while k <= se:
+            if blk[k] != 0 and r.read_bit() and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_reconstruct(prog):
+    parts = []
+    for cid in prog["order"]:
+        c = prog["comps"][cid]
+        if c["qtab"] is None:
+            raise ValueError("jpeg: component never scanned")
+        parts.append((c["coefs"], c["bw"], c["ch"], c["cv"], c["qtab"]))
+    return _reconstruct(parts, prog["h"], prog["w"], prog["hmax"],
+                        prog["vmax"])
 
 
 # --- encoder ---------------------------------------------------------------
@@ -502,4 +762,214 @@ def encode_jpeg(arr, subsample: bool = False, grayscale: bool = False,
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder ------------------------------------------------------
+# Emits the common web progression: DC first at Al=1 + DC refinement, then
+# per component two spectral AC bands (1-5, 6-63) each at Al=1 followed by
+# its refinement scan — exercising spectral selection, successive
+# approximation, EOB runs, ZRL-in-refinement and buffered correction bits
+# (T.81 annex G). 4:4:4 color / grayscale, all-ones quant tables like
+# encode_jpeg. Exists so fixtures and property tests can synthesize REAL
+# progressive streams without an image library; the decoder above is the
+# production path.
+
+# AC table for progressive scans: the sequential table lacks the EOBn
+# symbols (r<<4 for r=1..14). 176 symbols, all at 8 bits, canonical,
+# all-ones code unused.
+_AC_SYMS_PROG = sorted(
+    [0xF0] + [r << 4 for r in range(15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_ENC_PROG = {s: (i, 8) for i, s in enumerate(_AC_SYMS_PROG)}
+_AC_BITS_PROG = bytes([0] * 7 + [len(_AC_SYMS_PROG)] + [0] * 8)
+
+_PROG_BANDS = ((1, 5), (6, 63))
+
+
+def _emit_eobrun(w: _BitWriter, eobrun: int, bebuf: list[int]) -> None:
+    if eobrun:
+        e = eobrun.bit_length() - 1
+        code, ln = _AC_ENC_PROG[e << 4]
+        w.write(code, ln)
+        if e:
+            w.write(eobrun - (1 << e), e)
+        for b in bebuf:
+            w.write(b, 1)
+        bebuf.clear()
+
+
+def _enc_ac_first(w: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+    for zz in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            a = abs(v) >> al
+            vals.append(a if v >= 0 else -a)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(w, eobrun, [])
+                eobrun = 0
+            continue
+        _emit_eobrun(w, eobrun, [])
+        eobrun = 0
+        last = -1
+        for i in nz:
+            run = i - last - 1
+            while run >= 16:
+                code, ln = _AC_ENC_PROG[0xF0]
+                w.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(vals[i])
+            code, ln = _AC_ENC_PROG[(run << 4) | size]
+            w.write(code, ln)
+            w.write(bits, size)
+            last = i
+        if last != se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(w, eobrun, [])
+                eobrun = 0
+    _emit_eobrun(w, eobrun, [])
+
+
+def _enc_ac_refine(w: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    """Refinement scan encoder (T.81 fig. G.7, with libjpeg's fold-ZRL-
+    into-EOB refinement): correction bits ride after the symbol they are
+    associated with, buffered across EOB runs."""
+    eobrun = 0
+    bebuf: list[int] = []
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1  # last newly-nonzero position in this block
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                _emit_eobrun(w, eobrun, bebuf)
+                eobrun = 0
+                code, ln = _AC_ENC_PROG[0xF0]
+                w.write(code, ln)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if a > 1:  # previously nonzero: one correction bit
+                br.append(a & 1)
+                continue
+            _emit_eobrun(w, eobrun, bebuf)
+            eobrun = 0
+            code, ln = _AC_ENC_PROG[(r << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            bebuf.extend(br)
+            if eobrun == 0x7FFF or len(bebuf) > 937:
+                _emit_eobrun(w, eobrun, bebuf)
+                eobrun = 0
+    _emit_eobrun(w, eobrun, bebuf)
+
+
+def encode_jpeg_progressive(arr, grayscale: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JPEG bytes. Same
+    coefficients as encode_jpeg's 4:4:4/grayscale path (all-ones quant),
+    reordered into successive-approximation scans, so
+    decode_jpeg(encode_jpeg_progressive(x)) == decode_jpeg(encode_jpeg(x))
+    exactly."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.float64)
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("jpeg: bad encode dimensions")
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    if grayscale:
+        comps = [yp]
+    else:
+        comps = [
+            yp,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    encoded = []
+    for plane in comps:
+        zz, _bw = _plane_blocks(
+            np.clip(np.rint(plane), 0, 255), mcuy * 8, mcux * 8
+        )
+        encoded.append(zz)
+    nc = len(comps)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + _DC_BITS + bytes(_DC_SYMS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    body = bytes([0x10]) + _AC_BITS_PROG + bytes(_AC_SYMS_PROG)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            hdr += bytes([ci + 1, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    w_ = _BitWriter()
+    preds = [0] * nc
+    for idx in range(mcuy * mcux):
+        for ci in range(nc):
+            dc = int(encoded[ci][idx][0]) >> 1
+            size, bits = _magnitude(dc - preds[ci])
+            code, ln = _DC_ENC[size]
+            w_.write(code, ln)
+            if size:
+                w_.write(bits, size)
+            preds[ci] = dc
+    w_.flush()
+    out += w_.out
+    # scan 2: DC refinement, Ah=1 -> Al=0
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    w_ = _BitWriter()
+    for idx in range(mcuy * mcux):
+        for ci in range(nc):
+            w_.write(int(encoded[ci][idx][0]) & 1, 1)
+    w_.flush()
+    out += w_.out
+    # per component: AC first then AC refinement, per spectral band
+    for ci in range(nc):
+        for ss, se in _PROG_BANDS:
+            out += sos([ci], ss, se, 0, 1)
+            w_ = _BitWriter()
+            _enc_ac_first(w_, encoded[ci], ss, se, 1)
+            w_.flush()
+            out += w_.out
+        for ss, se in _PROG_BANDS:
+            out += sos([ci], ss, se, 1, 0)
+            w_ = _BitWriter()
+            _enc_ac_refine(w_, encoded[ci], ss, se, 0)
+            w_.flush()
+            out += w_.out
+    out += b"\xff\xd9"
     return bytes(out)

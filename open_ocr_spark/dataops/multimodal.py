@@ -3,13 +3,14 @@ with typed metadata, processed by Arrow-batched kernels over mapInPandas.
 
 The Spark-side plumbing (schema, batching, partitioning, UDF signature) is
 real and tested. Pixel decode is REAL for the formats stdlib+numpy can
-handle — PNG (zlib IDAT + numpy unfiltering), baseline JPEG (huffman +
-vectorized IDCT, dataops/jpeg.py), uncompressed 24-bit BMP, binary PPM —
-and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV fmt/data
-chunks). MP4 video is demuxed for real down to the codec-sample boundary
-(dataops/mp4.py: box tree, sample tables, byte-exact frame extraction
-with true timestamps). What genuinely needs PIL/ffmpeg
-(progressive/arithmetic JPEG, pixel decode of video samples, non-MP4
+handle — PNG (zlib IDAT + numpy unfiltering), baseline AND progressive
+JPEG (huffman + spectral-selection/successive-approximation scan
+assembly + vectorized IDCT, dataops/jpeg.py), uncompressed 24-bit BMP,
+binary PPM — and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV
+fmt/data chunks). MP4 video is demuxed for real down to the codec-sample
+boundary (dataops/mp4.py: box tree, sample tables, byte-exact frame
+extraction with true timestamps). What genuinely needs PIL/ffmpeg
+(arithmetic-coded JPEG, pixel decode of video samples, non-MP4
 video containers) is STUBBED: each stub either raises a clearly-marked
 NotImplementedError (strict mode) or produces a deterministic fake
 (default) so pipelines remain end-to-end runnable.
@@ -534,12 +535,13 @@ def _decode_png(data: bytes):
 def decode_pixels(payload: bytes):
     """numpy (h, w, 3) uint8 array from the formats stdlib+numpy can decode
     without PIL/ffmpeg: PNG (zlib IDAT + numpy unfiltering — 8-bit
-    grey/truecolor/palette/alpha, non-interlaced), baseline JPEG (huffman
-    entropy decode + vectorized IDCT, grayscale/YCbCr, any divisible
-    subsampling, restart markers — see dataops/jpeg.py), uncompressed
+    grey/truecolor/palette/alpha, non-interlaced), baseline AND
+    progressive JPEG (huffman entropy decode + progressive scan assembly
+    + vectorized IDCT, grayscale/YCbCr, any divisible subsampling,
+    restart markers — see dataops/jpeg.py), uncompressed
     24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up or top-down) and
     binary PPM (P6, maxval 255). Returns None for every other format —
-    those genuinely need a decoder library (progressive/arithmetic JPEG
+    those genuinely need a decoder library (arithmetic-coded JPEG
     included). Raises ValueError for recognized-but-corrupt payloads."""
     import struct
 

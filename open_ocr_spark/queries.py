@@ -1746,6 +1746,93 @@ def q_media_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_media_resize_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG through the driver gate, two checks in one
+    plan.  (1) Exact pixel path: each document becomes an 8x16 grayscale
+    PROGRESSIVE JPEG (DC-first/DC-refine + two spectral AC bands with
+    successive approximation) of two flat 8x8 blocks with doc_id-formula
+    gray levels, resized to 8x8 by the real path (progressive decode ->
+    nearest-neighbor -> baseline re-encode -> decode): flat blocks
+    survive both roundtrips exactly, so p_left/p_right are closed-form.
+    (2) AC-machinery equivalence: a doc_id-seeded NON-flat 16x16 image is
+    encoded both baseline and progressive in the kernel and
+    ``ac_agree=1`` records that both decodes are byte-identical — this is
+    the invariant the progressive scan assembly must satisfy (the
+    baseline path is itself pinned by media_resize_jpeg's oracle), and it
+    exercises EOB runs, ZRL-in-refinement and correction bits on real
+    coefficient data inside the driver-checked query."""
+    import pandas as pd
+
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    def _jpeg_wrap(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a, b = (i * 3 + 11) % 250, (i * 7 + 60) % 250
+                arr = np.empty((8, 16, 3), dtype=np.uint8)
+                arr[:, :8] = a
+                arr[:, 8:] = b
+                out.append(
+                    (i, bytearray(encode_jpeg_progressive(arr,
+                                                          grayscale=True)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_jpeg_wrap, "media_id long, payload binary")
+    resized = resize_images(media, 8, 8, strict=True)
+
+    def _pixels(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                arr = decode_jpeg(bytes(payload))
+                mid = int(mid)
+                # doc-seeded non-flat content: every AC scan type fires
+                rich = (
+                    (np.arange(16)[:, None] * 31 + np.arange(16) * 17
+                     + mid * 13) % 256
+                ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+                base = decode_jpeg(encode_jpeg(rich, grayscale=True))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(rich, grayscale=True)
+                )
+                out.append(
+                    (
+                        mid, int(w), int(h),
+                        int(arr[0, 0, 0]), int(arr[7, 7, 0]),
+                        int(np.array_equal(base, prog)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "p_left", "p_right",
+                         "ac_agree"],
+            )
+
+    return resized.mapInPandas(
+        _pixels,
+        "doc_id long, width int, height int, p_left int, p_right int, "
+        "ac_agree int",
+    ).orderBy("doc_id")
+
+
 def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-BMFF demux (dataops/mp4.py) through the driver gate: each
     document becomes a real MP4 with 1 + doc_id%4 one-second video
@@ -1910,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in r4 (no prior green: must sit inside the window) ----------
     "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
     "simhash_fingerprints_md5": q_simhash_fingerprints_md5,
+    "media_resize_jpeg_progressive": q_media_resize_jpeg_progressive,
     # -- never driver-recorded in any round (VERDICT r2 item 1) ----------
     "engine_dispatch": q_engine_dispatch,
     "asof_last_order": q_asof_last_order,
@@ -2638,6 +2726,16 @@ ORACLES: dict[str, str] = {
                CAST(8 AS INTEGER) AS height,
                CAST((doc_id * 2 + 5) % 250 AS INTEGER) AS p_left,
                CAST((doc_id * 9 + 40) % 250 AS INTEGER) AS p_right
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "media_resize_jpeg_progressive": """
+        SELECT doc_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST((doc_id * 3 + 11) % 250 AS INTEGER) AS p_left,
+               CAST((doc_id * 7 + 60) % 250 AS INTEGER) AS p_right,
+               CAST(1 AS INTEGER) AS ac_agree
         FROM documents
         ORDER BY doc_id
     """,

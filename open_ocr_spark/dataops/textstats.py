@@ -67,35 +67,127 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm.cast("binary")))
 
 
-# --- language-ID heuristic (Arrow-batched pandas UDF) -----------------------
+# --- language-ID (Arrow-batched pandas UDF) ----------------------------------
+# Two deterministic tiers, the shape of every practical crawl lang-id:
+#
+# 1. SCRIPT detection by Unicode block density — non-Latin scripts are
+#    near-unambiguous (Cyrillic->ru, Arabic->ar, Devanagari->hi,
+#    Hangul->ko, kana->ja, Han-without-kana->zh, Greek->el, Hebrew->he,
+#    Thai->th). This is how fastText/CLD short-circuit too.
+# 2. Character-TRIGRAM rank profiles (Cavnar-Trenkle '94 out-of-place
+#    distance) for the Latin-script languages (en de fr es pt it nl),
+#    built at import from small seed texts below. Deterministic: fixed
+#    seed corpus, bytewise tie-breaks, fixed language order.
+#
+# Real models would be broadcast the same way; the kernel stays an
+# Arrow-batched pandas UDF either way.
 
-# Tiny per-language stopword profiles: enough signal for the heuristic and
-# fully deterministic. Real models would be broadcast the same way.
-_PROFILES = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
-    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans"},
-    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "por", "que"},
-    "zh": set(),  # CJK handled by the codepoint-range rule below
+_SEED_TEXTS = {
+    "en": "the quick brown fox jumps over the lazy dog and it is a fine "
+          "day for all of us that we should be here with the things we "
+          "have and the people who are there when you want them to be",
+    "de": "der schnelle braune fuchs springt über den faulen hund und es "
+          "ist ein schöner tag für uns alle dass wir hier sind mit den "
+          "dingen die wir haben und den menschen die da sind wenn man sie "
+          "braucht ich habe nicht gewusst was das ist",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et "
+          "c'est une belle journée pour nous tous que nous soyons ici "
+          "avec les choses que nous avons et les gens qui sont là quand "
+          "on veut qu'ils soient je ne sais pas ce que c'est",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso y es un "
+          "buen día para todos nosotros que estemos aquí con las cosas "
+          "que tenemos y la gente que está allí cuando quieres que estén "
+          "no sé lo que es esto pero me gusta mucho",
+    "pt": "a rápida raposa marrom salta sobre o cão preguiçoso e é um bom "
+          "dia para todos nós que estejamos aqui com as coisas que temos "
+          "e as pessoas que estão lá quando você quer que estejam não sei "
+          "o que é isso mas eu gosto muito das coisas",
+    "it": "la rapida volpe marrone salta sopra il cane pigro ed è una "
+          "bella giornata per tutti noi che siamo qui con le cose che "
+          "abbiamo e le persone che sono lì quando vuoi che ci siano non "
+          "so che cosa sia questo ma mi piace molto",
+    "nl": "de snelle bruine vos springt over de luie hond en het is een "
+          "mooie dag voor ons allemaal dat we hier zijn met de dingen die "
+          "we hebben en de mensen die er zijn als je wilt dat ze er zijn "
+          "ik weet niet wat dit is maar ik vind het leuk",
 }
+
+_LATIN_LANGS = tuple(_SEED_TEXTS)  # fixed order = deterministic ties
+_PROFILE_TOP = 150
+_DOC_TOP = 80
+
+
+def _ranked_trigrams(text: str, top: int) -> list:
+    import re as _re
+    from collections import Counter
+
+    s = " " + _re.sub(r"\s+", " ", text.lower()).strip() + " "
+    counts = Counter(s[i:i + 3] for i in range(len(s) - 2))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [g for g, _c in ranked[:top]]
+
+
+_TRIGRAM_PROFILES = {
+    lang: {g: i for i, g in enumerate(_ranked_trigrams(t, _PROFILE_TOP))}
+    for lang, t in _SEED_TEXTS.items()
+}
+
+# (langcode, inclusive codepoint ranges) — dominant-script shortcut.
+_SCRIPTS = (
+    ("ru", ((0x0400, 0x04FF),)),            # Cyrillic
+    ("el", ((0x0370, 0x03FF),)),            # Greek
+    ("he", ((0x0590, 0x05FF),)),            # Hebrew
+    ("ar", ((0x0600, 0x06FF), (0x0750, 0x077F))),  # Arabic
+    ("hi", ((0x0900, 0x097F),)),            # Devanagari
+    ("th", ((0x0E00, 0x0E7F),)),            # Thai
+    ("ko", ((0xAC00, 0xD7AF), (0x1100, 0x11FF))),  # Hangul
+    ("ja", ((0x3040, 0x309F), (0x30A0, 0x30FF))),  # kana
+    ("zh", ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))),  # Han
+)
+
+
+def _dominant_script(window: str) -> str | None:
+    """Script language if one non-Latin script dominates the letters.
+    Kana beats Han (Japanese text mixes both; Han alone means Chinese)."""
+    counts = dict.fromkeys((s for s, _ in _SCRIPTS), 0)
+    letters = 0
+    for ch in window:
+        o = ord(ch)
+        if ch.isalpha():
+            letters += 1
+        for lang, ranges in _SCRIPTS:
+            if any(lo <= o <= hi for lo, hi in ranges):
+                counts[lang] += 1
+                break
+    if letters == 0:
+        return None
+    if counts["ja"] >= max(3, letters * 0.05):
+        return "ja"  # any meaningful kana presence -> Japanese
+    for lang, _r in _SCRIPTS:
+        if counts[lang] > letters * 0.3:
+            return lang
+    return None
 
 
 def _lang_id_series(texts: pd.Series) -> pd.Series:
     def ident(t):
         if not t:
             return "und"
-        # CJK codepoint density first
-        cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
-        if cjk > len(t[:400]) * 0.2:
-            return "zh"
-        tokens = t.lower().split()
-        if not tokens:
+        window = t[:400]
+        script = _dominant_script(window)
+        if script:
+            return script
+        doc = _ranked_trigrams(window, _DOC_TOP)
+        # require minimal evidence: ultra-short / non-text stays und
+        if len(doc) < 4:
             return "und"
-        best, best_hits = "und", 0
-        for lang in ("en", "de", "fr", "es"):  # fixed order = deterministic ties
-            hits = sum(1 for tok in tokens if tok in _PROFILES[lang])
-            if hits > best_hits:
-                best, best_hits = lang, hits
+        best, best_d = "und", None
+        for lang in _LATIN_LANGS:
+            prof = _TRIGRAM_PROFILES[lang]
+            miss = _PROFILE_TOP
+            d = sum(abs(prof.get(g, miss) - i) for i, g in enumerate(doc))
+            if best_d is None or d < best_d:
+                best, best_d = lang, d
         return best
 
     return texts.map(ident)

@@ -1987,10 +1987,11 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the first DRIVER_WINDOW entries in insertion order.  Policy
 # (enforced by tools/check_contract.py --window): a query may sit past the
 # window only if it already has a recorded green in a prior round's
-# CORRECTNESS_r*.json.  Round 3 therefore leads with the 14 queries that
-# had no r2 driver row (6 of them never recorded in any round), keeps the
-# r2-first-green queries inside the window, and rotates out only queries
-# green in BOTH r1 and r2.
+# CORRECTNESS_r*.json.  Round 4 leads with the 3 new queries and the 3
+# ANN queries that just gained full oracles, then rotates through every
+# query whose last driver row predates the r3/r4 code changes (VERDICT r3
+# item 3), then the r3-green queries whose code paths r4 touched; only
+# r3-green queries with r4-untouched code sit past the window.
 DRIVER_WINDOW = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1998,74 +1999,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
     "simhash_fingerprints_md5": q_simhash_fingerprints_md5,
     "media_resize_jpeg_progressive": q_media_resize_jpeg_progressive,
-    # -- never driver-recorded in any round (VERDICT r2 item 1) ----------
-    "engine_dispatch": q_engine_dispatch,
-    "asof_last_order": q_asof_last_order,
-    "topk_orders_per_customer": q_topk_orders_per_customer,
-    "extract_pdf_flate": q_extract_pdf_flate,
-    "multipart_roundtrip": q_multipart_roundtrip,
-    "url_fetch_roundtrip": q_url_fetch_roundtrip,
-    # -- new in r3 (must sit inside the window: no prior green) ----------
-    "extract_pdf_tj": q_extract_pdf_tj,
-    "media_resize": q_media_resize,
-    "media_resize_png": q_media_resize_png,
-    "media_resize_jpeg": q_media_resize_jpeg,
-    "media_frame_sample_mp4": q_media_frame_sample_mp4,
-    "audio_stats_wav": q_audio_stats_wav,
-    "session_window_stats": q_session_window_stats,
-    "line_dedup_docs": q_line_dedup_docs,
-    "canonical_url_dedup": q_canonical_url_dedup,
-    "pack_training_sequences": q_pack_training_sequences,
-    "decontaminate_docs": q_decontaminate_docs,
-    "warc_roundtrip": q_warc_roundtrip,
-    "prepare_corpus_full": q_prepare_corpus_full,
-    "host_link_graph": q_host_link_graph,
-    "host_pagerank": q_host_pagerank,
-    "temperature_sample": q_temperature_sample,
-    # -- recorded green in r1 only, dropped from the r2 window -----------
-    "extract_pdf_text": q_extract_pdf_text,
-    "extract_structured_spans": q_extract_structured_spans,
-    "ntile_order_quartiles": q_ntile_order_quartiles,
-    "range_join_event_pairs": q_range_join_event_pairs,
-    "stats_corr_revenue": q_stats_corr_revenue,
-    "train_test_split": q_train_test_split,
-    "stratified_sample": q_stratified_sample,
-    "media_frame_sample": q_media_frame_sample,
-    # -- kept inside the window: flagship extraction queries plus every
-    # -- query whose FIRST recorded green was r2 (one green on record) ----
-    "extract_main_text": q_extract_main_text,
-    "extract_status_rollup": q_extract_status_rollup,
-    "rollup_source_lang": q_rollup_source_lang,
-    "salted_host_counts": q_salted_host_counts,
-    "approx_distinct_users": q_approx_distinct_users,
-    "sessionize_events": q_sessionize_events,
-    "host_doc_counts": q_host_doc_counts,
-    "exact_dedup_groups": q_exact_dedup_groups,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "repetition_stats": q_repetition_stats,
-    "pii_scrub": q_pii_scrub,
-    "bpe_token_counts": q_bpe_token_counts,
-    "prepare_corpus": q_prepare_corpus,
+    # -- rows-only in r1-r3, gained full oracles in r4: need their first
+    # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "media_features": q_media_features,
-    # -- past the window: recorded green on file (both-rounds, plus
-    # -- grouping_sets_docs green r2 — its class stays in-window via
-    # -- rollup_source_lang; pivot/percentile/distinct_counts/full_outer
-    # -- rotated out in r3 for the PNG/JPEG/MP4/WAV codec queries, all
-    # -- double-green; orders_above_avg/doc_fingerprints/lang_id rotated
-    # -- out (r2 green on file) for the line-dedup/url-canon/packing
-    # -- queries; token_counts/binary_payload_stats (green r1 AND r2)
-    # -- rotated out for decontaminate_docs/warc_roundtrip;
-    # -- quality_scores (green r1 AND r2, and its scoring math is pinned
-    # -- inside prepare_corpus/prepare_corpus_full's oracles) rotated out
-    # -- for prepare_corpus_full; base64_roundtrip/embedding_topk (green
-    # -- r1 AND r2) rotated out for host_link_graph/host_pagerank) --------
+    # -- last driver-checked in r1/r2, BEFORE the r3/r4 code changes
+    # -- (charset sniff, seven r3 edge fixes, r4 jpeg/urls/dedup edits):
+    # -- rotate every one through the r4 window (VERDICT r3 item 3)
     "base64_roundtrip": q_base64_roundtrip,
     "embedding_topk": q_embedding_topk,
     "quality_scores": q_quality_scores,
@@ -2095,6 +2036,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intersect_user_ids": q_intersect_user_ids,
     "cube_source_lang": q_cube_source_lang,
     "window_event_gaps": q_window_event_gaps,
+    "embedding_near_dup": q_embedding_near_dup,
+    # -- r3-green, but their code paths CHANGED in r4 (html charset
+    # -- prescan comments, try_parse_url canonicalization, jpeg decoder
+    # -- refactor, dedup hashing param threading, warc oracle): re-check
+    "extract_main_text": q_extract_main_text,
+    "extract_status_rollup": q_extract_status_rollup,
+    "extract_structured_spans": q_extract_structured_spans,
+    "canonical_url_dedup": q_canonical_url_dedup,
+    "warc_roundtrip": q_warc_roundtrip,
+    "media_resize_jpeg": q_media_resize_jpeg,
+    "media_resize": q_media_resize,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "media_features": q_media_features,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "prepare_corpus_full": q_prepare_corpus_full,
+    # -- past the window: r3-green driver rows on file and their code
+    # -- paths untouched in r4
+    "engine_dispatch": q_engine_dispatch,
+    "asof_last_order": q_asof_last_order,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "extract_pdf_flate": q_extract_pdf_flate,
+    "multipart_roundtrip": q_multipart_roundtrip,
+    "url_fetch_roundtrip": q_url_fetch_roundtrip,
+    "extract_pdf_tj": q_extract_pdf_tj,
+    "media_resize_png": q_media_resize_png,
+    "media_frame_sample_mp4": q_media_frame_sample_mp4,
+    "audio_stats_wav": q_audio_stats_wav,
+    "session_window_stats": q_session_window_stats,
+    "line_dedup_docs": q_line_dedup_docs,
+    "pack_training_sequences": q_pack_training_sequences,
+    "decontaminate_docs": q_decontaminate_docs,
+    "host_link_graph": q_host_link_graph,
+    "host_pagerank": q_host_pagerank,
+    "temperature_sample": q_temperature_sample,
+    "extract_pdf_text": q_extract_pdf_text,
+    "ntile_order_quartiles": q_ntile_order_quartiles,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "stats_corr_revenue": q_stats_corr_revenue,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
+    "media_frame_sample": q_media_frame_sample,
+    "rollup_source_lang": q_rollup_source_lang,
+    "salted_host_counts": q_salted_host_counts,
+    "approx_distinct_users": q_approx_distinct_users,
+    "sessionize_events": q_sessionize_events,
+    "host_doc_counts": q_host_doc_counts,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "bpe_token_counts": q_bpe_token_counts,
+    "prepare_corpus": q_prepare_corpus,
 }
 
 # DuckDB oracles. Omitted keys = rows-only check (kernel / hash-seeded ops).

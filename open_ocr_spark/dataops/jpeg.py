@@ -885,12 +885,18 @@ def _enc_ac_refine(w: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
     _emit_eobrun(w, eobrun, bebuf)
 
 
-def encode_jpeg_progressive(arr, grayscale: bool = False) -> bytes:
+def encode_jpeg_progressive(
+    arr, grayscale: bool = False, subsample: bool = False
+) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JPEG bytes. Same
-    coefficients as encode_jpeg's 4:4:4/grayscale path (all-ones quant),
-    reordered into successive-approximation scans, so
+    coefficients as encode_jpeg's matching path (all-ones quant;
+    ``subsample`` emits 4:2:0 with 2x2-mean chroma), reordered into
+    successive-approximation scans, so
     decode_jpeg(encode_jpeg_progressive(x)) == decode_jpeg(encode_jpeg(x))
-    exactly."""
+    exactly. 4:2:0 matters for coverage: the interleaved DC scans walk
+    the MCU-PADDED block grid while AC scans walk each component's TRUE
+    block grid — the two addressings only differ when sampling factors
+    differ."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.float64)
@@ -900,27 +906,38 @@ def encode_jpeg_progressive(arr, grayscale: bool = False) -> bytes:
     r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
     yp = 0.299 * r + 0.587 * g + 0.114 * b
     if grayscale:
-        comps = [yp]
+        comps = [(yp, 1, 1)]
     else:
-        comps = [
-            yp,
-            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
-        ]
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    encoded = []
-    for plane in comps:
-        zz, _bw = _plane_blocks(
-            np.clip(np.rint(plane), 0, 255), mcuy * 8, mcux * 8
-        )
-        encoded.append(zz)
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            eh, ew = (h + 1) & ~1, (w + 1) & ~1
+
+            def down(p):
+                p = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+                return p.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+
+            comps = [(yp, 2, 2), (down(cb), 1, 1), (down(cr), 1, 1)]
+        else:
+            comps = [(yp, 1, 1), (cb, 1, 1), (cr, 1, 1)]
     nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    encoded = []  # (zz blocks over padded grid, bw, ch, cv, tbw, tbh)
+    for plane, ch, cv in comps:
+        zz, bw = _plane_blocks(
+            np.clip(np.rint(plane), 0, 255), mcuy * cv * 8, mcux * ch * 8
+        )
+        tbw = -(-(-(-(w * ch) // hmax)) // 8)
+        tbh = -(-(-(-(h * cv) // vmax)) // 8)
+        encoded.append((zz, bw, ch, cv, tbw, tbh))
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
     sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0])
+    for i, (_p, ch, cv) in enumerate(comps):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
     body = bytes([0x00]) + _DC_BITS + bytes(_DC_SYMS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
@@ -934,27 +951,41 @@ def encode_jpeg_progressive(arr, grayscale: bool = False) -> bytes:
         hdr += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
 
+    def mcu_dc_blocks():
+        """DC-scan block order: MCU walk, ch x cv blocks per component."""
+        for idx in range(mcuy * mcux):
+            my, mx = divmod(idx, mcux)
+            for ci, (zz, bw, ch, cv, _tw, _th) in enumerate(encoded):
+                for by in range(cv):
+                    for bx in range(ch):
+                        yield ci, zz[(my * cv + by) * bw + mx * ch + bx]
+
+    def true_grid_blocks(ci):
+        """AC-scan block order: the component's true block grid."""
+        zz, bw, _ch, _cv, tbw, tbh = encoded[ci]
+        for row in range(tbh):
+            for col in range(tbw):
+                yield zz[row * bw + col]
+
     # scan 1: DC first, interleaved, Al=1
     out += sos(list(range(nc)), 0, 0, 0, 1)
     w_ = _BitWriter()
     preds = [0] * nc
-    for idx in range(mcuy * mcux):
-        for ci in range(nc):
-            dc = int(encoded[ci][idx][0]) >> 1
-            size, bits = _magnitude(dc - preds[ci])
-            code, ln = _DC_ENC[size]
-            w_.write(code, ln)
-            if size:
-                w_.write(bits, size)
-            preds[ci] = dc
+    for ci, blk in mcu_dc_blocks():
+        dc = int(blk[0]) >> 1
+        size, bits = _magnitude(dc - preds[ci])
+        code, ln = _DC_ENC[size]
+        w_.write(code, ln)
+        if size:
+            w_.write(bits, size)
+        preds[ci] = dc
     w_.flush()
     out += w_.out
     # scan 2: DC refinement, Ah=1 -> Al=0
     out += sos(list(range(nc)), 0, 0, 1, 0)
     w_ = _BitWriter()
-    for idx in range(mcuy * mcux):
-        for ci in range(nc):
-            w_.write(int(encoded[ci][idx][0]) & 1, 1)
+    for _ci, blk in mcu_dc_blocks():
+        w_.write(int(blk[0]) & 1, 1)
     w_.flush()
     out += w_.out
     # per component: AC first then AC refinement, per spectral band
@@ -962,13 +993,13 @@ def encode_jpeg_progressive(arr, grayscale: bool = False) -> bytes:
         for ss, se in _PROG_BANDS:
             out += sos([ci], ss, se, 0, 1)
             w_ = _BitWriter()
-            _enc_ac_first(w_, encoded[ci], ss, se, 1)
+            _enc_ac_first(w_, true_grid_blocks(ci), ss, se, 1)
             w_.flush()
             out += w_.out
         for ss, se in _PROG_BANDS:
             out += sos([ci], ss, se, 1, 0)
             w_ = _BitWriter()
-            _enc_ac_refine(w_, encoded[ci], ss, se, 0)
+            _enc_ac_refine(w_, true_grid_blocks(ci), ss, se, 0)
             w_.flush()
             out += w_.out
     out += b"\xff\xd9"

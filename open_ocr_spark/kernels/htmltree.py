@@ -69,9 +69,9 @@ def sniff_charset(raw: bytes) -> str:
         # the utf-16 codec reads the BOM for endianness AND strips it;
         # the -le/-be variants would leave a U+FEFF in the text
         return "utf-16"
-    window = _OPEN_COMMENT_RE.sub(
-        b"", _HTML_COMMENT_RE.sub(b"", raw[:1024])
-    )
+    window = raw[:1024]
+    if b"<!--" in window:  # hot path: most pages have no early comment
+        window = _OPEN_COMMENT_RE.sub(b"", _HTML_COMMENT_RE.sub(b"", window))
     m = _META_CHARSET_RE.search(window)
     if m:
         label = m.group(1).decode("ascii").lower()

@@ -26,17 +26,21 @@ from pyspark.sql import functions as F
 # The attribute name must start at a whitespace boundary — `(?:[^>]*\s)?`
 # instead of `[^>]*` — or `data-href` / `xlink:href` (attribute names in
 # which "href" is a mere suffix) would match and fabricate outlinks the
-# page's real link structure does not have.
-_HREF_DQ = r'<[aA]\s(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*"([^"]*)"'
-_HREF_SQ = r"<[aA]\s(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*'([^']*)'"
-_HREF_BARE = r"<[aA]\s(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*([^\s>\"'][^\s>]*)"
+# page's real link structure does not have.  Both HTML link-carrying
+# elements are covered: `<a>` and `<area>` (imagemaps); the tag name must
+# be followed by whitespace, so `<abbr`/`<article` never match.
+_TAG = r"<[aA](?:[rR][eE][aA])?\s"
+_HREF_DQ = _TAG + r'(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*"([^"]*)"'
+_HREF_SQ = _TAG + r"(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*'([^']*)'"
+_HREF_BARE = _TAG + r"(?:[^>]*\s)?[hH][rR][eE][fF]\s*=\s*([^\s>\"'][^\s>]*)"
 
 
 def extract_links(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src_url, dst_url): one row per absolute http(s) outlink occurrence
-    (repeated links repeat — callers distinct if they need to).  The html
+    (repeated links repeat — callers distinct if they need to) from both
+    ``<a href>`` anchors and ``<area href>`` imagemap regions.  The html
     column may be binary (decoded utf-8 JVM-side) or string.
 
     Charset note — this utf-8 decode intentionally diverges from the

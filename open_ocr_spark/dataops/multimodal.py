@@ -5,15 +5,21 @@ The Spark-side plumbing (schema, batching, partitioning, UDF signature) is
 real and tested. Pixel decode is REAL for the formats stdlib+numpy can
 handle — PNG (zlib IDAT + numpy unfiltering), baseline AND progressive
 JPEG (huffman + spectral-selection/successive-approximation scan
-assembly + vectorized IDCT, dataops/jpeg.py), uncompressed 24-bit BMP,
+assembly + vectorized IDCT, dataops/jpeg.py), GIF87a/89a (LZW +
+palettes + interlace, dataops/gif.py), uncompressed 24-bit BMP,
 binary PPM — and for header-level metadata (PNG/BMP/GIF/JPEG dims, WAV
 fmt/data chunks). MP4 video is demuxed for real down to the codec-sample
 boundary (dataops/mp4.py: box tree, sample tables, byte-exact frame
-extraction with true timestamps). What genuinely needs PIL/ffmpeg
-(arithmetic-coded JPEG, pixel decode of video samples, non-MP4
-video containers) is STUBBED: each stub either raises a clearly-marked
-NotImplementedError (strict mode) or produces a deterministic fake
-(default) so pipelines remain end-to-end runnable.
+extraction with true timestamps); webm/mkv is demuxed to the same depth
+(dataops/ebml.py: EBML walk, Cluster/SimpleBlock frame bytes with true
+block timestamps); AVI/MJPEG video (dataops/avi.py) is
+fully real END TO END — RIFF demux, frame timing, and pixel decode of
+every sampled frame through the repo's own JPEG decoder. What genuinely
+needs PIL/ffmpeg (arithmetic-coded JPEG, pixel decode of non-MJPEG
+video codec samples — H.264/VP8/VP9/AV1) is STUBBED: each stub
+either raises a clearly-marked NotImplementedError (strict mode) or
+produces a deterministic fake (default) so pipelines remain end-to-end
+runnable.
 
 This mirrors how the reference treats its payloads: opaque bytes plus typed
 metadata, routed by magic bytes (/root/reference/ocr_request.go:9,
@@ -47,7 +53,6 @@ _MAGIC = (
     (b"BM", "image/bmp"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
-    (b"RIFF", "audio/wav"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 )
 
@@ -58,6 +63,11 @@ def sniff_media_type(payload: bytes | None) -> str:
     head = bytes(payload[:8])
     if head[4:8] == b"ftyp":  # ISO-BMFF: size(4) + 'ftyp' brand box
         return "video/mp4"
+    if head.startswith(b"RIFF"):  # RIFF form type disambiguates at 8:12
+        form = bytes(payload[8:12])
+        if form == b"AVI ":
+            return "video/x-msvideo"
+        return "audio/wav" if form == b"WAVE" else "application/octet-stream"
     for magic, mtype in _MAGIC:
         if head.startswith(magic):
             if magic == b"BM":
@@ -328,6 +338,29 @@ def _decode_stub(payload: bytes, media_type: str, strict: bool):
         except ValueError:
             if strict:
                 raise
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from open_ocr_spark.dataops.avi import parse_avi
+
+        try:
+            avi = parse_avi(payload)
+        except ValueError:
+            avi = None
+            if strict:
+                raise
+        if avi is not None:
+            video = {
+                "width": avi["width"], "height": avi["height"],
+                "n_samples": avi["n_frames"],
+                "duration_s": avi["duration_s"],
+            }
+    elif payload[:4] == b"\x1a\x45\xdf\xa3":
+        from open_ocr_spark.dataops.ebml import parse_webm
+
+        try:
+            video = parse_webm(payload)
+        except ValueError:
+            if strict:
+                raise
     if video is not None:
         digest = hashlib.sha1(payload).digest()
         return (
@@ -538,9 +571,11 @@ def decode_pixels(payload: bytes):
     grey/truecolor/palette/alpha, non-interlaced), baseline AND
     progressive JPEG (huffman entropy decode + progressive scan assembly
     + vectorized IDCT, grayscale/YCbCr, any divisible subsampling,
-    restart markers — see dataops/jpeg.py), uncompressed
-    24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up or top-down) and
-    binary PPM (P6, maxval 255). Returns None for every other format —
+    restart markers — see dataops/jpeg.py), GIF87a/89a (LZW, interlace,
+    local/global palettes, first frame — see dataops/gif.py),
+    uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up or
+    top-down) and binary PPM (P6, maxval 255). Returns None for every
+    other format —
     those genuinely need a decoder library (arithmetic-coded JPEG
     included). Raises ValueError for recognized-but-corrupt payloads."""
     import struct
@@ -554,6 +589,10 @@ def decode_pixels(payload: bytes):
         from open_ocr_spark.dataops.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from open_ocr_spark.dataops.gif import decode_gif
+
+        return decode_gif(data)
     if data[:2] == b"BM" and len(data) >= 54:
         off, = struct.unpack("<I", data[10:14])
         hdr, = struct.unpack("<I", data[14:18])
@@ -695,8 +734,9 @@ def resize_images(
     (decode → resize → re-encode on the executor, never on the driver).
 
     REAL pixel path for the formats stdlib+numpy can decode (PNG via zlib
-    IDAT + numpy unfiltering, baseline JPEG via huffman + vectorized IDCT,
-    uncompressed 24-bit BMP, binary PPM): decode → numpy nearest-neighbor
+    IDAT + numpy unfiltering, baseline+progressive JPEG via huffman +
+    vectorized IDCT, GIF via LZW + palette, uncompressed 24-bit BMP,
+    binary PPM): decode → numpy nearest-neighbor
     → re-encode in the same container, deterministic (pixel-exact for the
     lossless containers; JPEG re-encodes near-losslessly with all-ones
     quant tables). Every other format still needs PIL/ffmpeg: strict mode
@@ -734,12 +774,18 @@ def resize_images(
                         out = encode_jpeg(out_arr)
                     elif payload[:2] == b"P6":
                         out = encode_ppm(out_arr)
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        from open_ocr_spark.dataops.gif import encode_gif
+
+                        # nearest-neighbor only samples existing pixels,
+                        # so a decoded GIF always re-palettizes exactly
+                        out = encode_gif(out_arr)
                     else:
                         out = encode_bmp24(out_arr)
                 elif strict:
                     raise NotImplementedError(
                         "resize of this format requires PIL/ffmpeg (not "
-                        "installed); only PNG, baseline JPEG, 24-bit BMP "
+                        "installed); only PNG, JPEG, GIF, 24-bit BMP "
                         "and P6 PPM decode natively - run with "
                         "strict=False for the deterministic stub"
                     )
@@ -772,13 +818,24 @@ def sample_frames(
     REAL path for MP4 (ISO-BMFF) payloads: the container's sample table
     (dataops/mp4.py) gives every codec sample's byte range and decode
     time; each 1/fps tick emits the byte-exact sample whose dts covers
-    the tick, with the tick as ``ts_s``. What remains stubbed is only
-    PIXEL decode of those samples (H.264 etc. needs ffmpeg) — the frame
+    the tick, with the tick as ``ts_s``. For MP4 the PIXEL decode of
+    those samples stays stubbed (H.264 etc. needs ffmpeg) — the frame
     BYTES, timing, and fan-out are real.
 
-    Non-MP4 video (webm/mkv need a full EBML demuxer): strict mode
-    raises; default mode keeps the deterministic sha1-derived stub so
-    pipelines stay end-to-end runnable.
+    REAL path for webm/mkv payloads (dataops/ebml.py): the EBML
+    Cluster/SimpleBlock walk yields the same byte-exact (offset, size,
+    timestamp) sample shape as MP4, fed through the identical
+    covers-the-tick loop; pixel decode of VP8/VP9/AV1 samples stays
+    stubbed, like MP4's codecs.
+
+    REAL path for AVI/MJPEG payloads (dataops/avi.py): every ``00dc``
+    chunk is a complete baseline JPEG, so the emitted frame bytes are
+    decodable END TO END by this repo's own JPEG decoder — container
+    demux, timing, fan-out AND pixels, no stub anywhere.
+
+    Other video containers: strict mode raises; default mode keeps the
+    deterministic sha1-derived stub so pipelines stay end-to-end
+    runnable.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -794,6 +851,17 @@ def sample_frames(
                 if payload[4:8] == b"ftyp":
                     try:
                         info = parse_mp4(payload)
+                    except ValueError:
+                        if strict:
+                            raise
+                elif payload[:4] == b"\x1a\x45\xdf\xa3":
+                    # webm/mkv: dataops/ebml.py yields the same
+                    # (offset, size, ts) sample shape as the MP4 walk,
+                    # so the covers-the-tick loop below is shared
+                    from open_ocr_spark.dataops.ebml import parse_webm
+
+                    try:
+                        info = parse_webm(payload)
                     except ValueError:
                         if strict:
                             raise
@@ -822,11 +890,40 @@ def sample_frames(
                              payload[off : off + sz])
                         )
                     continue
+                avi = None
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    from open_ocr_spark.dataops.avi import parse_avi
+
+                    try:
+                        avi = parse_avi(payload)
+                    except ValueError:
+                        if strict:
+                            raise
+                if avi is not None:
+                    # MJPEG AVI: frame k' covers [k'/fps_src, (k'+1)/
+                    # fps_src) — same covers-the-tick rule as MP4 dts
+                    import math
+
+                    n_ticks = max(
+                        1, math.ceil(avi["duration_s"] * fps - 1e-9)
+                    )
+                    for k in range(n_ticks):
+                        tick = k / fps
+                        fi = min(
+                            int(tick * avi["fps"] + 1e-9),
+                            avi["n_frames"] - 1,
+                        )
+                        off, sz = avi["frames"][fi]
+                        rows.append(
+                            (media_id, k, round(tick, 6),
+                             payload[off : off + sz])
+                        )
+                    continue
                 if strict:
                     raise NotImplementedError(
-                        "non-MP4 frame sampling requires ffmpeg/pyav (not "
-                        "installed); run with strict=False for the "
-                        "deterministic stub"
+                        "frame sampling outside MP4/webm/AVI requires "
+                        "ffmpeg/pyav (not installed); run with "
+                        "strict=False for the deterministic stub"
                     )
                 digest = hashlib.sha1(payload).digest()
                 n_frames = 1 + digest[2] % 8

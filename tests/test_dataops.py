@@ -422,8 +422,12 @@ def test_decode_pixels_edge_cases():
     bmp = encode_bmp24(src)
     with _pytest.raises(ValueError, match="truncated"):
         decode_pixels(bmp[:-4])
-    # non-image bytes: None (stub path decides what to do)
-    assert decode_pixels(b"GIF89a\x01\x00\x01\x00") is None
+    # GIF is a recognized format since r4: a truncated header is an
+    # error, not a silent stub fallthrough
+    with _pytest.raises(ValueError, match="gif"):
+        decode_pixels(b"GIF89a\x01\x00\x01\x00")
+    # genuinely foreign bytes: None (stub path decides what to do)
+    assert decode_pixels(b"\x00\x01no such format") is None
     # CRLF after maxval = text-mode-written file: a naive single-byte
     # skip would decode every pixel one byte off — must refuse
     crlf = b"P6\n5 3\n255\r\n" + src.tobytes()

@@ -29,6 +29,26 @@ def test_extract_links_quote_classes_and_relative_skip(spark):
     ]
 
 
+def test_extract_links_area_imagemap(spark):
+    # <area href> is a real link-carrying element (imagemaps); tag names
+    # that merely START with 'a'/'area' must not match.
+    html = (
+        '<map name=m><area shape=rect coords="0,0,9,9"'
+        ' href="https://map.com/r">'
+        "<area href='https://map2.com/s'></map>"
+        '<abbr href="https://fake.com/abbr">not a link tag</abbr>'
+        '<article href="https://fake.com/art">nor this</article>'
+        '<a href="https://plain.com/a">still works</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://s.com/p", html)], "url string, html string"
+    )
+    got = sorted(r["dst_url"] for r in extract_links(df).collect())
+    assert got == [
+        "https://map.com/r", "https://map2.com/s", "https://plain.com/a"
+    ]
+
+
 def test_extract_links_binary_html(spark):
     df = spark.createDataFrame(
         [("https://s.com", b'<a href="https://t.com/x">l</a>')],

@@ -89,16 +89,32 @@ def test_sample_frames_real_mp4(spark):
     assert len(rows) == 3
 
 
-def test_sample_frames_strict_still_raises_for_non_mp4(spark):
+def test_sample_frames_strict_still_raises_for_unknown_container(spark):
     from open_ocr_spark.dataops.multimodal import sample_frames
 
+    # a container this repo has no demuxer for (EBML/webm became a real
+    # path in r4, so the example payload is a made-up format now)
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x1a\x45\xdf\xa3webm-ish"))],
+        [(1, bytearray(b"\x00\x01no-such-container"))],
         "media_id long, payload binary",
     )
     with pytest.raises(Exception, match="ffmpeg"):
         sample_frames(df, strict=True).collect()
     # default mode: deterministic stub fan-out still works
+    assert len(sample_frames(df, strict=False).collect()) >= 1
+
+
+def test_sample_frames_corrupt_webm_strict_vs_default(spark):
+    from open_ocr_spark.dataops.multimodal import sample_frames
+
+    # EBML magic but structurally broken: strict surfaces the parse
+    # error; default falls back to the deterministic stub
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x1a\x45\xdf\xa3webm-ish"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="ebml"):
+        sample_frames(df, strict=True).collect()
     assert len(sample_frames(df, strict=False).collect()) >= 1
 
 

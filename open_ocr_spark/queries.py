@@ -742,6 +742,30 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(with_lines, min_docs=2).orderBy("doc_id")
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (dataops/substring.py, the
+    windowed form of Lee et al. 2022 suffix-array dedup): every 8-token
+    window occurring more than once in the corpus keeps its first
+    (doc_id, pos) occurrence and is blanked everywhere else — the tier
+    between line-dedup (needs identical lines) and doc-dedup (needs
+    near-identical documents).  The corpus' own repeated passages drive
+    it (the synthetic documents share sentences across docs).  The
+    oracle rebuilds windows with list slices, ranks occurrences with a
+    window function, and re-assembles survivors with an ordered
+    string_agg — keeper choice, span overlap-union and token-exact
+    blanking are all value-hashed (clean text compared as md5)."""
+    from open_ocr_spark.dataops.substring import dedup_substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_substrings(docs, window=8)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_tokens",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2196,6 +2220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize_gif": q_media_resize_gif,
     "media_frame_sample_avi": q_media_frame_sample_avi,
     "media_frame_sample_webm": q_media_frame_sample_webm,
+    "substring_dedup": q_substring_dedup,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -2976,6 +3001,53 @@ ORACLES: dict[str, str] = {
         FROM documents d
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
+    """,
+    "substring_dedup": """
+        WITH docs2 AS (
+            SELECT doc_id,
+                   string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+        ),
+        bound AS (SELECT max(len(w)) AS mx FROM docs2),
+        occ AS (
+            SELECT d.doc_id, u.i AS pos,
+                   md5(array_to_string(w[u.i+1 : u.i+8], ' ')) AS gh
+            FROM docs2 d
+            JOIN (SELECT unnest(range(0, (SELECT mx FROM bound))) AS i) u
+              ON u.i <= len(d.w) - 8
+        ),
+        rem AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY gh
+                                          ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY gh) AS cnt
+                FROM occ
+            ) WHERE cnt > 1 AND rn > 1
+        ),
+        toks AS (
+            SELECT d.doc_id, u.i AS ti, d.w[u.i+1] AS tok
+            FROM docs2 d
+            JOIN (SELECT unnest(range(0, (SELECT mx FROM bound))) AS i) u
+              ON u.i < len(d.w)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.ti, t.tok
+            FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rem r
+                WHERE r.doc_id = t.doc_id
+                  AND r.pos <= t.ti AND t.ti < r.pos + 8
+            )
+        )
+        SELECT d.doc_id,
+               md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), ''))
+                   AS clean_md5,
+               CAST(len(d.w) AS BIGINT) AS n_tokens,
+               CAST(len(d.w) - count(k.ti) AS BIGINT) AS n_removed
+        FROM docs2 d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY d.doc_id, len(d.w)
+        ORDER BY d.doc_id
     """,
     "media_frame_sample_webm": """
         SELECT d.doc_id,

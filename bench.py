@@ -188,6 +188,7 @@ HEADLINE = [
     "prepare_corpus",
     "prepare_corpus_full",
     "line_dedup_docs",
+    "substring_dedup",
     "decontaminate_docs",
 ]
 

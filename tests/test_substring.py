@@ -74,6 +74,45 @@ def test_parallelism_invariance(spark):
     assert a == b
 
 
+def _brute_dedup(texts, window):
+    """Naive single-process reference: same semantics, no Spark — every
+    W-gram's first (doc_id, pos) occurrence survives, all other
+    occurrences mark [pos, pos+W) for removal."""
+    words = {d: t.split(" ") for d, t in texts}
+    first = {}
+    removed = {d: set() for d, _ in texts}
+    for d, _ in sorted(texts):
+        w = words[d]
+        for p in range(len(w) - window + 1):
+            g = " ".join(w[p : p + window])
+            if g not in first:
+                first[g] = (d, p)
+            elif first[g] != (d, p):
+                removed[d].update(range(p, p + window))
+    out = {}
+    for d, _ in texts:
+        w = words[d]
+        kept = [t for i, t in enumerate(w) if i not in removed[d]]
+        out[d] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+def test_matches_bruteforce_reference_on_random_corpora(spark):
+    import random
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        vocab = [f"t{k}" for k in range(12)]  # tiny vocab -> many dups
+        rows = [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 25))))
+            for d in range(30)
+        ]
+        want = _brute_dedup(rows, window=3)
+        got = _clean(spark, rows, window=3)
+        assert got == want, f"seed {seed}"
+
+
 def test_plan_no_cartesian_and_hash_agg(spark):
     from tests.test_plan_shape import plan_of
 

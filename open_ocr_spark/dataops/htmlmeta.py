@@ -1,0 +1,69 @@
+"""Page-metadata extraction: <title>, meta description, canonical link,
+og:title.
+
+Every crawl pipeline materializes these fields next to the extracted
+text — they feed dedup (canonical URL beats the fetch URL when present),
+search indexing, and quality heuristics.  The reference transports whole
+pages and never looks at metadata (its unit is the OCR payload,
+/root/reference/ocr_request.go:6-17); this belongs to the repo's
+extended web-corpus surface.
+
+Like dataops/links.py, extraction stays pure Catalyst — four
+`regexp_extract` projections, zero Python, no shuffle — and tolerates
+the two dominant real-world attribute orders (name-before-content and
+content-before-name) by coalescing a mirrored pattern.  Regexes use
+only syntax shared by Java regex and RE2 (inline (?i), lazy
+quantifiers, no backreferences), so a DuckDB oracle can run the same
+patterns verbatim.  Empty extraction results normalize to NULL so
+"absent" is one value, not two ('' vs NULL differ between engines'
+no-match conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TITLE = r"(?is)<title[^>]*>(.*?)</title>"
+# name=description ... content="...", both quote styles, either order
+_DESC_NC = (
+    r'(?is)<meta\s[^>]*name\s*=\s*["\']?description["\']?[^>]*'
+    r'content\s*=\s*["\']([^"\']*)'
+)
+_DESC_CN = (
+    r'(?is)<meta\s[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+    r'name\s*=\s*["\']?description["\']?'
+)
+_CANONICAL = (
+    r'(?is)<link\s[^>]*rel\s*=\s*["\']?canonical["\']?[^>]*'
+    r'href\s*=\s*["\']([^"\']*)'
+)
+_OG_TITLE = (
+    r'(?is)<meta\s[^>]*property\s*=\s*["\']?og:title["\']?[^>]*'
+    r'content\s*=\s*["\']([^"\']*)'
+)
+
+
+def _field(html, pattern: str):
+    return F.nullif(F.trim(F.regexp_extract(html, pattern, 1)), F.lit(""))
+
+
+def extract_html_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, meta_description, canonical_url, og_title): one row
+    per page; absent fields are NULL.  The html column may be binary
+    (decoded utf-8 JVM-side — the ASCII-superset reasoning of
+    dataops/links.py applies) or string."""
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        _field(html, _TITLE).alias("title"),
+        F.coalesce(
+            _field(html, _DESC_NC), _field(html, _DESC_CN)
+        ).alias("meta_description"),
+        _field(html, _CANONICAL).alias("canonical_url"),
+        _field(html, _OG_TITLE).alias("og_title"),
+    )

@@ -72,3 +72,38 @@ def temperature_sample(
         .filter(_md5_32(F.col(id_col)) < F.col("_cutoff"))
         .drop("_cutoff")
     )
+
+
+def quota_sample(
+    docs: DataFrame,
+    group_col: str = "host",
+    id_col: str = "doc_id",
+    quota: int = 100,
+) -> DataFrame:
+    """At most `quota` rows per group (all original columns pass
+    through), selection hash-deterministic: each group keeps the rows
+    with the `quota` smallest (md5_32(id), id) keys — a pure function of
+    the ids, identical at any parallelism and across engines.
+
+    This is crawl-balancing ("domain cap"): without it the head hosts
+    dominate a 100 TB corpus.  Unlike temperature mixing (global rates
+    per SOURCE) the cap is a per-GROUP top-k over millions of hosts.
+
+    Scale shape: one shuffle on the group key; rank <= quota compiles to
+    a window with a WindowGroupLimit map-side prune (each map task keeps
+    only `quota` rows per group before the exchange), so skewed hosts
+    shrink to quota rows on the map side instead of flooding one
+    reducer.  The md5 sort key also decorrelates from crawl order, so
+    the kept rows are an unbiased-by-construction slice of each host."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1: {quota}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _md5_32(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

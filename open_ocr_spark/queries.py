@@ -766,6 +766,79 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl cap (dataops/mixing.py::quota_sample): a skewed
+    70/20/10 host mixture is capped at 30 docs per host by keeping the
+    30 smallest (md5_32(doc_id), doc_id) keys within each host — a pure
+    function of the ids, so the oracle reproduces the EXACT kept set
+    with the same md5 expression and a window rank.  The plan's scale
+    property (WindowGroupLimit map-side prune on the skewed host key) is
+    pinned separately in the plan-shape tier."""
+    from open_ocr_spark.dataops.mixing import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("big.example.com"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid.example.com"))
+        .otherwise(F.lit("small.example.com"))
+        .alias("host"),
+    )
+    return quota_sample(docs, group_col="host", quota=30).orderBy("doc_id")
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (dataops/htmlmeta.py) through the driver
+    gate: four synthetic page shapes cycle the real-world variation —
+    name-before-content vs content-before-name meta ordering, a missing
+    description (NULL path), uppercase TITLE tags, single-quoted
+    attributes — and the oracle runs the SAME regexes in DuckDB (both
+    engines' regex dialects share the used subset), with ''-vs-NULL
+    normalized identically on both sides."""
+    from open_ocr_spark.dataops.htmlmeta import extract_html_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    desc = F.concat(F.lit("desc "), ((F.col("doc_id") * 7) % 100).cast("string"))
+    canon = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"), i,
+    )
+    html = F.concat(
+        F.when(v == 3, F.concat(F.lit("<TITLE>Doc "), i, F.lit(" </TITLE>")))
+        .otherwise(F.concat(F.lit("<title>Doc "), i, F.lit("</title>"))),
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="description" content="'), desc, F.lit('">')))
+        .when(v == 1, F.concat(
+            F.lit('<meta content="'), desc,
+            F.lit('" name="description">')))
+        .when(v == 3, F.concat(
+            F.lit("<meta name='description' content='"), desc, F.lit("'>")))
+        .otherwise(F.lit("")),
+        F.when(v == 3, F.concat(
+            F.lit("<link rel='canonical' href='"), canon, F.lit("'>")))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="'), canon, F.lit('">'))),
+        F.when(v != 3, F.concat(
+            F.lit('<meta property="og:title" content="OG '), i,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit("<body>x</body>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p/"), i).alias("url"), html.alias("html")
+    )
+    return (
+        extract_html_meta(pages)
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"https://p/(\d+)", 1).cast("long"),
+        )
+        .select("doc_id", "title", "meta_description", "canonical_url",
+                "og_title")
+        .orderBy("doc_id")
+    )
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2221,6 +2294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_avi": q_media_frame_sample_avi,
     "media_frame_sample_webm": q_media_frame_sample_webm,
     "substring_dedup": q_substring_dedup,
+    "host_quota_sample": q_host_quota_sample,
+    "html_meta": q_html_meta,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3001,6 +3076,41 @@ ORACLES: dict[str, str] = {
         FROM documents d
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
+    """,
+    "html_meta": """
+        SELECT doc_id,
+               'Doc ' || doc_id::VARCHAR AS title,
+               CASE WHEN doc_id % 4 = 2 THEN NULL
+                    ELSE 'desc ' || ((doc_id * 7) % 100)::VARCHAR
+               END AS meta_description,
+               'https://h' || (doc_id % 20)::VARCHAR
+                   || '.example.com/p/' || doc_id::VARCHAR AS canonical_url,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE 'OG ' || doc_id::VARCHAR
+               END AS og_title
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "host_quota_sample": """
+        WITH hosts AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 7 THEN 'big.example.com'
+                        WHEN doc_id % 10 < 9 THEN 'mid.example.com'
+                        ELSE 'small.example.com' END AS host
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, host,
+                   row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY ('0x' || substring(md5(doc_id::VARCHAR),
+                                                   1, 8))::BIGINT,
+                                doc_id
+                   ) AS rk
+            FROM hosts
+        )
+        SELECT doc_id, host FROM ranked WHERE rk <= 30
+        ORDER BY doc_id
     """,
     "substring_dedup": """
         WITH docs2 AS (

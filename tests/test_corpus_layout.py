@@ -321,3 +321,44 @@ def test_canonicalize_url_authority_edges(spark):
     )
     # A trailing ':' with no digits is an empty port — dropped.
     assert _canon(spark, "https://ex.com:/x") == "https://ex.com/x"
+
+
+def test_quota_sample_caps_and_is_deterministic(spark):
+    from open_ocr_spark.dataops.mixing import quota_sample
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "big").otherwise("small").alias("host"),
+    )
+    kept1 = quota_sample(docs.repartition(1), quota=50)
+    kept16 = quota_sample(docs.repartition(16), quota=50)
+    a = sorted(r["doc_id"] for r in kept1.collect())
+    b = sorted(r["doc_id"] for r in kept16.collect())
+    assert a == b  # exact same SET at any parallelism
+    counts = {
+        r["host"]: r["n"]
+        for r in kept16.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 50, "small": 50}
+    # groups under quota are kept whole
+    tiny = quota_sample(docs.filter(F.col("host") == "small"), quota=500)
+    assert tiny.count() == 200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota"):
+        quota_sample(docs, quota=0)
+
+
+def test_quota_sample_plan_has_mapside_group_limit(spark):
+    from tests.test_plan_shape import _nodes, plan_of
+
+    from open_ocr_spark.dataops.mixing import quota_sample
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("host"),
+    )
+    plan = plan_of(quota_sample(docs, quota=10))
+    # rank <= quota compiles to partial + final WindowGroupLimit: skewed
+    # hosts shrink to `quota` rows on the map side before the exchange
+    assert _nodes(plan, "WindowGroupLimit") == 2, plan

@@ -839,6 +839,57 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synthetic crawl snapshots over the documents table — old
+    omits doc_id%5==4 (those become 'added'), new omits doc_id%5==3
+    ('removed'), and doc_id%7==0 pages change content between crawls —
+    classified by crawl_delta's full outer join on url + md5 digest
+    equality.  The oracle re-derives the status in closed form from the
+    same residues, so join laterality (added vs removed swapped) or a
+    digest-comparison bug flips rows and breaks the hash."""
+    from open_ocr_spark.dataops.delta import crawl_delta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("v1-"), F.col("doc_id").cast("string")))
+        .alias("content_md5"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 3).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("v2-"))
+                .otherwise(F.lit("v1-")),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("content_md5"),
+    )
+    return crawl_delta(old, new).orderBy("url")
+
+
+def q_ngram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering made engine-exact
+    (dataops/fluency.py): train a bigram model on the doc_id%10==0
+    reference split, score EVERY document as the integer mean of
+    SCALE-scaled conditional probabilities of its adjacent token pairs
+    (unseen pairs 0).  The oracle retrains the same model and rescoring
+    in SQL — a conditioning-total bug (c1 over the wrong margin), a
+    join-laterality slip or a float sneaking into the mean breaks the
+    hash."""
+    from open_ocr_spark.dataops.fluency import (
+        fluency_scores,
+        train_bigram_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    model = train_bigram_model(ref)
+    return fluency_scores(docs, model).orderBy("doc_id")
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2296,6 +2347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "host_quota_sample": q_host_quota_sample,
     "html_meta": q_html_meta,
+    "crawl_delta": q_crawl_delta,
+    "ngram_fluency": q_ngram_fluency,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3076,6 +3129,58 @@ ORACLES: dict[str, str] = {
         FROM documents d
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
+    """,
+    "ngram_fluency": """
+        WITH docs2 AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+        ),
+        bound AS (SELECT max(len(w)) AS mx FROM docs2),
+        pairs AS (
+            SELECT d.doc_id, u.i AS pos, w[u.i+1] AS w1, w[u.i+2] AS w2
+            FROM docs2 d
+            JOIN (SELECT unnest(range(0, (SELECT mx FROM bound))) AS i) u
+              ON u.i <= len(d.w) - 2
+        ),
+        ref AS (
+            SELECT w1, w2, count(*) AS c2
+            FROM pairs WHERE doc_id % 10 = 0 GROUP BY w1, w2
+        ),
+        c1t AS (SELECT w1, sum(c2) AS c1 FROM ref GROUP BY w1),
+        model AS (
+            SELECT r.w1, r.w2, 1000000 * r.c2 AS num, c.c1
+            FROM ref r JOIN c1t c USING (w1)
+        ),
+        scored AS (
+            SELECT p.doc_id, coalesce(m.num // m.c1, 0) AS s
+            FROM pairs p
+            LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_pairs,
+                   sum(s) // count(*) AS fluency
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(a.fluency, 0) AS BIGINT) AS fluency
+        FROM docs2 d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "crawl_delta": """
+        SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+               CASE WHEN doc_id % 5 = 4 THEN 'added'
+                    WHEN doc_id % 5 = 3 THEN 'removed'
+                    WHEN doc_id % 7 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN doc_id % 5 = 4 THEN NULL
+                    ELSE md5('v1-' || doc_id::VARCHAR) END AS old_md5,
+               CASE WHEN doc_id % 5 = 3 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN md5('v2-' || doc_id::VARCHAR)
+                    ELSE md5('v1-' || doc_id::VARCHAR) END AS new_md5
+        FROM documents
+        ORDER BY url
     """,
     "html_meta": """
         SELECT doc_id,

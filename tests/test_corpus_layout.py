@@ -362,3 +362,20 @@ def test_quota_sample_plan_has_mapside_group_limit(spark):
     # rank <= quota compiles to partial + final WindowGroupLimit: skewed
     # hosts shrink to `quota` rows on the map side before the exchange
     assert _nodes(plan, "WindowGroupLimit") == 2, plan
+
+
+def test_crawl_delta_classification(spark):
+    from open_ocr_spark.dataops.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+        "url string, content_md5 string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2x"), ("u4", "h4")],
+        "url string, content_md5 string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"
+    }

@@ -890,6 +890,54 @@ def q_ngram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fluency_scores(docs, model).orderBy("doc_id")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gating (dataops/robots.py) end to end: every host
+    publishes a robots.txt whose '*' group disallows /p/{h} but allows
+    the longer /p/{h}/pub, wildcard-disallows /tmp/*, and end-anchors
+    /exact$ — behind a googlebot group (Disallow: /) that must NOT leak
+    into the '*' evaluation, plus a comment line.  Six URL shapes per
+    host cycle the verdicts: prefix disallow, longest-match allow
+    override, '*' wildcard, '$' anchor hit, '$' anchor miss (/exactly),
+    and no-rule default-allow.  The oracle states the six verdicts in
+    closed form — a group-attribution, precedence (longest/Allow-tie),
+    wildcard or anchor bug flips rows and breaks the hash."""
+    from open_ocr_spark.dataops.robots import gate_urls, parse_robots
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 20).cast("string")
+    robots = docs.select(h.alias("hid")).distinct().select(
+        F.concat(F.lit("h"), F.col("hid"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit(
+                "# corpus robots\nUser-agent: googlebot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /p/"
+            ),
+            F.col("hid"),
+            F.lit("\nAllow: /p/"),
+            F.col("hid"),
+            F.lit("/pub\nDisallow: /tmp/*\nDisallow: /exact$\n"),
+        ).alias("robots_txt"),
+    )
+    v = F.col("doc_id") % 6
+    path = (
+        F.when(v == 0, F.concat(F.lit("/p/"), h))
+        .when(v == 1, F.concat(F.lit("/p/"), h, F.lit("/pub/x")))
+        .when(v == 2, F.lit("/tmp/cache/1"))
+        .when(v == 3, F.lit("/exact"))
+        .when(v == 4, F.lit("/exactly"))
+        .otherwise(F.lit("/other"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com"), path,
+            F.lit("?q="), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return gate_urls(urls, parse_robots(robots, agent="*")).orderBy("url")
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2349,6 +2397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_meta": q_html_meta,
     "crawl_delta": q_crawl_delta,
     "ngram_fluency": q_ngram_fluency,
+    "robots_gate": q_robots_gate,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3129,6 +3178,21 @@ ORACLES: dict[str, str] = {
         FROM documents d
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
+    """,
+    "robots_gate": """
+        SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com'
+                   || CASE doc_id % 6
+                        WHEN 0 THEN '/p/' || (doc_id % 20)::VARCHAR
+                        WHEN 1 THEN '/p/' || (doc_id % 20)::VARCHAR
+                                    || '/pub/x'
+                        WHEN 2 THEN '/tmp/cache/1'
+                        WHEN 3 THEN '/exact'
+                        WHEN 4 THEN '/exactly'
+                        ELSE '/other' END
+                   || '?q=' || doc_id::VARCHAR AS url,
+               doc_id % 6 NOT IN (0, 2, 3) AS allowed
+        FROM documents
+        ORDER BY url
     """,
     "ngram_fluency": """
         WITH docs2 AS (

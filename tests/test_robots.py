@@ -1,0 +1,108 @@
+"""robots.txt parsing + URL gating: group attribution, agent matching,
+wildcards/anchors, precedence, and the default-allow paths."""
+
+from open_ocr_spark.dataops.robots import (
+    _pattern_to_regex,
+    gate_urls,
+    parse_robots,
+    parse_robots_rules,
+)
+
+ROBOTS = """\
+# comment-only line
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: crawler
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /cgi/*.cgi$
+Disallow:
+Crawl-delay: 10
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_groups_and_agents():
+    star = parse_robots_rules(ROBOTS, "*")
+    assert star == [
+        ("/private", False),
+        ("/private/ok", True),
+        ("/cgi/*.cgi$", False),
+    ]
+    # a named agent collects its own group; 'crawler' shares the '*'
+    # group because both tokens head the same rule block
+    assert parse_robots_rules(ROBOTS, "googlebot") == [
+        ("/google-only", False)
+    ] + star
+    assert parse_robots_rules(ROBOTS, "CRAWLER") == star  # case-insensitive
+    assert ("/", False) in parse_robots_rules(ROBOTS, "badbot")
+    # empty Disallow and unknown fields are no-ops (no crash, no rule)
+    assert all(p for p, _ in star)
+
+
+def test_pattern_regex_wildcard_and_anchor():
+    import re
+
+    rx = _pattern_to_regex("/cgi/*.cgi$")
+    assert re.search(rx, "/cgi/a/b.cgi")
+    assert not re.search(rx, "/cgi/a.cgi?x")  # $ anchors the end
+    assert re.search(_pattern_to_regex("/a+b"), "/a+b")  # literal '+'
+    assert not re.search(_pattern_to_regex("/a+b"), "/aab")
+    assert re.search(_pattern_to_regex("/exact$"), "/exact")
+    assert not re.search(_pattern_to_regex("/exact$"), "/exactly")
+
+
+def _gate(spark, robots_rows, urls):
+    robots = spark.createDataFrame(
+        robots_rows, "host string, robots_txt string"
+    )
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    out = gate_urls(u, parse_robots(robots))
+    return {r["url"]: r["allowed"] for r in out.collect()}
+
+def test_gate_verdicts(spark):
+    got = _gate(
+        spark,
+        [("ex.com", ROBOTS), ("empty.com", "User-agent: *\n")],
+        [
+            "https://ex.com/private/x",      # prefix disallow
+            "https://ex.com/private/ok/y",   # longer Allow overrides
+            "https://ex.com/cgi/run.cgi",    # wildcard + anchor
+            "https://ex.com/public",         # no rule matches
+            "https://ex.com/",               # root, no rule
+            "https://empty.com/anything",    # rule-less robots
+            "https://norobots.com/a",        # host without robots row
+        ],
+    )
+    assert got == {
+        "https://ex.com/private/x": False,
+        "https://ex.com/private/ok/y": True,
+        "https://ex.com/cgi/run.cgi": False,
+        "https://ex.com/public": True,
+        "https://ex.com/": True,
+        "https://empty.com/anything": True,
+        "https://norobots.com/a": True,
+    }
+
+
+def test_gate_tie_prefers_allow(spark):
+    txt = "User-agent: *\nDisallow: /abc\nAllow: /ab*\n"  # equal length 4
+    got = _gate(spark, [("t.com", txt)], ["https://t.com/abc"])
+    assert got == {"https://t.com/abc": True}
+
+
+def test_gate_query_string_not_part_of_path(spark):
+    txt = "User-agent: *\nDisallow: /x$\n"
+    got = _gate(
+        spark, [("q.com", txt)],
+        ["https://q.com/x?utm=1", "https://q.com/xy"],
+    )
+    # PATH is /x for the first url: the $ anchor applies to the path
+    assert got == {
+        "https://q.com/x?utm=1": False,
+        "https://q.com/xy": True,
+    }

@@ -938,6 +938,68 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_urls(urls, parse_robots(robots, agent="*")).orderBy("url")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunking (dataops/chunking.py): every document fans
+    out to overlapping 16-token windows at stride 12 (the last window is
+    the first to reach the end — no degenerate duplicate tail).  The
+    oracle recomputes the window count closed-form and re-slices every
+    window — an off-by-one in the start grid, the ceil, or the tail
+    clamp changes chunk_md5/n_tokens and breaks the hash."""
+    from open_ocr_spark.dataops.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(docs, chunk_tokens=16, stride=12)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"),
+            "n_tokens",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (dataops/sitemaps.py): even hosts publish a
+    <urlset> (one entry with an &amp;-escaped query and a lastmod, one
+    without lastmod, one loc-less entry that must be dropped), odd hosts
+    publish a <sitemapindex> with two child pointers (lastmod on the
+    first only).  The oracle states every discovered row in closed form
+    — kind routing, entity decoding, lastmod pairing and the loc-less
+    drop are all value-hashed."""
+    from open_ocr_spark.dataops.sitemaps import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hid = F.col("hid")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hid")).distinct()
+    base = F.concat(F.lit("https://h"), hid.cast("string"),
+                    F.lit(".example.com"))
+    lastmod = F.concat(F.lit("2026-0"), ((hid % 8) + 1).cast("string"),
+                       F.lit("-15"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="x">'
+              "<url><loc> "), base,
+        F.lit("/p/a?x=1&amp;y=2 </loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url><url><loc>"), base,
+        F.lit("/p/b</loc></url><url><lastmod>2020-01-01</lastmod></url>"
+              "</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex xmlns="x">'
+              "<sitemap><loc>"), base,
+        F.lit("/sitemap-0.xml</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></sitemap><sitemap><loc>"), base,
+        F.lit("/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+    )
+    sm = hosts.select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.when(hid % 2 == 0, urlset).otherwise(index).alias("xml"),
+    )
+    return parse_sitemaps(sm).orderBy("host", "loc")
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2398,6 +2460,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_delta": q_crawl_delta,
     "ngram_fluency": q_ngram_fluency,
     "robots_gate": q_robots_gate,
+    "chunk_documents": q_chunk_documents,
+    "sitemap_discovery": q_sitemap_discovery,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3178,6 +3242,50 @@ ORACLES: dict[str, str] = {
         FROM documents d
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
+    """,
+    "sitemap_discovery": """
+        WITH hosts AS (
+            SELECT DISTINCT (doc_id % 20) AS hid FROM documents
+        ),
+        lm AS (
+            SELECT hid,
+                   'h' || hid::VARCHAR || '.example.com' AS host,
+                   'https://h' || hid::VARCHAR || '.example.com' AS base,
+                   '2026-0' || ((hid % 8) + 1)::VARCHAR || '-15' AS lastmod
+            FROM hosts
+        )
+        SELECT host,
+               CASE WHEN hid % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
+               CASE WHEN hid % 2 = 0 THEN
+                   CASE u.i WHEN 0 THEN base || '/p/a?x=1&y=2'
+                            ELSE base || '/p/b' END
+               ELSE
+                   CASE u.i WHEN 0 THEN base || '/sitemap-0.xml'
+                            ELSE base || '/sitemap-1.xml' END
+               END AS loc,
+               CASE WHEN u.i = 0 THEN lastmod ELSE NULL END AS lastmod
+        FROM lm
+        JOIN (SELECT unnest(range(0, 2)) AS i) u ON true
+        ORDER BY host, loc
+    """,
+    "chunk_documents": """
+        WITH docs2 AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+        ),
+        nc AS (
+            SELECT doc_id, w,
+                   1 + greatest(0, (len(w) - 16 + 12 - 1) // 12) AS n_chunks
+            FROM docs2
+        )
+        SELECT d.doc_id,
+               CAST(u.k AS INTEGER) AS chunk_idx,
+               md5(array_to_string(w[u.k*12+1 : u.k*12+16], ' '))
+                   AS chunk_md5,
+               CAST(least(len(w) - u.k*12, 16) AS INTEGER) AS n_tokens
+        FROM nc d
+        JOIN (SELECT unnest(range(0, 64)) AS k) u ON u.k < d.n_chunks
+        ORDER BY doc_id, chunk_idx
     """,
     "robots_gate": """
         SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com'

@@ -1000,6 +1000,37 @@ def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemaps(sm).orderBy("host", "loc")
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (dataops/normalize.py) against DuckDB's
+    nfc_normalize as an independent implementation: four codepoint
+    spellings cycle per doc — decomposed accent (must compose),
+    precomposed (unchanged), combining ring on A (must compose), plain
+    ASCII (unchanged) — and BOTH engines normalize the same constructed
+    strings, so the value hash compares two real normalizers, not a
+    replayed formula."""
+    from open_ocr_spark.dataops.normalize import unicode_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.lit("café "),
+                                F.col("doc_id").cast("string")))
+        .when(v == 1, F.concat(F.lit("café "),
+                               F.col("doc_id").cast("string")))
+        .when(v == 2, F.concat(F.lit("Århus "),
+                               F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("plain "), F.col("doc_id").cast("string")))
+    )
+    with_text = docs.select("doc_id", raw.alias("raw_text"))
+    norm = unicode_normalize(F.col("raw_text"), "NFC")
+    return with_text.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("raw_text")).alias("changed"),
+        F.length(norm).cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2462,6 +2493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_gate": q_robots_gate,
     "chunk_documents": q_chunk_documents,
     "sitemap_discovery": q_sitemap_discovery,
+    "unicode_nfc": q_unicode_nfc,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3242,6 +3274,24 @@ ORACLES: dict[str, str] = {
         FROM documents d
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
+    """,
+    "unicode_nfc": """
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'cafe' || chr(769) || ' ' || doc_id::VARCHAR
+                     WHEN 1 THEN 'caf' || chr(233) || ' ' || doc_id::VARCHAR
+                     WHEN 2 THEN 'A' || chr(778) || 'rhus ' || doc_id::VARCHAR
+                     ELSE 'plain ' || doc_id::VARCHAR
+                   END AS raw_text
+            FROM documents
+        )
+        SELECT doc_id,
+               nfc_normalize(raw_text) AS norm_text,
+               nfc_normalize(raw_text) <> raw_text AS changed,
+               CAST(length(nfc_normalize(raw_text)) AS BIGINT) AS norm_len
+        FROM raw
+        ORDER BY doc_id
     """,
     "sitemap_discovery": """
         WITH hosts AS (

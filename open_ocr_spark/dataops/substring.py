@@ -17,8 +17,10 @@ Scale shape (the 100 TB question):
 - window construction is a per-row HOF projection (sequence/transform/
   slice) — no explode until the occurrence table, whose size is exactly
   the corpus token count, the same order as any tokenizing pass;
-- duplicate detection is ONE hash aggregate keyed by md5(gram) — a
-  uniform 128-bit key, no skew by construction;
+- duplicate detection is ONE window pass keyed by md5(gram) — a
+  uniform 128-bit key, no skew by construction; non-first occurrences
+  (row_number > 1) need no count filter and no join back to the
+  occurrence stream;
 - removal spans flow back through a groupBy(doc_id) + equi-join on
   doc_id, both output-proportional (only documents that contain a
   duplicated span carry any payload);
@@ -71,21 +73,20 @@ def dedup_substrings(
         "doc_id", F.posexplode("grams").alias("pos", "gram")
     ).select("doc_id", "pos", F.md5("gram").alias("gh"))
 
-    dup = (
-        occ.groupBy("gh")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("keep"),
-        )
-        .filter(F.col("cnt") > 1)
-        .select("gh", "keep")
-    )
+    # Non-first occurrences via ONE window pass: rank each gram's
+    # occurrences by (doc_id, pos) and keep rn > 1 — for unique grams
+    # only rn = 1 exists, so no count filter is needed.  This replaces
+    # an earlier min(struct)-aggregate + join-back formulation that (a)
+    # compiled to SortAggregate (struct min has no mutable hash buffer)
+    # and (b) re-joined the duplicate table against the full occurrence
+    # stream — a fact-fact shuffle join at corpus scale.  The window is
+    # a single exchange on the uniform md5 key.
+    from pyspark.sql import Window
+
+    w_spec = Window.partitionBy("gh").orderBy("doc_id", "pos")
     removed = (
-        occ.join(dup, "gh")
-        .filter(
-            (F.col("doc_id") != F.col("keep.doc_id"))
-            | (F.col("pos") != F.col("keep.pos"))
-        )
+        occ.withColumn("_rn", F.row_number().over(w_spec))
+        .filter(F.col("_rn") > 1)
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("spans"))
     )

@@ -124,5 +124,7 @@ def test_plan_no_cartesian_and_hash_agg(spark):
     plan = plan_of(dedup_substrings(df, window=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # duplicate detection is a hash aggregate keyed by the md5 gram
-    assert "HashAggregate" in plan
+    # duplicate detection is one window pass on the md5 gram key — no
+    # SortAggregate (struct-min has no hash buffer; the rn>1 form does)
+    assert "SortAggregate" not in plan
+    assert plan.count("Window") >= 1

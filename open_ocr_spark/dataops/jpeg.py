@@ -139,11 +139,14 @@ def _decode_symbol(r: _BitReader, table) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """(h, w, 3) uint8 RGB from a baseline JPEG, or None for valid-but-
-    out-of-scope frames (progressive, arithmetic, 12-bit, 4-component,
-    non-divisible sampling). Raises ValueError on structural corruption —
-    struct.error/IndexError from truncated segment bodies are normalized
-    to ValueError so callers route ONE exception to error-as-value."""
+    """(h, w, 3) uint8 RGB from a sequential-huffman (SOF0/1),
+    progressive (SOF2) or sequential-arithmetic (SOF9, QM coder —
+    dataops/jpeg_arith.py) JPEG, or None for valid-but-out-of-scope
+    frames (12-bit, 4-component, lossless/hierarchical, progressive-
+    arithmetic, non-divisible sampling). Raises ValueError on structural
+    corruption — struct.error/IndexError from truncated segment bodies
+    are normalized to ValueError so callers route ONE exception to
+    error-as-value."""
     try:
         return _decode_jpeg(data)
     except (struct.error, IndexError) as exc:
@@ -162,6 +165,8 @@ def _decode_jpeg(data: bytes):
     restart = 0
     scan = None
     progressive = False
+    arithmetic = False
+    dac = {}
     prog = None
     while pos < n:
         if data[pos] != 0xFF:
@@ -212,7 +217,9 @@ def _decode_jpeg(data: bytes):
                 hufftabs[(tc, th)] = _build_huff(bits, vals)
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential huffman, SOF2 progressive, SOF9
+            # sequential arithmetic (entropy layer: dataops/jpeg_arith.py)
             if body[0] != 8:
                 return None  # 12-bit precision
             h = int.from_bytes(body[1:3], "big")
@@ -229,9 +236,15 @@ def _decode_jpeg(data: bytes):
                 comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
             frame = (h, w, comps)
             progressive = m == 0xC2
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
-                   0xCE, 0xCF, 0xCC):
-            return None  # lossless / hierarchical / arithmetic / DAC
+            arithmetic = m == 0xC9
+        elif m == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            bp = 0
+            while bp + 2 <= len(body):
+                dac[(body[bp] >> 4, body[bp] & 15)] = body[bp + 1]
+                bp += 2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            return None  # lossless / hierarchical / progressive-arith
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -281,7 +294,17 @@ def _decode_jpeg(data: bytes):
     # encode is structurally corrupt — without this, a few-hundred-byte
     # file declaring 65535x65535 allocates ~16 GB per component.
     total_blocks = mcuy * mcux * sum(c[1] * c[2] for c in comps)
-    if total_blocks > 4 * (n - pos) + 64:
+    if arithmetic:
+        # the huffman >=2-bits-per-block bound does not hold (an adapted
+        # QM MPS decision can cost ~2^-16 bits); an absolute cap still
+        # stops hostile headers from allocating gigabytes
+        if total_blocks > 1 << 20:
+            raise ValueError("jpeg: arithmetic frame too large")
+        if restart:
+            raise ValueError(
+                "jpeg: restart intervals in arithmetic scans unsupported"
+            )
+    elif total_blocks > 4 * (n - pos) + 64:
         raise ValueError("jpeg: declared dimensions exceed entropy data")
     by_id = {c[0]: c for c in comps}
     order = []  # (coef array, blocks-wide, H, V, dc_tab, ac_tab, qtab)
@@ -289,7 +312,9 @@ def _decode_jpeg(data: bytes):
         if cs not in by_id:
             raise ValueError("jpeg: scan references unknown component")
         _, ch, cv, tq = by_id[cs]
-        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
+        if not arithmetic and (
+            (0, td) not in hufftabs or (1, ta) not in hufftabs
+        ):
             raise ValueError("jpeg: scan references missing huffman table")
         if tq not in qtabs:
             raise ValueError("jpeg: component references missing DQT")
@@ -297,8 +322,28 @@ def _decode_jpeg(data: bytes):
         order.append(
             [
                 np.zeros((bh * bw, 64), dtype=np.int32),
-                bw, ch, cv, hufftabs[(0, td)], hufftabs[(1, ta)], qtabs[tq],
+                bw, ch, cv,
+                # arithmetic scans carry the raw conditioning-table IDS
+                # here (a legal arithmetic file may also contain DHT
+                # segments, so hufftabs must never be consulted for it)
+                td if arithmetic else hufftabs[(0, td)],
+                ta if arithmetic else hufftabs[(1, ta)],
+                qtabs[tq],
             ]
+        )
+    if arithmetic:
+        from open_ocr_spark.dataops.jpeg_arith import decode_scan
+
+        decode_scan(
+            data, pos,
+            [(coefs, bw, ch, cv, td, ta)
+             for coefs, bw, ch, cv, td, ta, _q in order],
+            mcux, mcuy, dac,
+        )
+        return _reconstruct(
+            [(coefs, bw, ch, cv, qtab)
+             for coefs, bw, ch, cv, _dt, _at, qtab in order],
+            h, w, hmax, vmax,
         )
     reader = _BitReader(data, pos)
     preds = [0] * len(order)
@@ -685,13 +730,10 @@ def _plane_blocks(plane, target_h: int, target_w: int):
     return zz, bw
 
 
-def encode_jpeg(arr, subsample: bool = False, grayscale: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JPEG bytes with all-ones quant
-    tables (near-lossless; block-flat grays round-trip exactly).
-    ``subsample`` emits 4:2:0 (2x2-mean chroma), ``grayscale`` a
-    1-component luma frame, ``restart_interval`` a DRI segment + RSTn
-    markers every that many MCUs (predictors reset, as T.81 requires)."""
+def _prep_encode(arr, subsample: bool, grayscale: bool):
+    """Shared encode front half (colorspace, optional 4:2:0 downsample,
+    DCT+zigzag per component): (h, w, encoded[(zz, bw, ch, cv)], mcux,
+    mcuy).  Used by the baseline, progressive and arithmetic encoders."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.float64)
@@ -725,6 +767,18 @@ def encode_jpeg(arr, subsample: bool = False, grayscale: bool = False,
             mcuy * cv * 8, mcux * ch * 8,
         )
         encoded.append((zz, bw, ch, cv))
+    return h, w, encoded, mcux, mcuy
+
+
+def encode_jpeg(arr, subsample: bool = False, grayscale: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG bytes with all-ones quant
+    tables (near-lossless; block-flat grays round-trip exactly).
+    ``subsample`` emits 4:2:0 (2x2-mean chroma), ``grayscale`` a
+    1-component luma frame, ``restart_interval`` a DRI segment + RSTn
+    markers every that many MCUs (predictors reset, as T.81 requires)."""
+    h, w, encoded, mcux, mcuy = _prep_encode(arr, subsample, grayscale)
+    comps = [(None, ch, cv) for _zz, _bw, ch, cv in encoded]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: id 0, 8-bit precision, all-ones table (shared by every comp)

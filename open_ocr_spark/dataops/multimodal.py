@@ -14,8 +14,10 @@ extraction with true timestamps); webm/mkv is demuxed to the same depth
 (dataops/ebml.py: EBML walk, Cluster/SimpleBlock frame bytes with true
 block timestamps); AVI/MJPEG video (dataops/avi.py) is
 fully real END TO END — RIFF demux, frame timing, and pixel decode of
-every sampled frame through the repo's own JPEG decoder. What genuinely
-needs PIL/ffmpeg (arithmetic-coded JPEG, pixel decode of non-MJPEG
+every sampled frame through the repo's own JPEG decoder; the JPEG
+entropy layer covers huffman, progressive AND arithmetic (QM-coder,
+dataops/jpeg_arith.py) frames. What genuinely
+needs PIL/ffmpeg (pixel decode of non-MJPEG
 video codec samples — H.264/VP8/VP9/AV1) is STUBBED: each stub
 either raises a clearly-marked NotImplementedError (strict mode) or
 produces a deterministic fake (default) so pipelines remain end-to-end
@@ -568,16 +570,16 @@ def _decode_png(data: bytes):
 def decode_pixels(payload: bytes):
     """numpy (h, w, 3) uint8 array from the formats stdlib+numpy can decode
     without PIL/ffmpeg: PNG (zlib IDAT + numpy unfiltering — 8-bit
-    grey/truecolor/palette/alpha, non-interlaced), baseline AND
-    progressive JPEG (huffman entropy decode + progressive scan assembly
-    + vectorized IDCT, grayscale/YCbCr, any divisible subsampling,
-    restart markers — see dataops/jpeg.py), GIF87a/89a (LZW, interlace,
+    grey/truecolor/palette/alpha, non-interlaced), baseline, progressive
+    AND arithmetic-coded JPEG (huffman/QM entropy decode + progressive
+    scan assembly + vectorized IDCT, grayscale/YCbCr, any divisible
+    subsampling, restart markers — see dataops/jpeg.py +
+    dataops/jpeg_arith.py), GIF87a/89a (LZW, interlace,
     local/global palettes, first frame — see dataops/gif.py),
     uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up or
     top-down) and binary PPM (P6, maxval 255). Returns None for every
-    other format —
-    those genuinely need a decoder library (arithmetic-coded JPEG
-    included). Raises ValueError for recognized-but-corrupt payloads."""
+    other format — those genuinely need a decoder library.
+    Raises ValueError for recognized-but-corrupt payloads."""
     import struct
 
     import numpy as np

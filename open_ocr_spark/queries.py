@@ -2125,6 +2125,84 @@ def q_media_resize_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("doc_id")
 
 
+def q_media_resize_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded (SOF9, QM entropy — dataops/jpeg_arith.py) JPEG
+    through the driver gate, mirroring the progressive query's two
+    checks.  (1) Exact pixel path: each document becomes an 8x16
+    grayscale ARITHMETIC JPEG of two flat blocks with doc_id-formula
+    gray levels, resized to 8x8 by the real path (QM decode →
+    nearest-neighbor → baseline re-encode → decode): flat blocks survive
+    exactly, so p_left/p_right are closed-form.  (2) Entropy-layer
+    equivalence on real coefficient data: a doc_id-seeded non-flat
+    16x16 image encoded both huffman-baseline and arithmetic must decode
+    byte-identically (``arith_agree=1``) — DC conditioning contexts, the
+    AC decision tree and the QM state machine all fire inside the
+    driver-checked query."""
+    import pandas as pd
+
+    from open_ocr_spark.dataops.multimodal import resize_images
+
+    def _jpeg_wrap(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.jpeg_arith import encode_jpeg_arith
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a, b = (i * 5 + 23) % 250, (i * 11 + 42) % 250
+                arr = np.empty((8, 16, 3), dtype=np.uint8)
+                arr[:, :8] = a
+                arr[:, 8:] = b
+                out.append(
+                    (i, bytearray(encode_jpeg_arith(arr, grayscale=True)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_jpeg_wrap, "media_id long, payload binary")
+    resized = resize_images(media, 8, 8, strict=True)
+
+    def _pixels(batches):
+        import numpy as np
+
+        from open_ocr_spark.dataops.jpeg import decode_jpeg, encode_jpeg
+        from open_ocr_spark.dataops.jpeg_arith import encode_jpeg_arith
+
+        for pdf in batches:
+            out = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                arr = decode_jpeg(bytes(payload))
+                mid = int(mid)
+                rich = (
+                    (np.arange(16)[:, None] * 29 + np.arange(16) * 13
+                     + mid * 7) % 256
+                ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+                base = decode_jpeg(encode_jpeg(rich, grayscale=True))
+                arith = decode_jpeg(encode_jpeg_arith(rich, grayscale=True))
+                out.append(
+                    (
+                        mid, int(w), int(h),
+                        int(arr[0, 0, 0]), int(arr[7, 7, 0]),
+                        int(np.array_equal(base, arith)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "p_left", "p_right",
+                         "arith_agree"],
+            )
+
+    return resized.mapInPandas(
+        _pixels,
+        "doc_id long, width int, height int, p_left int, p_right int, "
+        "arith_agree int",
+    ).orderBy("doc_id")
+
+
 def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-BMFF demux (dataops/mp4.py) through the driver gate: each
     document becomes a real MP4 with 1 + doc_id%4 one-second video
@@ -2494,6 +2572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "sitemap_discovery": q_sitemap_discovery,
     "unicode_nfc": q_unicode_nfc,
+    "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3228,6 +3307,16 @@ ORACLES: dict[str, str] = {
                CAST((doc_id * 3 + 11) % 250 AS INTEGER) AS p_left,
                CAST((doc_id * 7 + 60) % 250 AS INTEGER) AS p_right,
                CAST(1 AS INTEGER) AS ac_agree
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "media_resize_jpeg_arith": """
+        SELECT doc_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST((doc_id * 5 + 23) % 250 AS INTEGER) AS p_left,
+               CAST((doc_id * 11 + 42) % 250 AS INTEGER) AS p_right,
+               CAST(1 AS INTEGER) AS arith_agree
         FROM documents
         ORDER BY doc_id
     """,

@@ -65,3 +65,50 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def pack_multimodal_sequences(
+    docs: DataFrame,
+    text_tokens_col: str = "n_text_tokens",
+    images_col: str = "n_images",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    image_tokens: int = 64,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Interleaved image-text packing — the training layout multimodal
+    pretraining uses (each inline image costs a fixed block of
+    ``image_tokens`` placeholder positions next to the document's text
+    tokens; LLaVA/Flamingo-style data prep).  Same offset-based
+    concat-then-chunk assignment as pack_sequences, but the cost of a
+    document is ``n_text_tokens + image_tokens * n_images`` and each
+    packed sequence reports its per-modality budget split:
+    (bucket, seq_id, n_docs, n_images, text_tokens, image_token_cost,
+    seq_tokens, first_doc, last_doc).
+
+    Scale shape identical to pack_sequences: md5 bucketing bounds every
+    running-sum window to 1/n_buckets of the data — no global sort."""
+    cost = (
+        F.col(text_tokens_col).cast("long")
+        + F.lit(int(image_tokens)) * F.col(images_col).cast("long")
+    )
+    bucketed = docs.select(
+        F.col(id_col),
+        F.col(text_tokens_col).cast("long").alias("_text"),
+        F.col(images_col).cast("long").alias("_imgs"),
+        cost.alias("_cost"),
+        md5_bucket(F.col(id_col), n_buckets).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    with_seq = bucketed.withColumn(
+        "running", F.sum("_cost").over(w)
+    ).withColumn("seq_id", F.expr(f"(running - _cost) DIV {int(budget)}"))
+    return with_seq.groupBy("bucket", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_imgs").alias("n_images"),
+        F.sum("_text").alias("text_tokens"),
+        (F.sum("_imgs") * int(image_tokens)).alias("image_token_cost"),
+        F.sum("_cost").alias("seq_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -1107,6 +1107,30 @@ def q_pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved image-text packing (dataops/packing.py::
+    pack_multimodal_sequences): each document carries doc_id%3 inline
+    images at 64 placeholder tokens apiece next to its whitespace text
+    tokens; the sequence assignment runs on the COMBINED cost and each
+    packed row reports its per-modality split.  The oracle reproduces
+    the whole layout (md5 bucket, composite running sum, modality sums)
+    — an image-cost slip or a modality-accounting bug changes
+    seq_id/text_tokens/image_token_cost and breaks the hash."""
+    from open_ocr_spark.dataops.packing import pack_multimodal_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_text_tokens"
+        ),
+        (F.col("doc_id") % 3).alias("n_images"),
+    )
+    return pack_multimodal_sequences(
+        toks, budget=512, image_tokens=64, n_buckets=8
+    ).orderBy("bucket", "seq_id")
+
+
 def _link_pages(docs: DataFrame) -> DataFrame:
     """Synthetic pages with a deterministic outlink structure: page for
     doc D lives on host h{D%20}, links twice to h{(7D+1)%20} (once
@@ -2573,6 +2597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_discovery": q_sitemap_discovery,
     "unicode_nfc": q_unicode_nfc,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
+    "pack_multimodal": q_pack_multimodal,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3774,6 +3799,36 @@ ORACLES: dict[str, str] = {
                CAST((running - n_tokens) // 200 AS BIGINT) AS seq_id,
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM cum
+        GROUP BY bucket, seq_id
+        ORDER BY bucket, seq_id
+    """,
+    "pack_multimodal": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(coalesce(text, ''), ' '))
+                       AS BIGINT) AS n_text,
+                   CAST(doc_id % 3 AS BIGINT) AS n_imgs,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT
+                       % 8 AS BIGINT) AS bucket
+            FROM documents
+        ),
+        cum AS (
+            SELECT bucket, doc_id, n_text, n_imgs,
+                   n_text + 64 * n_imgs AS cost,
+                   sum(n_text + 64 * n_imgs) OVER (
+                       PARTITION BY bucket ORDER BY doc_id) AS running
+            FROM toks
+        )
+        SELECT bucket,
+               CAST((running - cost) // 512 AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_imgs) AS BIGINT) AS n_images,
+               CAST(sum(n_text) AS BIGINT) AS text_tokens,
+               CAST(sum(n_imgs) * 64 AS BIGINT) AS image_token_cost,
+               CAST(sum(cost) AS BIGINT) AS seq_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM cum

@@ -379,3 +379,23 @@ def test_crawl_delta_classification(spark):
     assert got == {
         "u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"
     }
+
+
+def test_pack_multimodal_budget_accounting(spark):
+    from open_ocr_spark.dataops.packing import pack_multimodal_sequences
+
+    rows = [(i, 100, i % 2) for i in range(40)]  # 0 or 1 image per doc
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_text_tokens long, n_images long"
+    )
+    out = pack_multimodal_sequences(
+        df, budget=300, image_tokens=50, n_buckets=4
+    ).collect()
+    total_docs = sum(r["n_docs"] for r in out)
+    assert total_docs == 40
+    for r in out:
+        assert r["seq_tokens"] == r["text_tokens"] + r["image_token_cost"]
+        assert r["image_token_cost"] == 50 * r["n_images"]
+    # composite cost drives the split: image-bearing docs cost 150, so a
+    # 300-budget sequence holds at most 3 docs from any bucket run
+    assert all(r["n_docs"] <= 3 for r in out)

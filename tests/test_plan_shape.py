@@ -280,3 +280,16 @@ def test_pagerank_plans_stay_shallow(spark):
     # a checkpointed frame plans as a scan of the materialized RDD
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+def test_pack_multimodal_window_is_partitioned(spark):
+    """Same single-reducer guard for the interleaved image-text layout:
+    composite (text + image) cost must not change the exchange shape."""
+    from open_ocr_spark.dataops.packing import pack_multimodal_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "n_chars as n_text_tokens", "doc_id % 3 as n_images"
+    )
+    plan = plan_of(pack_multimodal_sequences(docs, budget=512, n_buckets=8))
+    assert _nodes(plan, "Window") == 1
+    assert "hashpartitioning(bucket" in plan
+    assert "SinglePartition" not in plan

@@ -150,6 +150,26 @@ def extract_document(
                     text = extract_pdf_text(payload)
                 except ValueError as exc:
                     return "", "error:pdf-unsupported", str(exc)
+            elif payload[:4] == b"PK\x03\x04":
+                # OOXML: same magic-byte routing as PDF (r4). ZIPs that
+                # are not WordprocessingML stay error-as-value rather
+                # than being fed to the HTML tokenizer as binary soup.
+                from open_ocr_spark.kernels.docx_text import (
+                    extract_docx_text,
+                    is_docx,
+                )
+
+                if is_docx(payload):
+                    try:
+                        text = extract_docx_text(payload)
+                    except ValueError as exc:
+                        return "", "error:docx-unsupported", str(exc)
+                else:
+                    return (
+                        "",
+                        "error:docx-unsupported",
+                        "zip container without word/document.xml",
+                    )
             else:
                 text = extract_main_text(payload, aggressive=aggressive)
 

@@ -1,0 +1,137 @@
+"""DOCX text extraction: OOXML WordprocessingML (ECMA-376) through the
+stdlib zip reader.
+
+Extends the document-conversion branch of the extraction kernel the
+same way the PDF branch does (kernels/pdf_text.py; reference parity:
+tleyden/open-ocr's preprocessor chain converts non-image payloads
+before OCR, /root/reference/ocr_request.go:21-31) — web crawls meet
+.docx constantly and a corpus engine must read them without shelling
+out to an office suite.
+
+Scope (the text layer of ECMA-376 Part 1 §17):
+- container: ZIP with ``word/document.xml`` (detection checks the
+  member, not just the PK magic — every OOXML/ODF/JAR shares that);
+- paragraphs ``<w:p>`` → blank-line-separated blocks, matching the
+  HTML branch's paragraph convention;
+- runs ``<w:t>`` (with or without attributes) concatenated in order;
+  ``<w:tab/>`` → TAB, ``<w:br/>`` / ``<w:cr/>`` → newline;
+- the five XML built-in entities plus decimal/hex character
+  references decoded;
+- everything else (tables, headers, drawings, comments) contributes
+  nothing — the body text is the training-data payload.
+
+The writer twin builds the minimal valid package (fixed 1980-01-01
+timestamps: byte-reproducible output) so fixtures and property tests
+can roundtrip real containers, mirroring the WARC/AVI/webm twins.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+
+_PARA = re.compile(rb"<w:p[ >].*?</w:p>|<w:p/>", re.S)
+_TOKEN = re.compile(
+    rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab\s*/>|<w:br\s*/>|<w:cr\s*/>",
+    re.S,
+)
+_CHARREF = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
+
+
+def is_docx(payload: bytes) -> bool:
+    """True iff the payload is a ZIP container carrying a
+    WordprocessingML main document part."""
+    if len(payload) < 4 or payload[:4] != b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            return "word/document.xml" in zf.namelist()
+    except Exception:
+        return False
+
+
+def _unescape(s: str) -> str:
+    s = _CHARREF.sub(
+        lambda m: chr(int(m.group(1)[1:], 16))
+        if m.group(1)[0] in "xX"
+        else chr(int(m.group(1))),
+        s,
+    )
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
+def extract_docx_text(payload: bytes) -> str:
+    """Plain text of the main document part: paragraphs separated by
+    blank lines, runs concatenated, tabs/breaks literal.  Raises
+    ValueError for a corrupt container or missing document part."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            xml = zf.read("word/document.xml")
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise ValueError(f"docx: bad container ({exc})") from exc
+    paras = []
+    for pm in _PARA.finditer(xml):
+        parts = []
+        for tm in _TOKEN.finditer(pm.group(0)):
+            if tm.group(1) is not None:
+                parts.append(_unescape(tm.group(1).decode("utf-8",
+                                                          "replace")))
+            elif tm.group(0).startswith(b"<w:tab"):
+                parts.append("\t")
+            else:
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n\n".join(paras)
+
+
+_CONTENT_TYPES = (
+    b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    b'<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    b'content-types"><Default Extension="xml" ContentType="application/'
+    b'vnd.openxmlformats-officedocument.wordprocessingml.document.main'
+    b'+xml"/></Types>'
+)
+
+
+def _escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def build_docx(paragraphs: list[str]) -> bytes:
+    """Writer twin: the minimal WordprocessingML package whose
+    extract_docx_text output is exactly '\\n\\n'.join(paragraphs)
+    (tabs and newlines inside a paragraph become w:tab / w:br runs)."""
+    body = []
+    for p in paragraphs:
+        runs = []
+        for piece in re.split(r"([\t\n])", p):
+            if piece == "\t":
+                runs.append("<w:tab/>")
+            elif piece == "\n":
+                runs.append("<w:br/>")
+            elif piece:
+                runs.append(f"<w:r><w:t>{_escape(piece)}</w:t></w:r>")
+        body.append("<w:p>" + "".join(runs) + "</w:p>")
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + "".join(body)
+        + "</w:body></w:document>"
+    ).encode("utf-8")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml", _CONTENT_TYPES),
+            ("word/document.xml", doc),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()

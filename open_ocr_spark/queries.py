@@ -1539,6 +1539,53 @@ def q_range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML conversion through the FULL kernel path (r4,
+    kernels/docx_text.py): every document becomes a real .docx — stdlib
+    zip container, [Content_Types].xml + word/document.xml — whose two
+    paragraphs carry the document text and a tab + XML-entity line
+    ('<' and '&' escaped in the package, decoded on extraction);
+    magic-byte routing must pick the DOCX branch and return the text
+    byte-exactly.  A zip-walk, run-concatenation, w:tab/w:br or
+    entity-decode bug changes extracted_text and breaks the hash."""
+    import pandas as pd
+
+    def _docx_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_docx
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                paras = [
+                    text if text is not None else "",
+                    f"Doc {i}\t<tagged & checked>",
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/docx/{i}",
+                     bytearray(build_docx(paras)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _docx_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 parity, oracle-checked end-to-end: every document is wrapped as a
     minimal uncompressed PDF (one literal-string Tj text-show op, escapes
@@ -2675,6 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
     "temperature_sample": q_temperature_sample,
+    "extract_docx_text": q_extract_docx_text,
     "extract_pdf_text": q_extract_pdf_text,
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "range_join_event_pairs": q_range_join_event_pairs,
@@ -3286,6 +3334,15 @@ ORACLES: dict[str, str] = {
          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
         GROUP BY a.user_id
         ORDER BY a.user_id
+    """,
+    "extract_docx_text": """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Doc ' || doc_id::VARCHAR || chr(9)
+                   || '<tagged & checked>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
     """,
     "extract_pdf_text": """
         SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status

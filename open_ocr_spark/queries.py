@@ -1031,6 +1031,48 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom discovery (dataops/feeds.py): even hosts publish RSS
+    (one item with an &amp;-escaped title + pubDate, one CDATA title
+    without a date, one link-less drop), odd hosts Atom (a rel=self
+    decoy that must lose to rel=alternate, plus a rel-less default).
+    Closed-form oracle over the same residues — kind routing, the Atom
+    rel preference, CDATA unwrap and entity decode are all
+    value-hashed."""
+    from open_ocr_spark.dataops.feeds import parse_feeds
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hid = F.col("hid")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hid")).distinct()
+    base = F.concat(F.lit("https://h"), hid.cast("string"),
+                    F.lit(".example.com"))
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><item><title>News '),
+        hid.cast("string"),
+        F.lit(" &amp; views</title><link> "), base,
+        F.lit("/p/a </link><pubDate>Mon, 17 Aug 2026 0"),
+        (hid % 10).cast("string"),
+        F.lit(":00:00 GMT</pubDate></item><item>"
+              "<title><![CDATA[Deep <dive>]]></title><link>"), base,
+        F.lit("/p/b</link></item><item><title>dropped</title></item>"
+              "</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed xmlns=\"x\"><entry><title>Entry "),
+        hid.cast("string"),
+        F.lit('</title><link rel="self" href="'), base,
+        F.lit('/meta"/><link rel="alternate" href="'), base,
+        F.lit('/e/1"/><updated>2026-08-17T10:00:00Z</updated></entry>'
+              '<entry><title>Plain</title><link href="'), base,
+        F.lit('/e/2"/></entry></feed>'),
+    )
+    feeds = hosts.select(
+        F.concat(base, F.lit("/feed")).alias("feed_url"),
+        F.when(hid % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    return parse_feeds(feeds).orderBy("feed_url", "link")
+
+
 def _messy_urls(docs: DataFrame) -> DataFrame:
     """Four crawl spellings of each logical page https://src{K}.example.com
     /page/{L}: explicit default :443 + tracking params + fragment;
@@ -2645,6 +2687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_nfc": q_unicode_nfc,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
+    "feed_discovery": q_feed_discovery,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3463,6 +3506,42 @@ ORACLES: dict[str, str] = {
                CAST(length(nfc_normalize(raw_text)) AS BIGINT) AS norm_len
         FROM raw
         ORDER BY doc_id
+    """,
+    "feed_discovery": """
+        WITH hosts AS (
+            SELECT DISTINCT (doc_id % 20) AS hid FROM documents
+        ),
+        lm AS (
+            SELECT hid,
+                   'https://h' || hid::VARCHAR || '.example.com'
+                       AS base
+            FROM hosts
+        )
+        SELECT base || '/feed' AS feed_url,
+               CASE WHEN hid % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+               CASE WHEN hid % 2 = 0 THEN
+                   CASE u.i WHEN 0 THEN base || '/p/a'
+                            ELSE base || '/p/b' END
+               ELSE
+                   CASE u.i WHEN 0 THEN base || '/e/1'
+                            ELSE base || '/e/2' END
+               END AS link,
+               CASE WHEN hid % 2 = 0 THEN
+                   CASE u.i WHEN 0
+                       THEN 'News ' || hid::VARCHAR || ' & views'
+                       ELSE 'Deep <dive>' END
+               ELSE
+                   CASE u.i WHEN 0 THEN 'Entry ' || hid::VARCHAR
+                            ELSE 'Plain' END
+               END AS title,
+               CASE WHEN u.i = 0 AND hid % 2 = 0
+                    THEN 'Mon, 17 Aug 2026 0' || (hid % 10)::VARCHAR
+                         || ':00:00 GMT'
+                    WHEN u.i = 0 THEN '2026-08-17T10:00:00Z'
+                    ELSE NULL END AS published
+        FROM lm
+        JOIN (SELECT unnest(range(0, 2)) AS i) u ON true
+        ORDER BY feed_url, link
     """,
     "sitemap_discovery": """
         WITH hosts AS (

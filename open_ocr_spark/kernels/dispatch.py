@@ -151,12 +151,15 @@ def extract_document(
                 except ValueError as exc:
                     return "", "error:pdf-unsupported", str(exc)
             elif payload[:4] == b"PK\x03\x04":
-                # OOXML: same magic-byte routing as PDF (r4). ZIPs that
-                # are not WordprocessingML stay error-as-value rather
-                # than being fed to the HTML tokenizer as binary soup.
+                # Office containers: same magic-byte routing as PDF
+                # (r4) — OOXML (.docx) and ODF (.odt). ZIPs that are
+                # neither stay error-as-value rather than being fed to
+                # the HTML tokenizer as binary soup.
                 from open_ocr_spark.kernels.docx_text import (
                     extract_docx_text,
+                    extract_odt_text,
                     is_docx,
+                    is_odt,
                 )
 
                 if is_docx(payload):
@@ -164,11 +167,16 @@ def extract_document(
                         text = extract_docx_text(payload)
                     except ValueError as exc:
                         return "", "error:docx-unsupported", str(exc)
+                elif is_odt(payload):
+                    try:
+                        text = extract_odt_text(payload)
+                    except ValueError as exc:
+                        return "", "error:odt-unsupported", str(exc)
                 else:
                     return (
                         "",
                         "error:docx-unsupported",
-                        "zip container without word/document.xml",
+                        "zip container is not WordprocessingML or ODF text",
                     )
             else:
                 text = extract_main_text(payload, aggressive=aggressive)

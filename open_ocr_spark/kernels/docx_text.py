@@ -135,3 +135,103 @@ def build_docx(paragraphs: list[str]) -> bytes:
             info.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+# --- OpenDocument Text (ODT) sibling ------------------------------------------
+# Same container pattern, different schema (OASIS ODF: content.xml with
+# text:p paragraphs, text:tab / text:line-break controls, text:s run-on
+# spaces). LibreOffice/OpenOffice exports are the second office format a
+# crawler meets; the extraction contract mirrors the DOCX branch.
+
+_ODT_PARA = re.compile(rb"<text:p[ >].*?</text:p>|<text:p/>", re.S)
+# named groups decide the token kind — a prefix test would confuse
+# <text:span> (generic transparent tag) with the <text:s/> space element
+_ODT_TOKEN = re.compile(
+    rb"(?P<tab><text:tab\s*/>)|(?P<br><text:line-break\s*/>)"
+    rb"|(?P<sp><text:s(?:\s+text:c=\"(?P<c>\d+)\")?\s*/>)"
+    rb"|<[^>]+>|(?P<txt>[^<]+)",
+    re.S,
+)
+
+
+def is_odt(payload: bytes) -> bool:
+    """True iff the payload is a ZIP container whose mimetype member
+    declares OpenDocument Text (or carries content.xml with an ODF
+    body when the mimetype member is absent)."""
+    if len(payload) < 4 or payload[:4] != b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            names = set(zf.namelist())
+            if "mimetype" in names:
+                return zf.read("mimetype").startswith(
+                    b"application/vnd.oasis.opendocument.text"
+                )
+            return "content.xml" in names
+    except Exception:
+        return False
+
+
+def extract_odt_text(payload: bytes) -> str:
+    """Plain text of content.xml: text:p paragraphs as blank-line
+    blocks, tabs/line-breaks literal, text:s expanded to spaces, every
+    other tag transparent (spans contribute their text).  Raises
+    ValueError for a corrupt container or missing content part."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            xml = zf.read("content.xml")
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise ValueError(f"odt: bad container ({exc})") from exc
+    paras = []
+    for pm in _ODT_PARA.finditer(xml):
+        body = pm.group(0)
+        body = body[body.index(b">") + 1:]  # strip the opening tag
+        parts = []
+        for tm in _ODT_TOKEN.finditer(body):
+            if tm.group("tab"):
+                parts.append("\t")
+            elif tm.group("br"):
+                parts.append("\n")
+            elif tm.group("sp"):
+                parts.append(" " * int(tm.group("c") or b"1"))
+            elif tm.group("txt"):
+                parts.append(
+                    _unescape(tm.group("txt").decode("utf-8", "replace"))
+                )
+        paras.append("".join(parts))
+    return "\n\n".join(paras)
+
+
+def build_odt(paragraphs: list[str]) -> bytes:
+    """Writer twin: minimal ODF Text package (mimetype STORED first, as
+    the spec requires, + content.xml) whose extract_odt_text output is
+    exactly '\\n\\n'.join(paragraphs)."""
+    body = []
+    for p in paragraphs:
+        runs = []
+        for piece in re.split(r"([\t\n])", p):
+            if piece == "\t":
+                runs.append("<text:tab/>")
+            elif piece == "\n":
+                runs.append("<text:line-break/>")
+            elif piece:
+                runs.append(f"<text:span>{_escape(piece)}</text:span>")
+        body.append("<text:p >" + "".join(runs) + "</text:p>")
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+        'opendocument:xmlns:text:1.0"><office:body><office:text>'
+        + "".join(body)
+        + "</office:text></office:body></office:document-content>"
+    ).encode("utf-8")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        info = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_STORED
+        zf.writestr(info, b"application/vnd.oasis.opendocument.text")
+        info = zipfile.ZipInfo("content.xml",
+                               date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_DEFLATED
+        zf.writestr(info, doc)
+    return buf.getvalue()

@@ -1628,6 +1628,50 @@ def q_extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_odt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODF conversion through the FULL kernel path (r4, the
+    OpenDocument sibling of the DOCX branch): every document becomes a
+    real .odt — mimetype member (STORED first, per spec) + content.xml
+    — whose paragraphs carry the document text and a
+    run-length-space + entity line; magic-byte routing must
+    disambiguate ODT from DOCX inside the shared PK branch and return
+    the text byte-exactly."""
+    import pandas as pd
+
+    def _odt_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_odt
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                paras = [
+                    text if text is not None else "",
+                    f"Odt {i}\t<open & doc>",
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/odt/{i}",
+                     bytearray(build_odt(paras)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "url", "html"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _odt_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 parity, oracle-checked end-to-end: every document is wrapped as a
     minimal uncompressed PDF (one literal-string Tj text-show op, escapes
@@ -2766,6 +2810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "temperature_sample": q_temperature_sample,
     "extract_docx_text": q_extract_docx_text,
+    "extract_odt_text": q_extract_odt_text,
     "extract_pdf_text": q_extract_pdf_text,
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "range_join_event_pairs": q_range_join_event_pairs,
@@ -3383,6 +3428,15 @@ ORACLES: dict[str, str] = {
                coalesce(text, '') || chr(10) || chr(10)
                    || 'Doc ' || doc_id::VARCHAR || chr(9)
                    || '<tagged & checked>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_odt_text": """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Odt ' || doc_id::VARCHAR || chr(9)
+                   || '<open & doc>' AS extracted_text,
                'ok' AS status
         FROM documents
         ORDER BY doc_id

@@ -103,3 +103,57 @@ def test_dispatch_routes_docx_by_magic():
 )
 def test_roundtrip_property(paras):
     assert extract_docx_text(build_docx(paras)) == "\n\n".join(paras)
+
+
+def test_odt_roundtrip_and_dispatch():
+    from open_ocr_spark.kernels.docx_text import (
+        build_odt,
+        extract_odt_text,
+        is_odt,
+    )
+
+    paras = ["Hello ödt", "a\tb", "x\ny", "5 < 6 & 7"]
+    data = build_odt(paras)
+    assert is_odt(data) and not is_docx(data)
+    assert extract_odt_text(data) == "\n\n".join(paras)
+    text, status, err = extract_document(data)
+    assert (text, status) == ("\n\n".join(paras), "ok")
+    # text:s run-length spaces; text:span transparency
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr(
+            "content.xml",
+            '<office:text><text:p >a<text:s text:c="3"/>'
+            "<text:span>b</text:span><text:s/>c</text:p></office:text>",
+        )
+    assert extract_odt_text(buf.getvalue()) == "a   b c"
+    # epub-style mimetype is NOT odt
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("content.xml", "<x/>")
+    assert not is_odt(buf2.getvalue())
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            st.characters(
+                blacklist_categories=("Cs",),
+                blacklist_characters="\r\x0b\x0c\x1c\x1d\x1e\x85  ",
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_odt_roundtrip_property(paras):
+    from open_ocr_spark.kernels.docx_text import build_odt, extract_odt_text
+
+    assert extract_odt_text(build_odt(paras)) == "\n\n".join(paras)

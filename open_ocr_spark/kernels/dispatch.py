@@ -150,6 +150,16 @@ def extract_document(
                     text = extract_pdf_text(payload)
                 except ValueError as exc:
                     return "", "error:pdf-unsupported", str(exc)
+            elif payload[:5] == b"{\\rtf":
+                # RTF routes by magic like PDF (r4, kernels/rtf_text.py);
+                # without this branch the HTML tokenizer would eat the
+                # control words as text soup
+                from open_ocr_spark.kernels.rtf_text import extract_rtf_text
+
+                try:
+                    text = extract_rtf_text(payload)
+                except ValueError as exc:
+                    return "", "error:rtf-unsupported", str(exc)
             elif payload[:4] == b"PK\x03\x04":
                 # Office containers: same magic-byte routing as PDF
                 # (r4) — OOXML (.docx) and ODF (.odt). ZIPs that are

@@ -1672,6 +1672,52 @@ def q_extract_odt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_rtf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF conversion through the FULL kernel path (r4,
+    kernels/rtf_text.py — the third office sibling after DOCX/ODT):
+    every document becomes a real .rtf via the writer twin — header with
+    fonttbl/colortbl/ignorable-generator destinations that must be
+    skipped, body with \\uN? Unicode escapes, \\tab, and \\par between
+    paragraphs; magic-byte routing must pick the RTF branch and return
+    the text byte-exactly.  A tokenizer, destination-skip, \\uc
+    fallback, or \\par-convention bug changes extracted_text and breaks
+    the hash."""
+    import pandas as pd
+
+    def _rtf_wrap(batches):
+        from open_ocr_spark.kernels.rtf_text import build_rtf
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                paras = [
+                    text if text is not None else "",
+                    f"Rtf {i}\t«rich & text»",
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/rtf/{i}",
+                     bytearray(build_rtf(paras)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "url", "html"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _rtf_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 parity, oracle-checked end-to-end: every document is wrapped as a
     minimal uncompressed PDF (one literal-string Tj text-show op, escapes
@@ -2732,6 +2778,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,
+    "extract_docx_text": q_extract_docx_text,
+    "extract_odt_text": q_extract_odt_text,
+    "extract_rtf_text": q_extract_rtf_text,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -2809,8 +2858,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
     "temperature_sample": q_temperature_sample,
-    "extract_docx_text": q_extract_docx_text,
-    "extract_odt_text": q_extract_odt_text,
     "extract_pdf_text": q_extract_pdf_text,
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "range_join_event_pairs": q_range_join_event_pairs,
@@ -3437,6 +3484,15 @@ ORACLES: dict[str, str] = {
                coalesce(text, '') || chr(10) || chr(10)
                    || 'Odt ' || doc_id::VARCHAR || chr(9)
                    || '<open & doc>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_rtf_text": """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Rtf ' || doc_id::VARCHAR || chr(9)
+                   || '«rich & text»' AS extracted_text,
                'ok' AS status
         FROM documents
         ORDER BY doc_id

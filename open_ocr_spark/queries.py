@@ -1718,6 +1718,172 @@ def q_extract_rtf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rules_page_col():
+    """Deterministic multi-line page per document for the quality-rule
+    queries: the raw text (single-line word soup in the fixtures) plus
+    four constructed lines that flip every Gopher/C4 rule branch both
+    ways across doc_ids.  The oracle rebuilds the identical page in SQL,
+    so the whole gate is hash-checked end to end."""
+    i = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    tail1 = (
+        F.when(i % 4 == 0, F.lit("."))
+        .when(i % 4 == 1, F.lit(" …"))
+        .when(i % 4 == 2, F.lit(" ### ##"))
+        .otherwise(F.lit(""))
+    )
+    l3 = F.when(
+        i % 3 == 0,
+        F.lit(
+            "This line truly ends with terminal punctuation and the"
+            " word of quality."
+        ),
+    ).otherwise(F.lit("short trailing thought..."))
+    l4 = F.when(
+        i % 5 == 0, F.lit("Enable javascript to view { this } page now.")
+    ).otherwise(
+        F.lit("Readers have come here with patience and that shows today.")
+    )
+    l5 = F.when(
+        i % 11 == 0, F.lit("Lorem Ipsum dolor sit amet consectetur.")
+    ).otherwise(F.lit("The end of the story arrives quietly tonight."))
+    return F.concat(
+        t,
+        tail1,
+        F.lit("\n- bullet item number "),
+        (i % 7).cast("string"),
+        F.lit("\n"),
+        l3,
+        F.lit("\n"),
+        l4,
+        F.lit("\n"),
+        l5,
+    )
+
+
+# the same page in DuckDB SQL — keep in lockstep with _rules_page_col
+_RULES_PAGE_SQL = """coalesce(text, '')
+            || CASE doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN ' …'
+                    WHEN 2 THEN ' ### ##' ELSE '' END
+            || chr(10) || '- bullet item number ' || (doc_id % 7)::VARCHAR
+            || chr(10) || CASE WHEN doc_id % 3 = 0
+                   THEN 'This line truly ends with terminal punctuation and the word of quality.'
+                   ELSE 'short trailing thought...' END
+            || chr(10) || CASE WHEN doc_id % 5 = 0
+                   THEN 'Enable javascript to view { this } page now.'
+                   ELSE 'Readers have come here with patience and that shows today.' END
+            || chr(10) || CASE WHEN doc_id % 11 = 0
+                   THEN 'Lorem Ipsum dolor sit amet consectetur.'
+                   ELSE 'The end of the story arrives quietly tonight.' END"""
+
+
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, table A1)
+    over constructed multi-line pages: per-rule booleans plus the
+    integer evidence counters, all in one codegen'd projection — zero
+    shuffles, integer-exact ratios (symbols*10 <= words, never a
+    float).  The oracle rebuilds the page and every counter in DuckDB
+    list SQL, so a split, counter, or threshold bug breaks the hash."""
+    from open_ocr_spark.dataops.quality_rules import gopher_gate
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .select("doc_id", _rules_page_col().alias("text"))
+    )
+    return gopher_gate(docs).select(
+        "doc_id",
+        "n_words",
+        "n_word_chars",
+        "n_alpha_words",
+        "n_stop_hits",
+        "n_symbol_marks",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "rule_stop_words",
+        "keep",
+    )
+
+
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the same
+    constructed pages: keep lines ending in terminal punctuation with
+    >= 5 words and no 'javascript'; gate pages on braces, 'lorem
+    ipsum', and a >= 3-sentence minimum.  text_clean itself is in the
+    hashed output, so the kept-line set and join order are pinned
+    byte-exactly."""
+    from open_ocr_spark.dataops.quality_rules import c4_clean
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .select("doc_id", _rules_page_col().alias("text"))
+    )
+    return c4_clean(docs).select(
+        "doc_id",
+        "text_clean",
+        "n_lines_kept",
+        "n_sentences",
+        "has_brace",
+        "has_lorem",
+        "keep",
+    )
+
+
+def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (the web's free target-page labels): pages
+    carry four anchor shapes — mode competition between 'click here' /
+    'read more' / 'site N' texts on the t-hosts, a messy-whitespace
+    unicode text on the u-hosts, a nested-markup anchor (empty capture,
+    dropped), and a relative href (dropped).  One (dst,text) hash agg +
+    one window exchange; the oracle replays the regex pairing with
+    DuckDB's lockstep unnest and the mode tie-break with row_number —
+    a capture-alignment, collapse, count, or tie-break bug breaks the
+    hash."""
+    from open_ocr_spark.dataops.links import anchor_text_stats, extract_anchors
+
+    i = F.col("doc_id")
+    t_dst = F.concat(
+        F.lit("https://t"), (i % 10).cast("string"), F.lit(".example.com/")
+    )
+    u_dst = F.concat(
+        F.lit("https://u"), (i % 7).cast("string"), F.lit(".example.com/x")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        t_dst,
+        F.lit('">'),
+        F.when(i % 3 == 1, F.lit("read more")).otherwise(F.lit("click here")),
+        F.lit('</a> <A HREF="'),
+        t_dst,
+        F.lit('">  site   '),
+        (i % 2).cast("string"),
+        F.lit("\n page</A><a href=\""),
+        u_dst,
+        F.lit('" rel=nofollow>Example — Site '),
+        (i % 13).cast("string"),
+        F.lit('</a><a href="'),
+        t_dst,
+        F.lit('"><b>skip</b></a><a href="/rel">skip too</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (i % 20).cast("string"),
+            F.lit(".example.com/p/"), i.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_text_stats(extract_anchors(pages)).orderBy("dst_url")
+
+
 def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 parity, oracle-checked end-to-end: every document is wrapped as a
     minimal uncompressed PDF (one literal-string Tj text-show op, escapes
@@ -2781,6 +2947,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docx_text": q_extract_docx_text,
     "extract_odt_text": q_extract_odt_text,
     "extract_rtf_text": q_extract_rtf_text,
+    "gopher_gate": q_gopher_gate,
+    "c4_line_clean": q_c4_line_clean,
+    "anchor_text_stats": q_anchor_text_stats,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3496,6 +3665,158 @@ ORACLES: dict[str, str] = {
                'ok' AS status
         FROM documents
         ORDER BY doc_id
+    """,
+    "gopher_gate": f"""
+        WITH p AS (
+            SELECT doc_id, {_RULES_PAGE_SQL} AS t
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(t, '\\s+'),
+                               x -> x <> '') AS words,
+                   list_transform(regexp_split_to_array(t, '\\n'),
+                                  x -> trim(x)) AS lines,
+                   t
+            FROM p
+        ), m AS (
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   coalesce(list_sum(list_transform(words,
+                       x -> length(x))), 0)::BIGINT AS n_word_chars,
+                   len(list_filter(words,
+                       x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                       AS n_alpha_words,
+                   (list_contains(list_transform(words, x -> lower(x)), 'the')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'be')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'to')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'of')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'and')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'that')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'have')::BIGINT
+                    + list_contains(list_transform(words, x -> lower(x)), 'with')::BIGINT
+                   ) AS n_stop_hits,
+                   ((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) // 3
+                    + (length(t) - length(replace(t, '…', ''))))::BIGINT
+                       AS n_symbol_marks,
+                   len(lines)::BIGINT AS n_lines,
+                   len(list_filter(lines, s -> left(s, 1) IN
+                       ('-', '*', '•', '●', '▪')))::BIGINT AS n_bullet_lines,
+                   len(list_filter(lines, s -> right(s, 3) = '...'
+                       OR right(s, 1) = '…'))::BIGINT AS n_ellipsis_lines
+            FROM w
+        )
+        SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_hits,
+               n_symbol_marks, n_lines, n_bullet_lines, n_ellipsis_lines,
+               (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+               (n_word_chars >= 3 * n_words
+                AND n_word_chars <= 10 * n_words) AS rule_mean_word_len,
+               (n_symbol_marks * 10 <= n_words) AS rule_symbol_ratio,
+               (n_bullet_lines * 10 <= 9 * n_lines) AS rule_bullet_lines,
+               (n_ellipsis_lines * 10 <= 3 * n_lines) AS rule_ellipsis_lines,
+               (n_alpha_words * 5 >= 4 * n_words) AS rule_alpha_words,
+               (n_stop_hits >= 2) AS rule_stop_words,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND (n_word_chars >= 3 * n_words
+                     AND n_word_chars <= 10 * n_words)
+                AND n_symbol_marks * 10 <= n_words
+                AND n_bullet_lines * 10 <= 9 * n_lines
+                AND n_ellipsis_lines * 10 <= 3 * n_lines
+                AND n_alpha_words * 5 >= 4 * n_words
+                AND n_stop_hits >= 2) AS keep
+        FROM m
+        ORDER BY doc_id
+    """,
+    "c4_line_clean": f"""
+        WITH p AS (
+            SELECT doc_id, {_RULES_PAGE_SQL} AS t
+            FROM documents
+        ), k AS (
+            SELECT doc_id, t,
+                   list_filter(
+                       list_transform(regexp_split_to_array(t, '\\n'),
+                                      x -> trim(x)),
+                       s -> right(s, 1) IN ('.', '!', '?', '"')
+                            AND len(list_filter(
+                                    regexp_split_to_array(s, '\\s+'),
+                                    w -> w <> '')) >= 5
+                            AND NOT contains(lower(s), 'javascript')
+                   ) AS kept
+            FROM p
+        ), c AS (
+            SELECT doc_id, t, kept,
+                   coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+            FROM k
+        )
+        SELECT doc_id, text_clean,
+               len(kept)::BIGINT AS n_lines_kept,
+               (length(text_clean) - length(regexp_replace(
+                   text_clean, '[.!?]', '', 'g')))::BIGINT AS n_sentences,
+               contains(t, '{{') AS has_brace,
+               contains(lower(t), 'lorem ipsum') AS has_lorem,
+               ((length(text_clean) - length(regexp_replace(
+                    text_clean, '[.!?]', '', 'g'))) >= 3
+                AND NOT contains(t, '{{')
+                AND NOT contains(lower(t), 'lorem ipsum')) AS keep
+        FROM c
+        ORDER BY doc_id
+    """,
+    "anchor_text_stats": """
+        WITH pages AS (
+            SELECT 'https://h' || (doc_id % 20)::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url,
+                   '<html><body><a href="'
+                       || 'https://t' || (doc_id % 10)::VARCHAR || '.example.com/'
+                       || '">'
+                       || CASE WHEN doc_id % 3 = 1 THEN 'read more'
+                               ELSE 'click here' END
+                       || '</a> <A HREF="'
+                       || 'https://t' || (doc_id % 10)::VARCHAR || '.example.com/'
+                       || '">  site   ' || (doc_id % 2)::VARCHAR
+                       || chr(10) || ' page</A><a href="'
+                       || 'https://u' || (doc_id % 7)::VARCHAR || '.example.com/x'
+                       || '" rel=nofollow>Example — Site '
+                       || (doc_id % 13)::VARCHAR
+                       || '</a><a href="'
+                       || 'https://t' || (doc_id % 10)::VARCHAR || '.example.com/'
+                       || '"><b>skip</b></a><a href="/rel">skip too</a>'
+                       || '</body></html>' AS html
+            FROM documents
+        ),
+        raw AS (
+            SELECT unnest(regexp_extract_all(html,
+                       '(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>',
+                       1)) AS dst_url,
+                   unnest(regexp_extract_all(html,
+                       '(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>',
+                       2)) AS raw_text
+            FROM pages
+        ),
+        a AS (
+            SELECT dst_url,
+                   trim(regexp_replace(raw_text, '[ \t\n\r]+', ' ', 'g'))
+                       AS anchor_text
+            FROM raw
+            WHERE (dst_url LIKE 'http://%' OR dst_url LIKE 'https://%')
+        ),
+        c AS (
+            SELECT dst_url, anchor_text, count(*)::BIGINT AS n
+            FROM a WHERE anchor_text <> ''
+            GROUP BY dst_url, anchor_text
+        )
+        SELECT dst_url, n_anchors, n_unique_texts,
+               anchor_text AS top_anchor_text, n AS top_n
+        FROM (
+            SELECT dst_url, anchor_text, n,
+                   sum(n) OVER (PARTITION BY dst_url)::BIGINT AS n_anchors,
+                   count(*) OVER (PARTITION BY dst_url)::BIGINT
+                       AS n_unique_texts,
+                   row_number() OVER (PARTITION BY dst_url
+                                      ORDER BY n DESC, anchor_text) AS rn
+            FROM c
+        )
+        WHERE rn = 1
+        ORDER BY dst_url
     """,
     "extract_pdf_text": """
         SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status

@@ -89,3 +89,90 @@ def host_edges(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+# --- anchor text ---------------------------------------------------------
+# Anchor text is the web's free labeling signal (it describes the TARGET
+# page): per-target aggregation feeds ranking features and query-document
+# training pairs.  Extraction is one case-insensitive regex with two
+# capture groups over text-only anchors (<a href="...">text</a> with no
+# nested markup — nested-markup anchors yield an empty capture and are
+# filtered; structured DOM extraction lives in the kernel, this is the
+# JVM-side bulk path).  Only the double-quoted href form carries anchor
+# text here: the bare/single-quoted passes in extract_links stay
+# href-only because aligning THREE regex passes' capture arrays would
+# triple-scan the page for a rare quoting style.
+_ANCHOR = (
+    r'(?i)<a\s(?:[^>]*\s)?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+)
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, anchor_text): one row per absolute-http(s)
+    text-only anchor occurrence; anchor text is whitespace-collapsed and
+    trimmed, empty anchors dropped.  Pure Catalyst: two capture-group
+    extractions of the SAME regex zip positionally, so href and text
+    stay paired without any per-row Python."""
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_ANCHOR), F.lit(1)).alias("dst_url"),
+        F.regexp_extract_all(html, F.lit(_ANCHOR), F.lit(2)).alias("raw"),
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(
+            "src_url",
+            F.col("p.dst_url").alias("dst_url"),
+            F.trim(
+                F.regexp_replace(F.col("p.raw"), "[ \t\n\r]+", " ")
+            ).alias("anchor_text"),
+        )
+        .filter(
+            (
+                F.col("dst_url").startswith("http://")
+                | F.col("dst_url").startswith("https://")
+            )
+            & (F.col("anchor_text") != "")
+        )
+    )
+
+
+def anchor_text_stats(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor profile: (dst_url, n_anchors, n_unique_texts,
+    top_anchor_text, top_n) with the mode tie-broken by text ascending
+    (binary collation on both engines -> deterministic).
+
+    Scale shape: ONE hash aggregate on (dst_url, anchor_text) — map-side
+    combine absorbs popular-target skew — then ONE window exchange on
+    dst_url over the already-collapsed distinct texts (tiny relative to
+    occurrences).  No join-back, no second scan."""
+    from pyspark.sql import Window
+
+    counts = anchors.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").alias("n")
+    )
+    by_dst = Window.partitionBy("dst_url")
+    ranked = counts.select(
+        "dst_url",
+        "anchor_text",
+        "n",
+        F.sum("n").over(by_dst).alias("n_anchors"),
+        F.count("*").over(by_dst).alias("n_unique_texts"),
+        F.row_number()
+        .over(by_dst.orderBy(F.desc("n"), F.asc("anchor_text")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "dst_url",
+        "n_anchors",
+        "n_unique_texts",
+        F.col("anchor_text").alias("top_anchor_text"),
+        F.col("n").alias("top_n"),
+    )

@@ -107,3 +107,38 @@ def quota_sample(
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with hash-deterministic acceptance:
+    a row is kept iff the first 32 bits of md5(stratum ':' id) fall below
+    floor(fraction · 2^32).  The kept SET is a pure function of the ids —
+    identical at any parallelism, on reruns, and across engines — which
+    makes it oracle-checkable where `DataFrame.sampleBy` (engine-seeded
+    XORShift, see q_stratified_sample) can only be rows-only.  Strata
+    absent from `fractions` are dropped, matching sampleBy semantics.
+
+    Scale shape: a literal when-chain cutoff + one md5 per row — pure
+    projection and filter, zero shuffles, no rate table to broadcast."""
+    cutoff = F.lit(None).cast("long")
+    expr = None
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction out of range [0, 1]: {frac}")
+        bound = F.lit(int(frac * _HASH_SPACE)).cast("long")
+        expr = (
+            F.when(F.col(strata_col) == stratum, bound)
+            if expr is None
+            else expr.when(F.col(strata_col) == stratum, bound)
+        )
+    cutoff = expr.otherwise(F.lit(0).cast("long")) if expr is not None \
+        else F.lit(0).cast("long")
+    key = F.concat(
+        F.col(strata_col), F.lit(":"), F.col(id_col).cast("string")
+    )
+    return docs.filter(_md5_32(key) < cutoff)

@@ -1837,6 +1837,24 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of q_stratified_sample (VERDICT r3 item 1
+    pattern): the same per-language fractions, but acceptance is
+    md5(lang ':' doc_id) < floor(fraction·2^32) instead of sampleBy's
+    engine-seeded RNG — the kept SET is a pure function of the ids, so
+    the oracle hashes exactly which documents survive, not just counts.
+    Zero shuffles: literal when-chain cutoff + one md5 per row."""
+    from open_ocr_spark.dataops.mixing import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.1}
+    return (
+        stratified_sample_exact(docs, fractions)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (the web's free target-page labels): pages
     carry four anchor shapes — mode competition between 'click here' /
@@ -2950,6 +2968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_gate": q_gopher_gate,
     "c4_line_clean": q_c4_line_clean,
     "anchor_text_stats": q_anchor_text_stats,
+    "stratified_sample_md5": q_stratified_sample_md5,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3759,6 +3778,18 @@ ORACLES: dict[str, str] = {
                 AND NOT contains(t, '{{')
                 AND NOT contains(lower(t), 'lorem ipsum')) AS keep
         FROM c
+        ORDER BY doc_id
+    """,
+    "stratified_sample_md5": """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ('0x' || substring(md5(lang || ':' || doc_id::VARCHAR), 1, 8))::BIGINT
+              < CASE lang WHEN 'en' THEN 2147483648
+                          WHEN 'es' THEN 1073741824
+                          WHEN 'fr' THEN 1073741824
+                          WHEN 'de' THEN 1073741824
+                          WHEN 'zh' THEN 429496729
+                          ELSE 0 END
         ORDER BY doc_id
     """,
     "anchor_text_stats": """

@@ -1256,3 +1256,40 @@ def test_audio_stats_truncated_wav_is_null_not_fatal(spark):
     assert rows[2]["n_samples"] is None  # null row, job green
     with _pytest.raises(Exception, match="overrun"):
         audio_stats(df, strict=True).collect()
+
+
+def test_stratified_sample_exact_matches_manual(spark):
+    import hashlib
+
+    from open_ocr_spark.dataops.mixing import stratified_sample_exact
+
+    rows = [(i, ["en", "es", "zh", "xx"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fracs = {"en": 0.5, "es": 0.25, "zh": 0.1}
+    got = {r.doc_id for r in stratified_sample_exact(df, fracs).collect()}
+
+    def keep(i, lang):
+        if lang not in fracs:
+            return False
+        h = int(hashlib.md5(f"{lang}:{i}".encode()).hexdigest()[:8], 16)
+        return h < int(fracs[lang] * 2**32)
+
+    want = {i for i, lang in rows if keep(i, lang)}
+    assert got == want and want  # non-empty and exact
+    # unknown strata are dropped entirely
+    assert all(lang != "xx" for i, lang in rows if i in got)
+
+
+def test_stratified_sample_exact_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.dataops.mixing import stratified_sample_exact
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = (
+        stratified_sample_exact(df, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

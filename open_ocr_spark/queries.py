@@ -1837,6 +1837,66 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing (dataops/mime.py) over 16 payload
+    shapes cycled by doc_id — every container family the kernels route
+    (pdf/rtf/zip/png/gif/jpeg/bmp/webm/warc/wav/avi/mp4/gzip), the HTML
+    tag-marker case, a NUL-free text fallback, and a NUL-bearing
+    octet-stream — each payload built JVM-side as unhex(prefix ||
+    hex(text)) so real document bytes ride behind the magic.  The oracle
+    states the 16 verdicts in closed form; a prefix-table, offset-magic
+    (RIFF fourcc at byte 9, ftyp at byte 5), or text-tail bug flips rows
+    and breaks the hash."""
+    from open_ocr_spark.dataops.mime import sniff_mime_col
+
+    i = F.col("doc_id")
+    filler = F.hex(F.encode(F.coalesce(F.col("text"), F.lit("x")), "utf-8"))
+
+    def mk(prefix_hex: str):
+        return F.unhex(F.concat(F.lit(prefix_hex), filler))
+
+    payload = (
+        F.when(i % 16 == 0, mk("255044462D312E34"))  # %PDF-1.4
+        .when(i % 16 == 1, mk("7B5C72746631"))  # {\rtf1
+        .when(i % 16 == 2, mk("504B0304"))
+        .when(i % 16 == 3, mk("89504E470D0A1A0A"))
+        .when(i % 16 == 4, mk("474946383961"))
+        .when(i % 16 == 5, mk("FFD8FFE0"))
+        .when(i % 16 == 6, mk("424D"))
+        .when(i % 16 == 7, mk("1A45DFA3"))
+        .when(i % 16 == 8, mk("574152432F312E30"))  # WARC/1.0
+        .when(i % 16 == 9, mk("524946461000000057415645"))  # RIFF..WAVE
+        .when(i % 16 == 10, mk("524946461000000041564920"))  # RIFF..AVI
+        .when(i % 16 == 11, mk("000000186674797069736F6D"))  # ....ftypisom
+        .when(i % 16 == 12, mk("1F8B0800"))
+        .when(
+            i % 16 == 13,
+            F.encode(
+                F.concat(
+                    F.lit("<!DOCTYPE html><p>"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ),
+                "utf-8",
+            ),
+        )
+        .when(
+            i % 16 == 14,
+            F.encode(
+                F.concat(
+                    F.lit("plain text "), F.coalesce(F.col("text"), F.lit(""))
+                ),
+                "utf-8",
+            ),
+        )
+        .otherwise(mk("00FF00AA"))  # NUL prefix: octet-stream
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", sniff_mime_col(payload))
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable twin of q_stratified_sample (VERDICT r3 item 1
     pattern): the same per-language fractions, but acceptance is
@@ -2969,6 +3029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_clean": q_c4_line_clean,
     "anchor_text_stats": q_anchor_text_stats,
     "stratified_sample_md5": q_stratified_sample_md5,
+    "mime_sniff": q_mime_sniff,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3778,6 +3839,29 @@ ORACLES: dict[str, str] = {
                 AND NOT contains(t, '{{')
                 AND NOT contains(lower(t), 'lorem ipsum')) AS keep
         FROM c
+        ORDER BY doc_id
+    """,
+    "mime_sniff": """
+        SELECT doc_id,
+               CASE doc_id % 16
+                   WHEN 0 THEN 'application/pdf'
+                   WHEN 1 THEN 'application/rtf'
+                   WHEN 2 THEN 'application/zip'
+                   WHEN 3 THEN 'image/png'
+                   WHEN 4 THEN 'image/gif'
+                   WHEN 5 THEN 'image/jpeg'
+                   WHEN 6 THEN 'image/bmp'
+                   WHEN 7 THEN 'video/webm'
+                   WHEN 8 THEN 'application/warc'
+                   WHEN 9 THEN 'audio/wav'
+                   WHEN 10 THEN 'video/x-msvideo'
+                   WHEN 11 THEN 'video/mp4'
+                   WHEN 12 THEN 'application/gzip'
+                   WHEN 13 THEN 'text/html'
+                   WHEN 14 THEN 'text/plain'
+                   ELSE 'application/octet-stream'
+               END AS mime
+        FROM documents
         ORDER BY doc_id
     """,
     "stratified_sample_md5": """

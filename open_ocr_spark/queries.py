@@ -1837,6 +1837,73 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling end to end (dataops/frontier.py): each
+    document discovers three links — a page URL in two raw spellings
+    (www + :443 + trailing slash + tracking params + fragment vs the
+    clean form; a canonicalization bug splits the referrer counts), its
+    host's homepage (higher in-degree tier), and a /private/ URL the
+    per-host robots.txt disallows.  Seen history (messy raw forms, 1 in
+    5 pages) is anti-joined after canonicalization; the per-host quota
+    of 4 genuinely binds on half the hosts.  The oracle rebuilds the
+    canonical candidates in closed form and replays the count / anti /
+    gate / rank pipeline relationally, so it holds at any doc_id
+    density."""
+    from open_ocr_spark.dataops.frontier import frontier_schedule
+    from open_ocr_spark.dataops.robots import parse_robots
+
+    i = F.col("doc_id")
+    h = (i % 10).cast("string")
+    p = (i % 25).cast("string")
+    raw_page = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit("https://www.h"), h, F.lit(".example.com:443/page/"), p,
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+            F.lit("?a=1&b=2"),
+        )
+    )
+    home = F.concat(F.lit("https://h"), h, F.lit(".example.com/"))
+    priv = F.concat(
+        F.lit("https://h"), h, F.lit(".example.com/private/"),
+        i.cast("string"),
+    )
+    src = F.concat(F.lit("https://s"), i.cast("string"), F.lit(".example.com/"))
+
+    docs = _t(spark, sf_dir, "documents")
+    candidates = docs.select(
+        src.alias("src_url"),
+        F.explode(F.array(raw_page, home, priv)).alias("dst_url"),
+    )
+    robots = (
+        docs.select(
+            F.concat(F.lit("h"), h, F.lit(".example.com")).alias("host")
+        )
+        .distinct()
+        .select(
+            "host",
+            F.lit("User-agent: *\nDisallow: /private/\n").alias("robots_txt"),
+        )
+    )
+    seen = (
+        docs.filter(i % 25 < 5)
+        .select(
+            F.concat(
+                F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+                F.lit("?b=2&a=1&utm_medium=social"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return frontier_schedule(
+        candidates, parse_robots(robots), seen, per_host_quota=4
+    ).orderBy("host", "fetch_order")
+
+
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content-type sniffing (dataops/mime.py) over 16 payload
     shapes cycled by doc_id — every container family the kernels route
@@ -3030,6 +3097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_stats": q_anchor_text_stats,
     "stratified_sample_md5": q_stratified_sample_md5,
     "mime_sniff": q_mime_sniff,
+    "frontier_schedule": q_frontier_schedule,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3840,6 +3908,47 @@ ORACLES: dict[str, str] = {
                 AND NOT contains(lower(t), 'lorem ipsum')) AS keep
         FROM c
         ORDER BY doc_id
+    """,
+    "frontier_schedule": """
+        WITH cand AS (
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/' AS src_url,
+                   'https://h' || (doc_id % 10)::VARCHAR
+                       || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                       || '?a=1&b=2' AS url
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/',
+                   'https://h' || (doc_id % 10)::VARCHAR || '.example.com'
+            FROM documents
+            -- /private/ candidates omitted: robots-disallowed, the
+            -- engine must drop every one of them
+        ),
+        agg AS (
+            SELECT url, count(DISTINCT src_url)::BIGINT AS in_degree
+            FROM cand GROUP BY url
+        ),
+        fresh AS (
+            SELECT * FROM agg WHERE url NOT IN (
+                SELECT DISTINCT 'https://h' || (doc_id % 10)::VARCHAR
+                           || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                           || '?a=1&b=2'
+                FROM documents WHERE doc_id % 25 < 5
+            )
+        ),
+        ranked AS (
+            SELECT url,
+                   regexp_extract(url, 'https://([^/?]+)', 1) AS host,
+                   in_degree,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, 'https://([^/?]+)', 1)
+                       ORDER BY in_degree DESC, url
+                   ) AS fetch_order
+            FROM fresh
+        )
+        SELECT url, host, in_degree, fetch_order
+        FROM ranked
+        WHERE fetch_order <= 4
+        ORDER BY host, fetch_order
     """,
     "mime_sniff": """
         SELECT doc_id,

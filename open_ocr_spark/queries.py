@@ -1837,6 +1837,167 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (dataops/bpe_train.py): 8 rounds of
+    corpus-global pair-count argmax over the word histogram, ties broken
+    (lhs, rhs) ascending.  The oracle replays the ENTIRE training run in
+    SQL — 8 unrolled stages, each with its own pair-count aggregate,
+    1-row argmax, and space-delimited string-replace merge (replace's
+    left-to-right non-overlapping scan IS greedy BPE merging, identical
+    on both engines) — so a histogram, pair-window, tie-break, or merge-
+    application bug anywhere in 8 iterations breaks the hash."""
+    from open_ocr_spark.dataops.bpe_train import learn_bpe_merges, merges_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return merges_df(spark, learn_bpe_merges(docs, k=8)).orderBy(
+        "merge_rank"
+    )
+
+
+def _bpe_train_stages(k: int = 8) -> list:
+    """The shared WITH-stages of the DuckDB BPE-training replay: word
+    histogram s0, then per-rank pair counts p_i, argmax b_i, merged
+    vocab s_i (see q_bpe_train for the storage-form contract)."""
+    stages = [
+        """tok AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS word
+            FROM documents
+        ),
+        w AS (SELECT word, count(*)::BIGINT AS freq FROM tok GROUP BY word),
+        s0 AS (
+            -- storage form: double-space-joined symbols, single-space pad
+            -- (' l  o  w '), so merge-by-replace keeps adjacent boundaries
+            SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+                   || ' ' AS syms,
+                   freq
+            FROM w
+        )"""
+    ]
+    for i in range(1, k + 1):
+        stages.append(
+            f"""p{i} AS (
+            SELECT sl[g.i] AS lhs, sl[g.i + 1] AS rhs,
+                   sum(freq)::BIGINT AS pair_freq
+            FROM (SELECT list_filter(string_split(syms, ' '),
+                                     x -> x <> '') AS sl, freq
+                  FROM s{i - 1}) t,
+                 UNNEST(generate_series(1, len(t.sl) - 1)) AS g(i)
+            GROUP BY 1, 2
+        ),
+        b{i} AS (
+            SELECT lhs, rhs, pair_freq FROM p{i}
+            ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
+        ),
+        s{i} AS (
+            SELECT replace(syms,
+                           ' ' || b.lhs || '  ' || b.rhs || ' ',
+                           ' ' || b.lhs || b.rhs || ' ') AS syms,
+                   freq
+            FROM s{i - 1}, b{i} b
+        )"""
+        )
+    return stages
+
+
+def _bpe_oracle_sql(k: int = 8) -> str:
+    """Generated k-stage DuckDB replay of learn_bpe_merges (see
+    q_bpe_train)."""
+    stages = _bpe_train_stages(k)
+    unions = "\n            UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, lhs, rhs, pair_freq"
+        f" FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(stages)
+        + f"\n        SELECT * FROM ({unions}) ORDER BY merge_rank"
+    )
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-only BPE tokenization with the learned merge table
+    (dataops/bpe_train.apply_bpe_merges): the 8 merges replay per word
+    as literal replaces inside transform() — zero Python per row, zero
+    shuffles in the encode stage.  The oracle re-learns the same 8
+    merges in SQL, then applies them per word position and re-assembles
+    each document's token stream in order, so training, greedy merge
+    application, and token-order preservation are all hash-checked."""
+    from open_ocr_spark.dataops.bpe_train import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, k=8)
+    return (
+        apply_bpe_merges(docs, merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias(
+                "head_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_oracle_sql(k: int = 8) -> str:
+    """Generated DuckDB replay of train-then-encode (see
+    q_bpe_encode_docs)."""
+    stages = _bpe_train_stages(k)
+    stages.append(
+        """d AS (
+            SELECT doc_id, g.i AS pos, wl[g.i] AS word
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(
+                             coalesce(text, ''), '\\s+'), x -> x <> '')
+                         AS wl
+                  FROM documents) t,
+                 UNNEST(generate_series(1, len(t.wl))) AS g(i)
+        ),
+        e0 AS (
+            SELECT doc_id, pos,
+                   ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+                   || ' ' AS syms
+            FROM d
+        )"""
+    )
+    for i in range(1, k + 1):
+        stages.append(
+            f"""e{i} AS (
+            SELECT doc_id, pos,
+                   replace(syms,
+                           ' ' || b.lhs || '  ' || b.rhs || ' ',
+                           ' ' || b.lhs || b.rhs || ' ') AS syms
+            FROM e{i - 1}, b{i} b
+        )"""
+        )
+    stages.append(
+        f"""per AS (
+            SELECT doc_id,
+                   flatten(array_agg(
+                       list_filter(string_split(syms, ' '), x -> x <> '')
+                       ORDER BY pos)) AS toks
+            FROM e{k} GROUP BY doc_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(stages)
+        + """
+        SELECT docs.doc_id,
+               coalesce(len(per.toks), 0)::INT AS n_tokens,
+               coalesce(array_to_string(per.toks[1:8], ' '), '')
+                   AS head_tokens
+        FROM documents docs LEFT JOIN per ON docs.doc_id = per.doc_id
+        ORDER BY docs.doc_id"""
+    )
+
+
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier scheduling end to end (dataops/frontier.py): each
     document discovers three links — a page URL in two raw spellings
@@ -3098,6 +3259,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_md5": q_stratified_sample_md5,
     "mime_sniff": q_mime_sniff,
     "frontier_schedule": q_frontier_schedule,
+    "bpe_train": q_bpe_train,
+    "bpe_encode_docs": q_bpe_encode_docs,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3909,6 +4072,8 @@ ORACLES: dict[str, str] = {
         FROM c
         ORDER BY doc_id
     """,
+    "bpe_train": _bpe_oracle_sql(8),
+    "bpe_encode_docs": _bpe_encode_oracle_sql(8),
     "frontier_schedule": """
         WITH cand AS (
             SELECT 'https://s' || doc_id::VARCHAR || '.example.com/' AS src_url,

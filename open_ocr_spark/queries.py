@@ -1837,6 +1837,59 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 Bloom filter membership pruning (dataops/bloom.py): build the
+    filter over customers with a 2001+ order ("recent buyers"), probe
+    every customer, and account exactly for true/false positives.
+    Because every bit position is md5-derived (Kirsch-Mitzenmacher
+    double hashing), the false-positive SET — not just its size — is
+    engine-independent, and this single-row summary hash-checks it
+    against DuckDB.  Probe side joins the broadcast sparse filter; no
+    shuffle of probe payloads."""
+    from open_ocr_spark.dataops.bloom import bloom_build, bloom_members
+
+    M_BITS, K = 65536, 5
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    keys = (
+        orders.where(F.col("o_orderdate") >= "2001-01-01")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = bloom_build(keys, "key", M_BITS, K)
+    probes = cust.select(F.col("c_custkey").alias("key")).distinct()
+    hits = bloom_members(probes, "key", bits, M_BITS, K)
+    hit_truth = hits.join(
+        keys.withColumn("is_member", F.lit(1)), "key", "left"
+    ).agg(
+        F.count("*").cast("long").alias("bloom_positives"),
+        F.count("is_member").cast("long").alias("true_positives"),
+        (F.count("*") - F.count("is_member"))
+        .cast("long")
+        .alias("false_positives"),
+    )
+    return (
+        keys.agg(F.count("*").cast("long").alias("n_keys"))
+        .crossJoin(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
+        .crossJoin(probes.agg(F.count("*").cast("long").alias("n_probes")))
+        .crossJoin(hit_truth)
+    )
+
+
+def q_hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-based HyperLogLog register histogram (dataops/hll.py) — the
+    hash-checkable twin of `approx_distinct_users`: Spark's built-in
+    HLL++ is sealed in the JVM, but this sketch is built from md5 +
+    bin() primitives both engines share, so the full register table is
+    bit-identical across engines and the driver can hash it.  The float
+    cardinality estimate lives outside the data plane (tests bound its
+    error vs exact)."""
+    from open_ocr_spark.dataops.hll import hll_register_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_register_histogram(ev, "user_id").orderBy("rho")
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (dataops/bpe_train.py): 8 rounds of
     corpus-global pair-count argmax over the word histogram, ties broken
@@ -3261,6 +3314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "bpe_train": q_bpe_train,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "bloom_prune_stats": q_bloom_prune_stats,
+    "hll_distinct_md5": q_hll_distinct_md5,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -4074,6 +4129,65 @@ ORACLES: dict[str, str] = {
     """,
     "bpe_train": _bpe_oracle_sql(8),
     "bpe_encode_docs": _bpe_encode_oracle_sql(8),
+    "bloom_prune_stats": """
+        WITH keys AS (
+            SELECT DISTINCT o_custkey AS key FROM orders
+            WHERE o_orderdate >= '2001-01-01'
+        ),
+        kh AS (
+            SELECT key,
+                ('0x'||substring(md5(key::VARCHAR),1,8))::BIGINT
+                    % 2147483647 AS h1,
+                ('0x'||substring(md5(key::VARCHAR),9,8))::BIGINT
+                    % 2147483647 AS h2
+            FROM keys
+        ),
+        bits AS (
+            SELECT DISTINCT (h1 + g.i * h2) % 65536 AS bit
+            FROM kh, UNNEST(generate_series(0, 4)) AS g(i)
+        ),
+        probes AS (SELECT DISTINCT c_custkey AS key FROM customer),
+        ph AS (
+            SELECT key,
+                ('0x'||substring(md5(key::VARCHAR),1,8))::BIGINT
+                    % 2147483647 AS h1,
+                ('0x'||substring(md5(key::VARCHAR),9,8))::BIGINT
+                    % 2147483647 AS h2
+            FROM probes
+        ),
+        ppos AS (
+            SELECT key, (h1 + g.i * h2) % 65536 AS bit
+            FROM ph, UNNEST(generate_series(0, 4)) AS g(i)
+        ),
+        hits AS (
+            SELECT key FROM ppos JOIN bits USING (bit)
+            GROUP BY key HAVING count(*) = 5
+        )
+        SELECT
+            (SELECT count(*) FROM keys)::BIGINT AS n_keys,
+            (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+            (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+            (SELECT count(*) FROM hits)::BIGINT AS bloom_positives,
+            (SELECT count(*) FROM hits WHERE key IN
+                (SELECT key FROM keys))::BIGINT AS true_positives,
+            (SELECT count(*) FROM hits WHERE key NOT IN
+                (SELECT key FROM keys))::BIGINT AS false_positives
+    """,
+    "hll_distinct_md5": """
+        WITH h AS (
+            SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+            FROM events
+        ),
+        reg AS (
+            SELECT h % 4096 AS bucket,
+                   max(CASE WHEN (h >> 12) = 0 THEN 49
+                            ELSE 49 - length(bin(h >> 12)) END) AS rho
+            FROM h GROUP BY 1
+        )
+        SELECT rho::INT AS rho, count(*)::BIGINT AS n_buckets
+        FROM reg GROUP BY rho ORDER BY rho
+    """,
     "frontier_schedule": """
         WITH cand AS (
             SELECT 'https://s' || doc_id::VARCHAR || '.example.com/' AS src_url,

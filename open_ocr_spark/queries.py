@@ -1837,6 +1837,28 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (dataops/search.py) for a 3-term query over
+    the documents corpus: Robertson idf, length-normalized tf against
+    the corpus average.  The query-term filter sits directly on the
+    token explode so only query-term postings ever shuffle; df and
+    corpus stats broadcast.  Scores round to 4dp (the repo's float
+    contract); no top-k cutoff on the hashed surface, so ranking is
+    fully value-checked without cutoff-tie sensitivity."""
+    from open_ocr_spark.dataops.search import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_rank(docs, ["spark", "vector", "hash"])
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round("score", 4).alias("score_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 Bloom filter membership pruning (dataops/bloom.py): build the
     filter over customers with a 2001+ order ("recent buyers"), probe
@@ -3314,6 +3336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "bpe_train": q_bpe_train,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "bm25_search": q_bm25_search,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
@@ -4129,6 +4152,39 @@ ORACLES: dict[str, str] = {
     """,
     "bpe_train": _bpe_oracle_sql(8),
     "bpe_encode_docs": _bpe_encode_oracle_sql(8),
+    "bm25_search": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        ),
+        lens AS (
+            SELECT doc_id, len(list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> ''))::BIGINT
+                AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM lens
+        ),
+        tf AS (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM toks
+            WHERE term IN ('spark', 'vector', 'hash') GROUP BY 1, 2
+        ),
+        dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        scored AS (
+            -- same operand order/associativity as the Spark expression
+            SELECT tf.doc_id,
+                   ln(1.0 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                   * (tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)))
+                   AS term_score
+            FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id), stats s
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+               round(sum(term_score), 4) AS score_e4
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
     "bloom_prune_stats": """
         WITH keys AS (
             SELECT DISTINCT o_custkey AS key FROM orders

@@ -1859,6 +1859,44 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (dHash) image near-dup grouping (dataops/phash.py),
+    REAL pixel path: each document becomes an 8x8 grayscale BMP whose
+    pixel base values are a formula of its group (doc_id % 17) plus a
+    per-document LOW-BIT noise term that dHash must ignore — base values
+    are doubled so a +-1 noise can never flip a neighbor comparison.
+    The kernel decodes the real BMP bytes (strict=True), grayscales,
+    and hashes; the oracle recomputes each group's 56 comparison bits
+    straight from the generation formula in SQL.  Same-pixel PNG/BMP
+    agreement and block-mean downsampling exactness are pinned in
+    tests/test_phash.py."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from open_ocr_spark.dataops.phash import image_near_dup_groups
+
+    def _img_wrap(ids):
+        import numpy as np
+
+        from open_ocr_spark.dataops.multimodal import encode_bmp24
+
+        xs, ys = np.arange(8)[None, :], np.arange(8)[:, None]
+        out = []
+        for i in ids:
+            g = int(i) % 17
+            base = (g * 31 + 7 * xs + 13 * ys) % 120
+            noise = (int(i) * (xs + 1) * (ys + 3)) % 2
+            v = (base * 2 + noise).astype(np.uint8)
+            out.append(encode_bmp24(np.stack([v, v, v], axis=2)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.withColumn(
+        "payload", pandas_udf(_img_wrap, "binary")(F.col("doc_id"))
+    )
+    return image_near_dup_groups(media, strict=True).orderBy("dhash")
+
+
 def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 Bloom filter membership pruning (dataops/bloom.py): build the
     filter over customers with a 2001+ order ("recent buyers"), probe
@@ -3337,6 +3375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode_docs": q_bpe_encode_docs,
     "bm25_search": q_bm25_search,
+    "image_dhash_dedup": q_image_dhash_dedup,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
@@ -4184,6 +4223,27 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
                round(sum(term_score), 4) AS score_e4
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "image_dhash_dedup": """
+        WITH grp AS (SELECT DISTINCT doc_id % 17 AS g FROM documents),
+        hashes AS (
+            SELECT g,
+                   sum(CASE WHEN ((g*31 + 7*(c.i+1) + 13*r.i) % 120)
+                             > ((g*31 + 7*c.i + 13*r.i) % 120)
+                        THEN (1::BIGINT << (r.i*7 + c.i))
+                        ELSE 0 END)::BIGINT AS dhash
+            FROM grp,
+                 UNNEST(generate_series(0, 7)) AS r(i),
+                 UNNEST(generate_series(0, 6)) AS c(i)
+            GROUP BY g
+        )
+        SELECT h.dhash,
+               count(*)::BIGINT AS n_docs,
+               min(d.doc_id) AS min_doc,
+               max(d.doc_id) AS max_doc
+        FROM documents d JOIN hashes h ON d.doc_id % 17 = h.g
+        GROUP BY h.dhash
+        ORDER BY h.dhash
     """,
     "bloom_prune_stats": """
         WITH keys AS (

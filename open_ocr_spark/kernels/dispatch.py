@@ -168,8 +168,10 @@ def extract_document(
                 from open_ocr_spark.kernels.docx_text import (
                     extract_docx_text,
                     extract_odt_text,
+                    extract_pptx_text,
                     is_docx,
                     is_odt,
+                    is_pptx,
                 )
 
                 if is_docx(payload):
@@ -182,11 +184,17 @@ def extract_document(
                         text = extract_odt_text(payload)
                     except ValueError as exc:
                         return "", "error:odt-unsupported", str(exc)
+                elif is_pptx(payload):
+                    try:
+                        text = extract_pptx_text(payload)
+                    except ValueError as exc:
+                        return "", "error:pptx-unsupported", str(exc)
                 else:
                     return (
                         "",
                         "error:docx-unsupported",
-                        "zip container is not WordprocessingML or ODF text",
+                        "zip container is not WordprocessingML, ODF text,"
+                        " or PresentationML",
                     )
             else:
                 text = extract_main_text(payload, aggressive=aggressive)

@@ -235,3 +235,102 @@ def build_odt(paragraphs: list[str]) -> bytes:
         info.compress_type = zipfile.ZIP_DEFLATED
         zf.writestr(info, doc)
     return buf.getvalue()
+
+
+# --- PresentationML (PPTX) sibling ---------------------------------------------
+# Third office container a crawler meets: slide decks. Text lives in
+# DrawingML runs (<a:t>) inside paragraphs (<a:p>) of
+# ppt/slides/slideN.xml parts, one part per slide, ordered by N.
+
+_SLIDE_NAME = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+_A_PARA = re.compile(rb"<a:p[ >].*?</a:p>|<a:p/>", re.S)
+_A_TOKEN = re.compile(rb"<a:t(?:\s[^>]*)?>(.*?)</a:t>|<a:br\s*/>", re.S)
+
+
+def is_pptx(payload: bytes) -> bool:
+    """True iff the payload is a ZIP container carrying at least one
+    PresentationML slide part."""
+    if len(payload) < 4 or payload[:4] != b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            return any(_SLIDE_NAME.match(n) for n in zf.namelist())
+    except Exception:
+        return False
+
+
+def extract_pptx_text(payload: bytes) -> str:
+    """Plain text of every slide in deck order (numeric, not
+    lexicographic — slide10 sorts after slide9): paragraphs as
+    blank-line blocks, a:br as newline, slides themselves blank-line
+    separated.  Raises ValueError for a corrupt container or a deck
+    with no slide parts."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            slides = sorted(
+                (int(m.group(1)), n)
+                for n in zf.namelist()
+                if (m := _SLIDE_NAME.match(n))
+            )
+            if not slides:
+                raise KeyError("no slide parts")
+            xmls = [zf.read(n) for _, n in slides]
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise ValueError(f"pptx: bad container ({exc})") from exc
+    blocks = []
+    for xml in xmls:
+        for pm in _A_PARA.finditer(xml):
+            parts = []
+            for tm in _A_TOKEN.finditer(pm.group(0)):
+                if tm.group(1) is not None:
+                    parts.append(
+                        _unescape(tm.group(1).decode("utf-8", "replace"))
+                    )
+                else:
+                    parts.append("\n")
+            blocks.append("".join(parts))
+    return "\n\n".join(blocks)
+
+
+def build_pptx(slides: list[list[str]]) -> bytes:
+    """Writer twin: minimal PresentationML package (one slideN.xml per
+    slide, fixed 1980-01-01 timestamps) whose extract_pptx_text output
+    is exactly '\\n\\n'.join all paragraphs across slides in order
+    (newlines inside a paragraph become a:br runs)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        info = zipfile.ZipInfo(
+            "[Content_Types].xml", date_time=(1980, 1, 1, 0, 0, 0)
+        )
+        info.compress_type = zipfile.ZIP_DEFLATED
+        zf.writestr(
+            info,
+            b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            b'<Types xmlns="http://schemas.openxmlformats.org/package/'
+            b'2006/content-types"><Default Extension="xml" ContentType='
+            b'"application/vnd.openxmlformats-officedocument.'
+            b'presentationml.slide+xml"/></Types>',
+        )
+        for n, paras in enumerate(slides, start=1):
+            body = []
+            for p in paras:
+                runs = []
+                for piece in re.split(r"(\n)", p):
+                    if piece == "\n":
+                        runs.append("<a:br/>")
+                    elif piece:
+                        runs.append(f"<a:r><a:t>{_escape(piece)}</a:t></a:r>")
+                body.append("<a:p >" + "".join(runs) + "</a:p>")
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main" xmlns:a="http://schemas.'
+                'openxmlformats.org/drawingml/2006/main"><p:cSld>'
+                '<p:spTree>' + "".join(body) + "</p:spTree></p:cSld></p:sld>"
+            ).encode("utf-8")
+            info = zipfile.ZipInfo(
+                f"ppt/slides/slide{n}.xml", date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, xml)
+    return buf.getvalue()

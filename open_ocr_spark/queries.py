@@ -1628,6 +1628,51 @@ def q_extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresentationML conversion through the FULL kernel path (r4,
+    kernels/docx_text.py pptx sibling): every document becomes a real
+    two-slide .pptx — slide 1 carries the document text, slide 2 two
+    paragraphs with an a:br line break and XML entities; magic-byte
+    routing must distinguish the deck from DOCX/ODT zips and return all
+    slides' text in numeric slide order, byte-exactly."""
+    import pandas as pd
+
+    def _pptx_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_pptx
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                slides = [
+                    [text if text is not None else ""],
+                    [f"Slide {i}", "<deck & notes>\nend"],
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/pptx/{i}",
+                     bytearray(build_pptx(slides)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _pptx_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_odt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODF conversion through the FULL kernel path (r4, the
     OpenDocument sibling of the DOCX branch): every document becomes a
@@ -3376,6 +3421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "bm25_search": q_bm25_search,
     "image_dhash_dedup": q_image_dhash_dedup,
+    "extract_pptx_text": q_extract_pptx_text,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
@@ -4081,6 +4127,16 @@ ORACLES: dict[str, str] = {
                coalesce(text, '') || chr(10) || chr(10)
                    || 'Odt ' || doc_id::VARCHAR || chr(9)
                    || '<open & doc>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_pptx_text": """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Slide ' || doc_id::VARCHAR || chr(10) || chr(10)
+                   || '<deck & notes>' || chr(10) || 'end'
+                   AS extracted_text,
                'ok' AS status
         FROM documents
         ORDER BY doc_id

@@ -157,3 +157,60 @@ def test_odt_roundtrip_property(paras):
     from open_ocr_spark.kernels.docx_text import build_odt, extract_odt_text
 
     assert extract_odt_text(build_odt(paras)) == "\n\n".join(paras)
+
+
+def test_pptx_roundtrip_and_dispatch():
+    from open_ocr_spark.kernels.docx_text import (
+        build_pptx,
+        extract_pptx_text,
+        is_pptx,
+    )
+
+    slides = [["Title & <sub>", "bullet one\nbullet two"], ["closing"]]
+    pkg = build_pptx(slides)
+    assert is_pptx(pkg)
+    want = "Title & <sub>\n\nbullet one\nbullet two\n\nclosing"
+    assert extract_pptx_text(pkg) == want
+    text, status, err = extract_document(pkg)
+    assert (text, status) == (want, "ok")
+    # not mistaken for docx/odt
+    from open_ocr_spark.kernels.docx_text import is_docx as _isd
+    from open_ocr_spark.kernels.docx_text import is_odt as _iso
+
+    assert not _isd(pkg) and not _iso(pkg)
+
+
+def test_pptx_slide_order_is_numeric():
+    from open_ocr_spark.kernels.docx_text import build_pptx, extract_pptx_text
+
+    slides = [[f"s{i}"] for i in range(1, 13)]  # slide10+ sort after slide9
+    assert extract_pptx_text(build_pptx(slides)) == "\n\n".join(
+        f"s{i}" for i in range(1, 13)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                st.characters(
+                    blacklist_categories=("Cs",),
+                    blacklist_characters=(
+                        "\t\r\x0b\x0c\x1c\x1d\x1e\x85  "
+                    ),
+                ),
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_pptx_roundtrip_property(slides):
+    from open_ocr_spark.kernels.docx_text import build_pptx, extract_pptx_text
+
+    want = "\n\n".join(p for s in slides for p in s)
+    assert extract_pptx_text(build_pptx(slides)) == want

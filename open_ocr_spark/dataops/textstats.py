@@ -290,3 +290,40 @@ def with_bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
         "n_bpe_tokens",
         F.regexp_count(F.col(text), F.lit(BPE_SPLIT_RE)).cast("long"),
     )
+
+
+def with_readability(df: DataFrame, text: str = "text") -> DataFrame:
+    """Flesch reading-ease, built from exact integer counts so the only
+    float is the final formula (rounded by callers per the repo's 4dp
+    contract):
+    - n_words      whitespace tokens
+    - n_sentences  runs of terminal punctuation ([.!?]+), floored at 1
+    - n_syllables  vowel-group runs ([aeiouy]+, lowercased) — the
+      classic heuristic; spaces break groups so no per-word explode is
+      needed, keeping the whole thing one codegen'd projection
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+    (0.0 for empty documents).  All ops exist verbatim in DuckDB, so
+    oracles replay the identical expression."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    n_words = token_count_col(t).cast("long")
+    n_sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sentences)
+        - F.lit(84.6) * (n_syll / n_words),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("n_syllables", n_syll)
+        .withColumn("flesch", flesch)
+    )

@@ -1942,6 +1942,27 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_groups(media, strict=True).orderBy("dhash")
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (dataops/textstats.with_readability): exact
+    integer word/sentence/vowel-group counts in one codegen'd
+    projection, float only in the final formula (4dp contract).  The
+    oracle replays the identical expression shape in DuckDB."""
+    from open_ocr_spark.dataops.textstats import with_readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_readability(docs)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round("flesch", 4).alias("flesch_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 Bloom filter membership pruning (dataops/bloom.py): build the
     filter over customers with a 2001+ order ("recent buyers"), probe
@@ -3422,6 +3443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "image_dhash_dedup": q_image_dhash_dedup,
     "extract_pptx_text": q_extract_pptx_text,
+    "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
@@ -4300,6 +4322,31 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN hashes h ON d.doc_id % 17 = h.g
         GROUP BY h.dhash
         ORDER BY h.dhash
+    """,
+    "readability_scores": """
+        WITH counts AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(regexp_replace(
+                            coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))) = 0
+                        THEN 0
+                        ELSE len(string_split(trim(regexp_replace(
+                            coalesce(text, ''), '[ \t\n\r]+', ' ', 'g')),
+                            ' '))
+                   END::BIGINT AS n_words,
+                   greatest(1, len(regexp_extract_all(
+                       coalesce(text, ''), '[.!?]+')))::BIGINT
+                       AS n_sentences,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '[aeiouy]+'))::BIGINT AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(CASE WHEN n_words > 0
+                     THEN 206.835 - 1.015 * (n_words / n_sentences)
+                          - 84.6 * (n_syllables / n_words)
+                     ELSE 0.0 END, 4) AS flesch_e4
+        FROM counts
+        ORDER BY doc_id
     """,
     "bloom_prune_stats": """
         WITH keys AS (

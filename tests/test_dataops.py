@@ -1293,3 +1293,34 @@ def test_stratified_sample_exact_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_readability_reference(spark):
+    import re
+
+    from open_ocr_spark.dataops.textstats import with_readability
+
+    texts = [
+        "The quick brown fox jumps. It runs! Does it fly?",
+        "no terminal punctuation here at all",
+        "",
+        "Aeiou youyou. y.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in with_readability(df).collect()
+    }
+    for i, t in enumerate(texts):
+        words = len(t.split())
+        sents = max(1, len(re.findall(r"[.!?]+", t)))
+        syll = len(re.findall(r"[aeiouy]+", t.lower()))
+        g = got[i]
+        assert (g[0], g[1], g[2]) == (words, sents, syll), (i, g)
+        if words:
+            want = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+            assert abs(g[3] - want) < 1e-9
+        else:
+            assert g[3] == 0.0

@@ -1942,6 +1942,41 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_groups(media, strict=True).orderBy("dhash")
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (kernels/tables.py) through the real
+    HTML parse: each document becomes a page with nav/footer
+    boilerplate and one 2x3 table — an entity-bearing header row plus a
+    data row whose cells are formulas of doc_id.  The kernel must parse
+    the real markup, keep document order, decode entities, and
+    collapse whitespace; the oracle regenerates every expected cell in
+    SQL.  Nesting/malformed-row behavior is pinned in
+    tests/test_tables.py."""
+    import pandas as pd
+
+    def _page_wrap(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = (
+                    "<html><body><nav><a href='/'>home</a></nav>"
+                    "<table><tr><th>name &amp; id</th><th>qty</th>"
+                    "<th>price</th></tr>"
+                    f"<tr><td> item-{i} </td><td>{i % 7}</td>"
+                    f"<td>{(i * 3) % 100}</td></tr></table>"
+                    "<footer>(c) corp</footer></body></html>"
+                )
+                out.append((i, bytearray(html.encode())))
+            yield pd.DataFrame(out, columns=["doc_id", "html"])
+
+    from open_ocr_spark.kernels.tables import html_tables
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.mapInPandas(_page_wrap, "doc_id long, html binary")
+    return html_tables(pages).orderBy("doc_id", "table_idx", "row_idx",
+                                      "col_idx")
+
+
 def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (dataops/textstats.with_readability): exact
     integer word/sentence/vowel-group counts in one codegen'd
@@ -3443,6 +3478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "image_dhash_dedup": q_image_dhash_dedup,
     "extract_pptx_text": q_extract_pptx_text,
+    "html_tables": q_html_tables,
     "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
@@ -4322,6 +4358,24 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN hashes h ON d.doc_id % 17 = h.g
         GROUP BY h.dhash
         ORDER BY h.dhash
+    """,
+    "html_tables": """
+        SELECT doc_id,
+               CAST(0 AS BIGINT) AS table_idx,
+               g.r::BIGINT AS row_idx,
+               g.c::BIGINT AS col_idx,
+               CASE WHEN g.r = 0 THEN
+                   CASE g.c WHEN 0 THEN 'name & id'
+                            WHEN 1 THEN 'qty'
+                            ELSE 'price' END
+               ELSE
+                   CASE g.c WHEN 0 THEN 'item-' || doc_id::VARCHAR
+                            WHEN 1 THEN (doc_id % 7)::VARCHAR
+                            ELSE ((doc_id * 3) % 100)::VARCHAR END
+               END AS cell
+        FROM documents,
+             (VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(1,2)) AS g(r, c)
+        ORDER BY doc_id, table_idx, row_idx, col_idx
     """,
     "readability_scores": """
         WITH counts AS (

@@ -190,6 +190,7 @@ HEADLINE = [
     "line_dedup_docs",
     "substring_dedup",
     "decontaminate_docs",
+    "bm25_search",  # (r4) inverted-index/search workload class
 ]
 
 

@@ -1942,6 +1942,29 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_groups(media, strict=True).orderBy("dhash")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier serving (dataops/classifier.py): hashing-trick
+    weights, mean-pool, sigmoid — the CCNet/fastText quality-gate shape
+    with an exact int64 fixed-point accumulator, so labels are
+    integer-exact at any parallelism and the only float is the reported
+    probability (4dp contract).  Oracle recomputes every md5 weight in
+    SQL."""
+    from open_ocr_spark.dataops.classifier import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hashed_linear_score(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_sum",
+            F.round("prob", 4).alias("prob_e4"),
+            "label",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured table extraction (kernels/tables.py) through the real
     HTML parse: each document becomes a page with nav/footer
@@ -3479,6 +3502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_dedup": q_image_dhash_dedup,
     "extract_pptx_text": q_extract_pptx_text,
     "html_tables": q_html_tables,
+    "quality_classifier": q_quality_classifier,
     "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
@@ -4358,6 +4382,30 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN hashes h ON d.doc_id % 17 = h.g
         GROUP BY h.dhash
         ORDER BY h.dhash
+    """,
+    "quality_classifier": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        ),
+        sums AS (
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum((('0x' || substring(md5(term), 1, 8))::BIGINT
+                        % 2147483647) % 2001 - 1000)::BIGINT AS weight_sum
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(s.weight_sum, 0)::BIGINT AS weight_sum,
+               round(1.0 / (1.0 + exp(-(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                   THEN coalesce(s.weight_sum, 0)
+                        / (1000.0 * s.n_tokens)
+                   ELSE 0.0 END))), 4) AS prob_e4,
+               coalesce(s.weight_sum, 0) >= 0 AS label
+        FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
     """,
     "html_tables": """
         SELECT doc_id,

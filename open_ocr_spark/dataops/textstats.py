@@ -327,3 +327,36 @@ def with_readability(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("n_syllables", n_syll)
         .withColumn("flesch", flesch)
     )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 50, text: str = "text"
+) -> DataFrame:
+    """(ngram, n_occurrences): the k most frequent word n-grams with a
+    deterministic total order (count desc, ngram asc) — the canonical
+    count-everything-at-scale job (corpus vocabulary reports, LM
+    pretraining stats).  Two-phase hash aggregate with map-side combine;
+    the top-k is a TakeOrdered over the aggregated table, never a
+    global sort of the corpus."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        docs.select(
+            F.explode(
+                F.when(size >= n, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1942,6 +1942,27 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_groups(media, strict=True).orderBy("dhash")
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram top-k (dataops/textstats.top_ngrams): the canonical
+    count-everything job — two-phase hash aggregate, TakeOrdered top-50
+    with a deterministic total order (count desc, ngram asc), never a
+    global sort of the corpus."""
+    from open_ocr_spark.dataops.textstats import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
+
+
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew Gini diagnostic (dataops/skew.py) over events.user_id —
+    the measurement behind salt-factor / AQE-threshold choices.  Exact
+    int64 weighted-rank numerator on the hashed surface; ties on count
+    are provably order-independent, so the value is engine- and
+    parallelism-invariant."""
+    from open_ocr_spark.dataops.skew import key_skew_gini
+
+    return key_skew_gini(_t(spark, sf_dir, "events"), "user_id")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear classifier serving (dataops/classifier.py): hashing-trick
     weights, mean-pool, sigmoid — the CCNet/fastText quality-gate shape
@@ -3503,6 +3524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pptx_text": q_extract_pptx_text,
     "html_tables": q_html_tables,
     "quality_classifier": q_quality_classifier,
+    "top_bigrams": q_top_bigrams,
+    "key_skew_gini": q_key_skew_gini,
     "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
@@ -4382,6 +4405,38 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN hashes h ON d.doc_id % 17 = h.g
         GROUP BY h.dhash
         ORDER BY h.dhash
+    """,
+    "top_bigrams": """
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS tl
+            FROM documents
+        ),
+        grams AS (
+            SELECT tl[g.i] || ' ' || tl[g.i + 1] AS ngram
+            FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS g(i)
+        )
+        SELECT ngram, count(*)::BIGINT AS n_occurrences
+        FROM grams GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT 50
+    """,
+    "key_skew_gini": """
+        WITH c AS (
+            SELECT user_id, count(*)::BIGINT AS cnt
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt, user_id)::BIGINT AS i
+            FROM c
+        )
+        SELECT count(*)::BIGINT AS n_keys,
+               sum(cnt)::BIGINT AS total_rows,
+               sum(i * cnt)::BIGINT AS weighted_rank_sum,
+               round((2.0 * sum(i * cnt) - (count(*) + 1.0) * sum(cnt))
+                     / (count(*) * sum(cnt)), 4) AS gini_e4
+        FROM r
     """,
     "quality_classifier": """
         WITH toks AS (

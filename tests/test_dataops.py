@@ -1324,3 +1324,41 @@ def test_readability_reference(spark):
             assert abs(g[3] - want) < 1e-9
         else:
             assert g[3] == 0.0
+
+
+def test_top_ngrams_reference(spark):
+    from collections import Counter
+
+    from open_ocr_spark.dataops.textstats import top_ngrams
+
+    texts = ["a b a b c", "b c b c", "x", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r.ngram, r.n_occurrences)
+           for r in top_ngrams(df, n=2, k=3).collect()]
+    ref = Counter()
+    for t in texts:
+        w = t.split()
+        for j in range(len(w) - 1):
+            ref[w[j] + " " + w[j + 1]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
+
+
+def test_key_skew_gini_reference(spark):
+    from open_ocr_spark.dataops.skew import key_skew_gini
+
+    # keys: a x1, b x1, c x8 -> strongly skewed
+    rows = [("a",), ("b",)] + [("c",)] * 8
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_gini(df, "k").collect()[0]
+    xs = sorted([1, 1, 8])
+    n, tot = len(xs), sum(xs)
+    wsum = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2.0 * wsum - (n + 1.0) * tot) / (n * tot)
+    assert (r.n_keys, r.total_rows, r.weighted_rank_sum) == (n, tot, wsum)
+    assert abs(r.gini_e4 - round(gini, 4)) < 1e-12
+    # uniform counts -> gini 0
+    u = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    assert key_skew_gini(u, "k").collect()[0].gini_e4 == 0.0

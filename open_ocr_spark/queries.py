@@ -702,6 +702,40 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.99)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means (Lloyd's, label-seeded, 2 updates) over the
+    embeddings table — the semantic-clustering tier (dataops/kmeans.py).
+    The oracle unrolls every iteration as a CTE (the host_pagerank
+    pattern), so quantization, seeding, integer means, and argmin
+    tie-breaks are all hash-checked; any drift flips an assignment."""
+    from open_ocr_spark.dataops.kmeans import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, iters=2).orderBy("vec_id")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cosine near-dup pruning restricted
+    to within k-means cells, min-id representative kept — over the same
+    perturbed corpus the embedding_near_dup family uses, so the known
+    near-dup pairs exist to be dropped. Full SQL replay: k-means loop +
+    in-cell pair join + keep rule."""
+    from open_ocr_spark.dataops.kmeans import semantic_dedup
+
+    corpus = _near_dup_embedding_corpus(spark, sf_dir)
+    return semantic_dedup(corpus, threshold=0.99, iters=2).orderBy("vec_id")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character-entropy quality signal (information density):
+    spam/template text sits far below prose's ~4.1 bits/char. Pure
+    Catalyst, two uniform-key shuffles (dataops/textstats.py)."""
+    from open_ocr_spark.dataops.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
 def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus prep composition (dedup → quality gate →
     PII scrub → split) as one plan; the oracle reproduces the whole chain
@@ -3529,6 +3563,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "char_entropy": q_char_entropy,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -5877,3 +5914,117 @@ def _ivf_topk_oracle(k: int = 10, nprobe: int = 2, dim: int = 64) -> str:
 ORACLES["embedding_lsh_topk"] = _lsh_topk_oracle()
 ORACLES["embedding_near_dup_lsh"] = _near_dup_lsh_oracle()
 ORACLES["embedding_ivf_topk"] = _ivf_topk_oracle()
+
+
+# --- generated oracles (integer-exact k-means / SemDeDup) --------------------
+# The k-means oracle unrolls every Lloyd iteration as a CTE, exactly like
+# host_pagerank's r0..r5: all state is scaled integers, so DuckDB's
+# double arithmetic replays the loop bit-exactly (< 2^53 everywhere).
+
+
+def _kmeans_ctes(iters: int = 2, dim: int = 64, source: str = "q_src") -> str:
+    """CTE chain q, c0, a1, c1, ..., af over `source(vec_id, label,
+    e DOUBLE[])` mirroring dataops/kmeans.py: quantize -> label-seeded
+    integer means -> iters x (argmin assign, integer-mean update) ->
+    final assign."""
+    assign = """a{t} AS (
+            SELECT vec_id, cell FROM (
+                SELECT q.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           (list_dot_product(c.cq, c.cq)
+                            - 2 * list_dot_product(q.vq, c.cq)) ASC,
+                           c.cell ASC) AS rn
+                FROM q CROSS JOIN c{prev} c
+            ) WHERE rn = 1
+        )"""
+    parts = [f"""q AS (
+        SELECT vec_id, label,
+               list_transform(e, v -> round(v * 10000, 0)) AS vq
+        FROM {source}
+    )""", f"""c0 AS (
+        SELECT cell, list(m ORDER BY pos) AS cq FROM (
+            SELECT cell, i AS pos, floor(sum(vq[i+1]) / count(*)) AS m
+            FROM (SELECT label AS cell, vq, unnest(range({dim})) AS i FROM q)
+            GROUP BY cell, i
+        ) GROUP BY cell
+    )"""]
+    for t in range(1, iters + 1):
+        parts.append(assign.format(t=t, prev=t - 1))
+        parts.append(f"""c{t} AS (
+            SELECT cell, list(m ORDER BY pos) AS cq FROM (
+                SELECT cell, i AS pos, floor(sum(vq[i+1]) / count(*)) AS m
+                FROM (SELECT a.cell, q.vq, unnest(range({dim})) AS i
+                      FROM q JOIN a{t} a ON a.vec_id = q.vec_id)
+                GROUP BY cell, i
+            ) GROUP BY cell
+        )""")
+    parts.append(assign.format(t="f", prev=iters))
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(iters: int = 2) -> str:
+    return f"""
+        WITH q_src AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        {_kmeans_ctes(iters)}
+        SELECT vec_id, cell FROM af ORDER BY vec_id
+    """
+
+
+def _semdedup_oracle(iters: int = 2, threshold: float = 0.99) -> str:
+    # same perturbed corpus as the embedding_near_dup family
+    return f"""
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        pert AS (
+            SELECT vec_id + 100000 AS vec_id, label,
+                   list_prepend(CAST(CAST(e[1] + 0.05 AS FLOAT) AS DOUBLE),
+                                e[2:]) AS e
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        q_src AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        {_kmeans_ctes(iters)},
+        wc AS (
+            SELECT s.vec_id, a.cell, s.e
+            FROM q_src s JOIN af a ON a.vec_id = s.vec_id
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 4) >= {threshold}
+        )
+        SELECT w.vec_id, w.cell, d.vec_id IS NULL AS kept
+        FROM wc w LEFT JOIN dropped d ON d.vec_id = w.vec_id
+        ORDER BY w.vec_id
+    """
+
+
+ORACLES["kmeans_clusters"] = _kmeans_oracle()
+ORACLES["semantic_dedup"] = _semdedup_oracle()
+
+ORACLES["char_entropy"] = """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+        FROM documents
+    ),
+    hist AS (
+        SELECT doc_id, ch, count(*) AS c
+        FROM chars WHERE ch != '' GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id),
+    ent AS (
+        SELECT h.doc_id, max(t.n) AS n_chars,
+               round(-sum((h.c::DOUBLE / t.n) * log2(h.c::DOUBLE / t.n)), 4)
+                   AS entropy_bits
+        FROM hist h JOIN tot t USING (doc_id) GROUP BY h.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
+           coalesce(e.entropy_bits, 0.0) AS entropy_bits
+    FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""

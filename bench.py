@@ -191,6 +191,7 @@ HEADLINE = [
     "substring_dedup",
     "decontaminate_docs",
     "bm25_search",  # (r4) inverted-index/search workload class
+    "kmeans_clusters",  # (r4) iterative-clustering workload class
 ]
 
 

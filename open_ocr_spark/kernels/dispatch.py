@@ -169,9 +169,11 @@ def extract_document(
                     extract_docx_text,
                     extract_odt_text,
                     extract_pptx_text,
+                    extract_xlsx_text,
                     is_docx,
                     is_odt,
                     is_pptx,
+                    is_xlsx,
                 )
 
                 if is_docx(payload):
@@ -189,12 +191,17 @@ def extract_document(
                         text = extract_pptx_text(payload)
                     except ValueError as exc:
                         return "", "error:pptx-unsupported", str(exc)
+                elif is_xlsx(payload):
+                    try:
+                        text = extract_xlsx_text(payload)
+                    except ValueError as exc:
+                        return "", "error:xlsx-unsupported", str(exc)
                 else:
                     return (
                         "",
                         "error:docx-unsupported",
                         "zip container is not WordprocessingML, ODF text,"
-                        " or PresentationML",
+                        " PresentationML, or SpreadsheetML",
                     )
             else:
                 text = extract_main_text(payload, aggressive=aggressive)

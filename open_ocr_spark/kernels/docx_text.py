@@ -334,3 +334,176 @@ def build_pptx(slides: list[list[str]]) -> bytes:
             info.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(info, xml)
     return buf.getvalue()
+
+
+# --- SpreadsheetML (XLSX) sibling ----------------------------------------------
+# Fourth office container: workbooks (ECMA-376 Part 1 §18). Cell text is
+# indirect — shared strings live in xl/sharedStrings.xml and cells
+# reference them by index (t="s"); literal values sit in <v> (numbers,
+# formula results) or <is><t> (inline strings). Flat-text convention:
+# cells tab-separated, rows newline-separated, sheets (numeric part
+# order) blank-line separated — the same reading-order contract as the
+# other branches.
+
+_SHEET_NAME = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+_SI = re.compile(rb"<si>(.*?)</si>", re.S)
+_T = re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_XROW = re.compile(rb"<row(?:\s[^>]*)?(?:/>|>(.*?)</row>)", re.S)
+# attrs are non-greedy so a self-closing cell's "/" is consumed by the
+# "/>" branch, never left inside the attrs group (which would make the
+# ">(.*?)</c>" branch swallow the NEXT cell); the lookahead keeps other
+# c-prefixed tags (<col>) out
+_XCELL = re.compile(rb"<c(?![a-zA-Z])([^>]*?)(?:/>|>(.*?)</c>)", re.S)
+_V = re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
+_CELL_T = re.compile(rb't="([^"]+)"')
+
+
+def is_xlsx(payload: bytes) -> bool:
+    """True iff the payload is a ZIP container carrying a SpreadsheetML
+    workbook part."""
+    if len(payload) < 4 or payload[:4] != b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            return "xl/workbook.xml" in zf.namelist()
+    except Exception:
+        return False
+
+
+def _txt(raw: bytes) -> str:
+    return _unescape(raw.decode("utf-8", "replace"))
+
+
+def extract_xlsx_text(payload: bytes) -> str:
+    """Flat text of every worksheet in numeric part order: shared-string
+    (t="s"), inline-string (t="inlineStr") and literal <v> cells (numbers
+    kept as their raw lexical form — no float reformatting), cells
+    tab-joined, rows newline-joined, sheets blank-line-joined.  Raises
+    ValueError for a corrupt container or a workbook with no sheets."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            names = zf.namelist()
+            sheets = sorted(
+                (int(m.group(1)), n)
+                for n in names
+                if (m := _SHEET_NAME.match(n))
+            )
+            if not sheets:
+                raise KeyError("no worksheet parts")
+            shared = []
+            if "xl/sharedStrings.xml" in names:
+                for sm in _SI.finditer(zf.read("xl/sharedStrings.xml")):
+                    shared.append(
+                        "".join(_txt(t.group(1))
+                                for t in _T.finditer(sm.group(1)))
+                    )
+            xmls = [zf.read(n) for _, n in sheets]
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise ValueError(f"xlsx: bad container ({exc})") from exc
+
+    blocks = []
+    for xml in xmls:
+        lines = []
+        for rm in _XROW.finditer(xml):
+            body = rm.group(1) or b""
+            cells = []
+            for cm in _XCELL.finditer(body):
+                attrs, cbody = cm.group(1) or b"", cm.group(2) or b""
+                tm = _CELL_T.search(attrs)
+                ctype = tm.group(1) if tm else b""
+                if ctype == b"s":
+                    vm = _V.search(cbody)
+                    idx = int(vm.group(1)) if vm else -1
+                    cells.append(
+                        shared[idx] if 0 <= idx < len(shared) else ""
+                    )
+                elif ctype == b"inlineStr":
+                    cells.append(
+                        "".join(_txt(t.group(1))
+                                for t in _T.finditer(cbody))
+                    )
+                else:  # number / formula string / boolean: raw <v> text
+                    vm = _V.search(cbody)
+                    cells.append(_txt(vm.group(1)) if vm else "")
+            lines.append("\t".join(cells))
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)
+
+
+_NUM = re.compile(r"-?\d+(\.\d+)?")
+
+
+def build_xlsx(sheets: list[list[list[str]]]) -> bytes:
+    """Writer twin: minimal SpreadsheetML package whose
+    extract_xlsx_text output is exactly the tab/newline/blank-line
+    rendering of ``sheets`` (list of sheets, each a list of rows, each a
+    list of cell strings — cells must not contain tabs or newlines,
+    which the flat-text convention reserves).  Numeric-looking cells
+    become literal number cells (<v>); every other cell goes through
+    the REAL shared-strings table (deduplicated, as Excel writes it) so
+    the indirection path is what roundtrips."""
+    shared: dict[str, int] = {}
+    sheet_xmls = []
+    for rows in sheets:
+        rx = []
+        for r, row in enumerate(rows, start=1):
+            cx = []
+            for j, cell in enumerate(row):
+                ref = (
+                    f' r="{chr(65 + j)}{r}"' if j < 26 else ""
+                )
+                if _NUM.fullmatch(cell):
+                    cx.append(f"<c{ref}><v>{cell}</v></c>")
+                else:
+                    idx = shared.setdefault(cell, len(shared))
+                    cx.append(f'<c{ref} t="s"><v>{idx}</v></c>')
+            rx.append(f'<row r="{r}">' + "".join(cx) + "</row>")
+        sheet_xmls.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(rx)
+            + "</sheetData></worksheet>"
+        )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        f'2006/main" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(
+            f"<si><t>{_escape(s)}</t></si>"
+            for s in sorted(shared, key=shared.get)
+        )
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheets>'
+        + "".join(
+            f'<sheet name="Sheet{n}" sheetId="{n}"/>'
+            for n in range(1, len(sheets) + 1)
+        )
+        + "</sheets></workbook>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        members = [
+            (
+                "[Content_Types].xml",
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<Types xmlns="http://schemas.openxmlformats.org/package'
+                b'/2006/content-types"><Default Extension="xml" '
+                b'ContentType="application/vnd.openxmlformats-'
+                b'officedocument.spreadsheetml.sheet.main+xml"/></Types>',
+            ),
+            ("xl/workbook.xml", workbook.encode("utf-8")),
+            ("xl/sharedStrings.xml", sst.encode("utf-8")),
+        ] + [
+            (f"xl/worksheets/sheet{n}.xml", xml.encode("utf-8"))
+            for n, xml in enumerate(sheet_xmls, start=1)
+        ]
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()

@@ -1662,6 +1662,54 @@ def q_extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpreadsheetML conversion through the FULL kernel path (r4,
+    kernels/docx_text.py xlsx sibling — completes the OOXML trio):
+    every document becomes a real two-sheet .xlsx whose string cells go
+    through a deduplicated sharedStrings table (the indirection real
+    Excel files use) and whose numeric cells are literal <v> values;
+    magic-byte routing must distinguish the workbook from the other
+    office zips and return tab/newline/blank-line flat text
+    byte-exactly."""
+    import pandas as pd
+
+    def _xlsx_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_xlsx
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = text if text is not None else ""
+                sheets = [
+                    [["Doc", str(i)], [t], ["<cells & rows>", "", "-3.5"]],
+                    [["Doc", "total"], [str(i), str(i)]],
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/xlsx/{i}",
+                     bytearray(build_xlsx(sheets)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _xlsx_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PresentationML conversion through the FULL kernel path (r4,
     kernels/docx_text.py pptx sibling): every document becomes a real
@@ -3566,6 +3614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "char_entropy": q_char_entropy,
+    "extract_xlsx_text": q_extract_xlsx_text,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -4269,6 +4318,19 @@ ORACLES: dict[str, str] = {
                coalesce(text, '') || chr(10) || chr(10)
                    || 'Odt ' || doc_id::VARCHAR || chr(9)
                    || '<open & doc>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_xlsx_text": """
+        SELECT doc_id,
+               'Doc' || chr(9) || doc_id::VARCHAR || chr(10)
+                   || coalesce(text, '') || chr(10)
+                   || '<cells & rows>' || chr(9) || chr(9) || '-3.5'
+                   || chr(10) || chr(10)
+                   || 'Doc' || chr(9) || 'total' || chr(10)
+                   || doc_id::VARCHAR || chr(9) || doc_id::VARCHAR
+                   AS extracted_text,
                'ok' AS status
         FROM documents
         ORDER BY doc_id

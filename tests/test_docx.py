@@ -214,3 +214,145 @@ def test_pptx_roundtrip_property(slides):
 
     want = "\n\n".join(p for s in slides for p in s)
     assert extract_pptx_text(build_pptx(slides)) == want
+
+
+# --- SpreadsheetML (XLSX) sibling ------------------------------------------
+
+
+class TestXlsx:
+    def test_roundtrip_sheets_rows_cells(self):
+        from open_ocr_spark.kernels.docx_text import (
+            build_xlsx,
+            extract_xlsx_text,
+            is_xlsx,
+        )
+
+        sheets = [
+            [["Name", "Qty", "Price"],
+             ["widget & co", "3", "19.99"],
+             ["<gadget>", "-7", "x"]],
+            [["lone"], ["", "dup", "dup"]],
+        ]
+        blob = build_xlsx(sheets)
+        assert is_xlsx(blob)
+        want = "\n\n".join(
+            "\n".join("\t".join(r) for r in s) for s in sheets
+        )
+        assert extract_xlsx_text(blob) == want
+
+    def test_shared_strings_deduplicate(self):
+        import io
+        import zipfile
+
+        from open_ocr_spark.kernels.docx_text import build_xlsx
+
+        blob = build_xlsx([[["same", "same", "same", "7"]]])
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            sst = zf.read("xl/sharedStrings.xml")
+        assert sst.count(b"<si>") == 1  # one entry, three references
+
+    def test_numbers_keep_lexical_form(self):
+        from open_ocr_spark.kernels.docx_text import (
+            build_xlsx,
+            extract_xlsx_text,
+        )
+
+        # 19.990 must not reformat to 19.99: raw <v> text passes through
+        assert extract_xlsx_text(
+            build_xlsx([[["19.990", "-0.5", "007"]]])
+        ) == "19.990\t-0.5\t007"
+
+    def test_inline_string_and_empty_cells(self):
+        import io
+        import zipfile
+
+        from open_ocr_spark.kernels.docx_text import extract_xlsx_text
+
+        sheet = (
+            b'<?xml version="1.0"?><worksheet><sheetData>'
+            b'<row r="1"><c r="A1" t="inlineStr"><is><t>in</t>'
+            b"<t>line</t></is></c>"
+            b'<c r="B1" s="2"/><c r="C1"><v>4</v></c></row>'
+            b"<row r=\"2\"/></sheetData></worksheet>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", b"<workbook/>")
+            zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        assert extract_xlsx_text(buf.getvalue()) == "inline\t\t4\n"
+
+    def test_sheet_numeric_order(self):
+        import io
+        import zipfile
+
+        from open_ocr_spark.kernels.docx_text import extract_xlsx_text
+
+        def _sheet(v):
+            return (
+                b"<worksheet><sheetData><row><c><v>"
+                + v
+                + b"</v></c></row></sheetData></worksheet>"
+            )
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", b"<workbook/>")
+            # insertion order 10, 2, 1 — extraction must sort numerically
+            zf.writestr("xl/worksheets/sheet10.xml", _sheet(b"ten"))
+            zf.writestr("xl/worksheets/sheet2.xml", _sheet(b"two"))
+            zf.writestr("xl/worksheets/sheet1.xml", _sheet(b"one"))
+        assert extract_xlsx_text(buf.getvalue()) == "one\n\ntwo\n\nten"
+
+    def test_dispatch_routes_xlsx(self):
+        from open_ocr_spark.kernels.dispatch import extract_document
+        from open_ocr_spark.kernels.docx_text import build_xlsx
+
+        blob = build_xlsx([[["cell a", "5"]]])
+        text, status, err = extract_document(blob)
+        assert (text, status, err) == ("cell a\t5", "ok", "")
+
+    def test_corrupt_container_is_error_value(self):
+        from open_ocr_spark.kernels.dispatch import extract_document
+
+        # valid zip, workbook part present, but a worksheet is missing
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("xl/workbook.xml", b"<workbook/>")
+        text, status, err = extract_document(buf.getvalue())
+        assert text == "" and status == "error:xlsx-unsupported"
+
+    @given(
+        st.lists(
+            st.lists(
+                st.lists(
+                    st.text(
+                        alphabet=st.characters(
+                            blacklist_characters="\t\n\r",
+                            blacklist_categories=("Cs",),
+                        ),
+                        max_size=20,
+                    ),
+                    min_size=1,
+                    max_size=4,
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_property(self, sheets):
+        from open_ocr_spark.kernels.docx_text import (
+            build_xlsx,
+            extract_xlsx_text,
+        )
+
+        want = "\n\n".join(
+            "\n".join("\t".join(r) for r in s) for s in sheets
+        )
+        assert extract_xlsx_text(build_xlsx(sheets)) == want

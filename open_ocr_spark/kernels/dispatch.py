@@ -167,10 +167,12 @@ def extract_document(
                 # the HTML tokenizer as binary soup.
                 from open_ocr_spark.kernels.docx_text import (
                     extract_docx_text,
+                    extract_epub_text,
                     extract_odt_text,
                     extract_pptx_text,
                     extract_xlsx_text,
                     is_docx,
+                    is_epub,
                     is_odt,
                     is_pptx,
                     is_xlsx,
@@ -196,12 +198,17 @@ def extract_document(
                         text = extract_xlsx_text(payload)
                     except ValueError as exc:
                         return "", "error:xlsx-unsupported", str(exc)
+                elif is_epub(payload):
+                    try:
+                        text = extract_epub_text(payload)
+                    except ValueError as exc:
+                        return "", "error:epub-unsupported", str(exc)
                 else:
                     return (
                         "",
                         "error:docx-unsupported",
                         "zip container is not WordprocessingML, ODF text,"
-                        " PresentationML, or SpreadsheetML",
+                        " PresentationML, SpreadsheetML, or EPUB",
                     )
             else:
                 text = extract_main_text(payload, aggressive=aggressive)

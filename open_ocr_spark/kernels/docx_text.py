@@ -507,3 +507,128 @@ def build_xlsx(sheets: list[list[list[str]]]) -> bytes:
             info.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+# --- EPUB sibling ----------------------------------------------------------------
+# E-books are the fifth zip container a crawler meets (IDPF/W3C EPUB,
+# OCF + OPF package). Unlike the office branches the payload chapters
+# are XHTML — so extraction REUSES the engine's own HTML kernel per
+# chapter and joins chapters in SPINE order (the package's declared
+# reading order, not member order).
+
+_ROOTFILE = re.compile(rb'full-path="([^"]+)"')
+_ITEM = re.compile(rb"<item\s[^>]*?/?>", re.S)
+_ITEMREF = re.compile(rb"<itemref\s[^>]*?/?>", re.S)
+_ATTR_ID = re.compile(rb'\bid="([^"]*)"')
+_ATTR_HREF = re.compile(rb'\bhref="([^"]*)"')
+_ATTR_IDREF = re.compile(rb'\bidref="([^"]*)"')
+
+
+def is_epub(payload: bytes) -> bool:
+    """True iff the payload is an OCF container (EPUB): mimetype member
+    declaring application/epub+zip, or META-INF/container.xml when the
+    (technically mandatory) mimetype member is absent."""
+    if len(payload) < 4 or payload[:4] != b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            names = set(zf.namelist())
+            if "mimetype" in names:
+                return zf.read("mimetype").startswith(b"application/epub+zip")
+            return "META-INF/container.xml" in names
+    except Exception:
+        return False
+
+
+def extract_epub_text(payload: bytes) -> str:
+    """Main text of every spine chapter in reading order, blank-line
+    separated: container.xml -> OPF rootfile -> manifest id->href ->
+    spine idref order; each chapter's XHTML goes through the engine's
+    own boilerplate-stripping HTML kernel (html_extract).  Raises
+    ValueError for a corrupt container, missing package parts, or a
+    spine reference with no manifest item / member."""
+    import posixpath
+
+    from open_ocr_spark.kernels.html_extract import extract_main_text
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+            container = zf.read("META-INF/container.xml")
+            rm = _ROOTFILE.search(container)
+            if not rm:
+                raise KeyError("container.xml has no rootfile")
+            opf_path = rm.group(1).decode("utf-8", "replace")
+            opf = zf.read(opf_path)
+            base = posixpath.dirname(opf_path)
+            manifest = {}
+            for im in _ITEM.finditer(opf):
+                idm = _ATTR_ID.search(im.group(0))
+                hm = _ATTR_HREF.search(im.group(0))
+                if idm and hm:
+                    manifest[idm.group(1)] = _unescape(
+                        hm.group(1).decode("utf-8", "replace")
+                    )
+            chapters = []
+            for rm2 in _ITEMREF.finditer(opf):
+                idm = _ATTR_IDREF.search(rm2.group(0))
+                if not idm:
+                    continue
+                href = manifest.get(idm.group(1))
+                if href is None:
+                    raise KeyError(
+                        f"spine idref {idm.group(1)!r} not in manifest"
+                    )
+                member = posixpath.normpath(posixpath.join(base, href))
+                chapters.append(zf.read(member))
+            if not chapters:
+                raise KeyError("empty spine")
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise ValueError(f"epub: bad container ({exc})") from exc
+    return "\n\n".join(extract_main_text(ch) for ch in chapters)
+
+
+def build_epub(chapters: list[bytes]) -> bytes:
+    """Writer twin: minimal OCF/OPF package (mimetype STORED first, as
+    the spec requires; container.xml; content.opf whose spine lists the
+    chapters in the GIVEN order while the manifest enumerates them
+    reversed — so only spine-order readers roundtrip; one XHTML member
+    per chapter under OEBPS/)."""
+    n = len(chapters)
+    manifest = "".join(
+        f'<item id="ch{i}" href="text/ch{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in reversed(range(1, n + 1))
+    )
+    spine = "".join(
+        f'<itemref idref="ch{i}"/>' for i in range(1, n + 1)
+    )
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    ).encode("utf-8")
+    container = (
+        b'<?xml version="1.0" encoding="UTF-8"?>'
+        b'<container xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+        b'container" version="1.0"><rootfiles>'
+        b'<rootfile full-path="OEBPS/content.opf" '
+        b'media-type="application/oebps-package+xml"/>'
+        b"</rootfiles></container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        info = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_STORED
+        zf.writestr(info, b"application/epub+zip")
+        members = [
+            ("META-INF/container.xml", container),
+            ("OEBPS/content.opf", opf),
+        ] + [
+            (f"OEBPS/text/ch{i}.xhtml", ch)
+            for i, ch in enumerate(chapters, start=1)
+        ]
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()

@@ -1710,6 +1710,55 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB conversion through the FULL kernel path (r4, the OCF/OPF
+    e-book branch): every document becomes a real two-chapter .epub —
+    both chapters are boilerplate-wrapped XHTML, the manifest enumerates
+    them REVERSED while the spine holds reading order, so only a
+    spine-order reader roundtrips; each chapter runs through the
+    engine's own HTML boilerplate-strip kernel, so the oracle is the
+    same normalization identity extract_main_text uses, per chapter."""
+    import pandas as pd
+
+    def _epub_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_epub
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = text if text is not None else ""
+                ch1 = (_WRAP_PREFIX + t + _WRAP_SUFFIX).encode("utf-8")
+                ch2 = (
+                    _WRAP_PREFIX
+                    + f"Chapter {i} of the epub & appendix"
+                    + _WRAP_SUFFIX
+                ).encode("utf-8")
+                out.append(
+                    (i, f"https://docs.example.com/epub/{i}",
+                     bytearray(build_epub([ch1, ch2])))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _epub_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PresentationML conversion through the FULL kernel path (r4,
     kernels/docx_text.py pptx sibling): every document becomes a real
@@ -3615,6 +3664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "char_entropy": q_char_entropy,
     "extract_xlsx_text": q_extract_xlsx_text,
+    "extract_epub_text": q_extract_epub_text,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -4318,6 +4368,16 @@ ORACLES: dict[str, str] = {
                coalesce(text, '') || chr(10) || chr(10)
                    || 'Odt ' || doc_id::VARCHAR || chr(9)
                    || '<open & doc>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_epub_text": """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''),
+                                   '[ \t\n\r]+', ' ', 'g'))
+                   || chr(10) || chr(10) || 'Chapter ' || doc_id::VARCHAR
+                   || ' of the epub & appendix' AS extracted_text,
                'ok' AS status
         FROM documents
         ORDER BY doc_id

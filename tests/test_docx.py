@@ -356,3 +356,120 @@ class TestXlsx:
             "\n".join("\t".join(r) for r in s) for s in sheets
         )
         assert extract_xlsx_text(build_xlsx(sheets)) == want
+
+
+# --- EPUB sibling ------------------------------------------------------------
+
+
+class TestEpub:
+    W = (
+        '<html><head><title>t</title></head><body>'
+        '<nav><a href="/">Home</a> <a href="/a">A</a></nav>'
+        "<article><p>{}</p></article>"
+        "<footer><p>(c) footer</p></footer></body></html>"
+    )
+
+    def _ch(self, text):
+        return self.W.format(text).encode("utf-8")
+
+    def test_spine_order_not_manifest_order(self):
+        from open_ocr_spark.kernels.docx_text import (
+            build_epub,
+            extract_epub_text,
+            is_epub,
+        )
+
+        # build_epub writes the manifest REVERSED on purpose: a reader
+        # that walks manifest or member order gets chapters backwards
+        blob = build_epub(
+            [self._ch("First chapter body."),
+             self._ch("Second chapter body."),
+             self._ch("Third chapter body.")]
+        )
+        assert is_epub(blob)
+        assert extract_epub_text(blob) == (
+            "First chapter body.\n\nSecond chapter body.\n\n"
+            "Third chapter body."
+        )
+
+    def test_boilerplate_stripped_per_chapter(self):
+        from open_ocr_spark.kernels.docx_text import (
+            build_epub,
+            extract_epub_text,
+        )
+
+        out = extract_epub_text(build_epub([self._ch("Only the prose.")]))
+        assert out == "Only the prose."  # nav/footer gone
+
+    def test_dispatch_routes_epub(self):
+        from open_ocr_spark.kernels.dispatch import extract_document
+        from open_ocr_spark.kernels.docx_text import build_epub
+
+        blob = build_epub([self._ch("Routed body text.")])
+        assert extract_document(blob) == ("Routed body text.", "ok", "")
+
+    def test_missing_spine_is_error_value(self):
+        import io
+        import zipfile
+
+        from open_ocr_spark.kernels.dispatch import extract_document
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            info = zipfile.ZipInfo("mimetype")
+            info.compress_type = zipfile.ZIP_STORED
+            zf.writestr(info, b"application/epub+zip")
+            zf.writestr(
+                "META-INF/container.xml",
+                b'<container><rootfiles><rootfile '
+                b'full-path="OEBPS/content.opf"/></rootfiles></container>',
+            )
+            zf.writestr("OEBPS/content.opf",
+                        b"<package><manifest/><spine/></package>")
+        text, status, err = extract_document(buf.getvalue())
+        assert text == "" and status == "error:epub-unsupported"
+
+    def test_epub_not_confused_with_office_zips(self):
+        from open_ocr_spark.kernels.docx_text import (
+            build_docx,
+            build_epub,
+            build_odt,
+            build_pptx,
+            build_xlsx,
+            is_docx,
+            is_epub,
+            is_odt,
+            is_pptx,
+            is_xlsx,
+        )
+
+        blobs = {
+            "docx": build_docx(["x"]),
+            "odt": build_odt(["x"]),
+            "pptx": build_pptx([["x"]]),
+            "xlsx": build_xlsx([[["x"]]]),
+            "epub": build_epub([self._ch("x")]),
+        }
+        preds = {"docx": is_docx, "odt": is_odt, "pptx": is_pptx,
+                 "xlsx": is_xlsx, "epub": is_epub}
+        for kind, blob in blobs.items():
+            for pkind, pred in preds.items():
+                assert pred(blob) == (kind == pkind), (kind, pkind)
+
+    @given(st.lists(
+        st.text(alphabet="abcdefgh XYZ.,", min_size=1, max_size=40),
+        min_size=1, max_size=4,
+    ))
+    @settings(max_examples=20, deadline=None)
+    def test_roundtrip_property(self, texts):
+        from open_ocr_spark.kernels.docx_text import (
+            build_epub,
+            extract_epub_text,
+        )
+        import re as _re
+
+        want = "\n\n".join(
+            _re.sub(r"\s+", " ", t).strip() for t in texts
+        )
+        got = extract_epub_text(build_epub([self._ch(t) for t in texts]))
+        assert got == want

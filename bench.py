@@ -330,6 +330,14 @@ def run_once(
     spark = get_spark(app_name="bench", master=master, shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # machine-state control BEFORE any timed work: paired with the
+    # end-of-suite control below it brackets the run, so a JSON recorded
+    # on a capped/throttled day is self-describing (the r4-d/r4-e
+    # discarded scaling runs showed END-only point controls reading
+    # healthy while mid-run levels were 10-15x degraded — BASELINE.md)
+    n_ctl = (os.cpu_count() or 32) if cores == "*" else int(cores)
+    ctl_pre = cpu_control(n_ctl, iters=5_000_000)
+
     if WARMUP:  # JVM/codegen warm-up, excluded per BASELINE.md protocol
         run_extraction_bench(spark, sf_dir, max(1, replication // 4))
 
@@ -349,6 +357,7 @@ def run_once(
             "seconds": extraction["seconds"],
             "all_seconds": extraction["all_seconds"],
             "docs": extraction["docs"],
+            "cpu_control_pre_miters_per_sec": ctl_pre,
             "master": master,
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         }
@@ -433,9 +442,8 @@ def run_once(
         # and its ceiling swings run-to-run (BASELINE.md protocol
         # notes), so a recorded suite time is only interpretable next
         # to the machine's own throughput at that moment.
-        "cpu_control_miters_per_sec": cpu_control(
-            (os.cpu_count() or 32) if cores == "*" else int(cores)
-        ),
+        "cpu_control_miters_per_sec": cpu_control(n_ctl),
+        "cpu_control_pre_miters_per_sec": ctl_pre,
         "master": master,
     }
     spark.stop()

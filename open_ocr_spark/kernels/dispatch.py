@@ -58,6 +58,28 @@ MAX_DOC_BYTES = 20 * 1024 * 1024
 _DEFAULT_CHAIN = (PREPROCESSOR_CONVERT_PDF, PREPROCESSOR_STROKE_WIDTH)
 
 
+def _is_image_payload(payload: bytes) -> bool:
+    """Raster-image detection for OCR routing. PNG/GIF/JPEG magics cannot
+    occur in text; BMP and P6 get stricter checks (reserved NULs /
+    header shape) so a PAGE whose text merely starts with "BM" or "P6"
+    still routes to the HTML branch."""
+    import re as _re
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return True
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return True
+    if payload[:2] == b"\xff\xd8":
+        return True
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 54
+        and payload[6:10] == b"\x00\x00\x00\x00"
+    ):
+        return True
+    return bool(_re.match(rb"P6\s+\d+\s+\d+\s+255\s", payload[:40]))
+
+
 def _spans_json(text: str) -> str:
     """hOCR-recast structured output: one span per paragraph with
     deterministic char offsets into the plain-text form."""
@@ -210,6 +232,17 @@ def extract_document(
                         "zip container is not WordprocessingML, ODF text,"
                         " PresentationML, SpreadsheetML, or EPUB",
                     )
+            elif _is_image_payload(payload):
+                # raster payloads route to the pixel-domain OCR branch —
+                # the reference's literal image->text contract
+                # (kernels/glyph_ocr.py). Unrecognizable pixels are a
+                # declared low-confidence error value, not silence.
+                from open_ocr_spark.kernels.glyph_ocr import ocr_image
+
+                try:
+                    text = ocr_image(payload)
+                except ValueError as exc:
+                    return "", "error:ocr-unsupported", str(exc)
             else:
                 text = extract_main_text(payload, aggressive=aggressive)
 

@@ -1710,6 +1710,60 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_glyph_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal image→text contract in the pixel domain
+    (r4, kernels/glyph_ocr.py): every document's text is rasterized
+    into a REAL PNG with the deterministic 5×7 glyph font (the writer
+    twin, via the repo's own PNG encoder), the payload routes through
+    the extraction kernel's image branch by magic bytes, and template-
+    matching OCR over the decoded pixels must recover the text exactly.
+    The oracle is the font-normalization transform (upper, drop
+    unsupported glyphs, 96-glyph line, trailing-pad strip)."""
+    import pandas as pd
+
+    def _render(batches):
+        from open_ocr_spark.kernels.glyph_ocr import render_text_png
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["clean"]):
+                i = int(i)
+                out.append(
+                    (i, f"https://docs.example.com/scan/{i}",
+                     bytearray(render_text_png(t)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "url", "html"])
+
+    clean = F.rtrim(
+        F.substring(
+            F.regexp_replace(
+                F.upper(F.coalesce(F.col("text"), F.lit(""))),
+                r"[^A-Z0-9 .,'&-]",
+                "",
+            ),
+            1,
+            96,
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", clean.alias("clean")
+    )
+    pages = docs.mapInPandas(
+        _render, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
 def q_extract_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB conversion through the FULL kernel path (r4, the OCF/OPF
     e-book branch): every document becomes a real two-chapter .epub —
@@ -3665,6 +3719,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "extract_xlsx_text": q_extract_xlsx_text,
     "extract_epub_text": q_extract_epub_text,
+    "extract_glyph_ocr": q_extract_glyph_ocr,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -4368,6 +4423,15 @@ ORACLES: dict[str, str] = {
                coalesce(text, '') || chr(10) || chr(10)
                    || 'Odt ' || doc_id::VARCHAR || chr(9)
                    || '<open & doc>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_glyph_ocr": """
+        SELECT doc_id,
+               rtrim(substring(regexp_replace(upper(coalesce(text, '')),
+                                              '[^A-Z0-9 .,''&-]', '', 'g'),
+                               1, 96), ' ') AS extracted_text,
                'ok' AS status
         FROM documents
         ORDER BY doc_id

@@ -67,3 +67,40 @@ def extract_html_meta(
         _field(html, _CANONICAL).alias("canonical_url"),
         _field(html, _OG_TITLE).alias("og_title"),
     )
+
+
+# --- JSON-LD structured data -------------------------------------------------
+
+_LD_BLOCK = (
+    r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>'
+    r"(.*?)</script>"
+)
+
+
+def extract_json_ld(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ld_type, name) — one row per parseable JSON-LD block
+    (schema.org structured data: articles, products, breadcrumbs...),
+    the machine-readable metadata harvest every commercial crawl runs.
+
+    Pure Catalyst end to end: regexp_extract_all finds every
+    <script type="application/ld+json"> block (RE2/Java-shared syntax,
+    like the other patterns in this module), explode fans blocks out,
+    get_json_object pulls @type/name — malformed JSON yields NULL and
+    the row drops, an error-as-value per block rather than per page.
+    No shuffle before the explode; block volume is output-proportional."""
+    html = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    blocks = pages.select(
+        id_col, F.explode(F.regexp_extract_all(html, F.lit(_LD_BLOCK), 1)).alias("block")
+    )
+    return (
+        blocks.select(
+            id_col,
+            F.get_json_object("block", "$['@type']").alias("ld_type"),
+            F.get_json_object("block", "$.name").alias("name"),
+        )
+        .filter(F.col("ld_type").isNotNull())
+    )

@@ -1710,6 +1710,45 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD harvest (r4, dataops/htmlmeta.py): pages carry
+    two valid ld+json blocks (built with to_json so names are properly
+    JSON-escaped), one malformed block, and one non-ld script; the
+    extractor must find exactly the valid blocks, unescape the names
+    byte-exactly, and drop the rest — pure Catalyst, no Python."""
+    from open_ocr_spark.dataops.htmlmeta import extract_json_ld
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = F.to_json(
+        F.struct(
+            F.lit("Article").alias("@type"),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40).alias(
+                "name"
+            ),
+        )
+    )
+    b2 = F.to_json(
+        F.struct(
+            F.lit("Product").alias("@type"),
+            F.concat(F.lit("Item "), F.col("doc_id")).alias("name"),
+        )
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            b1,
+            F.lit("</script><script type='application/ld+json'>"),
+            b2,
+            F.lit('</script><script type="application/ld+json">{oops'),
+            F.lit('</script><script type="text/javascript">'
+                  '{"@type":"Nope","name":"x"}</script>'
+                  "</head><body>content</body></html>"),
+        ).alias("html"),
+    )
+    return extract_json_ld(pages).orderBy("doc_id", "ld_type")
+
+
 def q_extract_glyph_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's literal image→text contract in the pixel domain
     (r4, kernels/glyph_ocr.py): every document's text is rasterized
@@ -3720,6 +3759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_xlsx_text": q_extract_xlsx_text,
     "extract_epub_text": q_extract_epub_text,
     "extract_glyph_ocr": q_extract_glyph_ocr,
+    "json_ld": q_json_ld,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -4426,6 +4466,15 @@ ORACLES: dict[str, str] = {
                'ok' AS status
         FROM documents
         ORDER BY doc_id
+    """,
+    "json_ld": """
+        SELECT doc_id, 'Article' AS ld_type,
+               substring(coalesce(text, ''), 1, 40) AS name
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'Product', 'Item ' || doc_id::VARCHAR
+        FROM documents
+        ORDER BY doc_id, ld_type
     """,
     "extract_glyph_ocr": """
         SELECT doc_id,

@@ -57,3 +57,40 @@ def test_binary_html_and_multiline_title(spark):
     )
     assert r["title"] == "line one\nline two"  # (?s): dot spans newline
     assert r["meta_description"] is None  # name=keywords must not match
+
+
+# --- JSON-LD -----------------------------------------------------------------
+
+
+def test_json_ld_blocks_and_error_handling(spark):
+    from open_ocr_spark.dataops.htmlmeta import extract_json_ld
+
+    html = (
+        '<html><head>'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","name":"A \\"quoted\\" piece"}</script>'
+        "<script type='application/ld+json'>"
+        '{"@type":"Product","name":"Item 1"}</script>'
+        '<script type="application/ld+json">{not json</script>'
+        '<script type="text/javascript">{"@type":"Nope"}</script>'
+        "</head><body>x</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = sorted(tuple(r) for r in extract_json_ld(df).collect())
+    assert got == [
+        (1, "Article", 'A "quoted" piece'),
+        (1, "Product", "Item 1"),
+    ]
+
+
+def test_json_ld_binary_html_and_missing_name(spark):
+    from open_ocr_spark.dataops.htmlmeta import extract_json_ld
+
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":"BreadcrumbList"}</script>'
+    ).encode("utf-8")
+    df = spark.createDataFrame([(7, bytearray(html))],
+                               "doc_id long, html binary")
+    got = [tuple(r) for r in extract_json_ld(df).collect()]
+    assert got == [(7, "BreadcrumbList", None)]  # name absent -> NULL

@@ -169,3 +169,53 @@ def c4_clean(docs: DataFrame, text: str = "text") -> DataFrame:
         & ~F.col("has_brace")
         & ~F.col("has_lorem"),
     )
+
+
+# --- phrase-blocklist gate ----------------------------------------------------
+
+def _phrase_regex(phrases: list[str]) -> str:
+    """One word-boundary-anchored alternation, case-insensitive, phrases
+    regex-escaped; only Java-regex/RE2-shared syntax so a DuckDB oracle
+    runs the identical pattern."""
+    import re as _re
+
+    if not phrases:
+        raise ValueError("phrase_gate: empty blocklist")
+
+    def _anchored(p: str) -> str:
+        # \b only exists at a word-char edge: a phrase that starts or
+        # ends with punctuation ("(est.)") would never match behind a
+        # mandatory boundary, so anchor each edge conditionally
+        pre = r"\b" if _re.match(r"\w", p) else ""
+        post = r"\b" if _re.search(r"\w$", p) else ""
+        return pre + _re.escape(p) + post
+
+    alts = "|".join(
+        _anchored(p) for p in sorted(phrases, key=len, reverse=True)
+    )
+    return rf"(?i)(?:{alts})"
+
+
+def phrase_gate(
+    docs: DataFrame, phrases: list[str], text: str = "text"
+) -> DataFrame:
+    """(doc_id, n_hits, blocked): the blocklist-phrase filter every
+    published web corpus applies (C4 drops pages containing any entry of
+    a bad-phrase list, Raffel et al. 2020 §2.2; the list here is a
+    caller parameter).  Longest-first alternation so overlapping
+    phrases count like a scanner would; word boundaries stop
+    "class" matching inside "classic".
+
+    For list sizes that fit one compiled regex (thousands), this is a
+    single codegen'd projection — zero shuffles, zero Python, the
+    pattern ships inside the plan. Past that, the same contract would
+    move to an Aho-Corasick pandas_udf; this form is the oracle-exact
+    tier."""
+    pat = _phrase_regex(phrases)
+    t = F.coalesce(F.col(text), F.lit(""))
+    n = F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_hits"),
+        (n > 0).alias("blocked"),
+    )

@@ -1710,6 +1710,21 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ["table scan", "slow join", "batch", "window"]
+
+
+def q_phrase_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-phrase gate (C4-style bad-phrase filtering, the list a
+    parameter): one codegen'd word-boundary alternation counts hits per
+    document — the oracle runs the IDENTICAL generated pattern, so
+    escaping, boundaries, case folding and overlap order all
+    hash-check."""
+    from open_ocr_spark.dataops.quality_rules import phrase_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_gate(docs, _BLOCKLIST).orderBy("doc_id")
+
+
 def q_json_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD harvest (r4, dataops/htmlmeta.py): pages carry
     two valid ld+json blocks (built with to_json so names are properly
@@ -3760,6 +3775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_epub_text": q_extract_epub_text,
     "extract_glyph_ocr": q_extract_glyph_ocr,
     "json_ld": q_json_ld,
+    "phrase_gate": q_phrase_gate,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -6263,3 +6279,23 @@ ORACLES["char_entropy"] = """
     FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
     ORDER BY d.doc_id
 """
+
+
+def _phrase_gate_oracle() -> str:
+    # generated from the SAME alternation builder the Spark plan uses —
+    # one source of truth for escaping and longest-first order
+    from open_ocr_spark.dataops.quality_rules import _phrase_regex
+
+    pat = _phrase_regex(_BLOCKLIST).replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(coalesce(text, ''),
+                                      '{pat}', 0))::BIGINT AS n_hits,
+               len(regexp_extract_all(coalesce(text, ''),
+                                      '{pat}', 0)) > 0 AS blocked
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["phrase_gate"] = _phrase_gate_oracle()

@@ -127,3 +127,49 @@ def test_gate_is_shuffle_free(spark):
     assert "Exchange" not in plan
     plan2 = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+# --- phrase-blocklist gate -----------------------------------------------------
+
+
+def test_phrase_gate_boundaries_case_and_overlap(spark):
+    from open_ocr_spark.dataops.quality_rules import phrase_gate
+
+    rows = [
+        (1, "Click Here to subscribe, then click here again"),  # 2 hits
+        (2, "a classic tale"),        # 'class' must NOT match inside
+        (3, "LOREM IPSUM dolor"),     # case-insensitive
+        (4, None),                    # null text -> 0 hits
+        (5, "class act"),             # boundary hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_hits, r.blocked)
+        for r in phrase_gate(df, ["click here", "lorem ipsum", "class"]).collect()
+    }
+    assert got == {1: (2, True), 2: (0, False), 3: (1, True),
+                   4: (0, False), 5: (1, True)}
+
+
+def test_phrase_gate_longest_first_and_escaping(spark):
+    from open_ocr_spark.dataops.quality_rules import phrase_gate
+
+    # "table scan" beats "table" at the same position; regex
+    # metacharacters in a phrase are literal
+    df = spark.createDataFrame(
+        [(1, "full table scan here"), (2, "cost (est.) is fine")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits
+           for r in phrase_gate(df, ["table scan", "table", "(est.)"]).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_phrase_gate_empty_list_raises(spark):
+    import pytest as _pytest
+
+    from open_ocr_spark.dataops.quality_rules import phrase_gate
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        phrase_gate(df, [])

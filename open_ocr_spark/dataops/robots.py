@@ -142,3 +142,71 @@ def gate_urls(
         "url",
         F.coalesce(F.col("best.is_allow"), F.lit(True)).alias("allowed"),
     )
+
+
+# --- politeness metadata: Crawl-delay + Sitemap --------------------------------
+
+META_SCHEMA = "host string, crawl_delay_ms long, sitemaps array<string>"
+
+
+def parse_robots_meta_txt(txt: str, agent: str = "*"):
+    """(crawl_delay_ms | None, sitemaps) from one robots.txt body.
+
+    Crawl-delay is GROUP-scoped (same group attribution as the rules
+    parser above; the most conservative applicable delay wins — max);
+    parsed to integer milliseconds so the politeness budget is exact.
+    Sitemap is a global field per the sitemaps.org protocol: every
+    occurrence anywhere in the file, in file order."""
+    agent = agent.lower()
+    delays: list[int] = []
+    sitemaps: list[str] = []
+    group_agents: list[str] = []
+    in_group_rules = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:
+                group_agents = []
+                in_group_rules = False
+            group_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_rules = True
+        elif field == "crawl-delay":
+            in_group_rules = True
+            if "*" in group_agents or agent in group_agents:
+                try:
+                    delays.append(int(round(float(value) * 1000)))
+                except ValueError:
+                    pass  # malformed delay: ignore the line, RFC spirit
+        elif field == "sitemap" and value:
+            sitemaps.append(value)
+    return (max(delays) if delays else None, sitemaps)
+
+
+def parse_robots_meta(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, crawl_delay_ms, sitemaps): the per-host politeness budget
+    and sitemap seeds the frontier scheduler consumes (dataops/
+    frontier.py takes per-host caps; this supplies the host's own
+    declared pace).  Same kernel shape as parse_robots: runs once per
+    HOST over the tiny robots table, never over the corpus."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                if txt is None:
+                    continue
+                delay, sitemaps = parse_robots_meta_txt(str(txt), agent)
+                out.append((host, delay, sitemaps))
+            yield pd.DataFrame(
+                out, columns=["host", "crawl_delay_ms", "sitemaps"]
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        kernel, META_SCHEMA
+    )

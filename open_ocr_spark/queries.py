@@ -1710,6 +1710,46 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness metadata (r4, robots.py sibling of robots_gate): each
+    host's robots.txt carries a googlebot Crawl-delay that must NOT
+    leak into the '*' group, a fractional '*' delay (exact integer
+    millis), a malformed delay line that must be ignored, and two
+    global Sitemap lines whose file order must survive. One row per
+    (host, sitemap) with the host's delay."""
+    from open_ocr_spark.dataops.robots import parse_robots_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hid = (F.col("doc_id") % 20).cast("string")
+    robots = docs.select(hid.alias("hid")).distinct().select(
+        "hid",
+        F.concat(F.lit("h"), F.col("hid"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit(
+                "User-agent: googlebot\nCrawl-delay: 99\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /x\nCrawl-delay: "
+            ),
+            F.col("hid"),
+            F.lit(
+                ".5\nCrawl-delay: oops\n"
+                "Sitemap: https://h"
+            ),
+            F.col("hid"),
+            F.lit(".example.com/sitemap.xml\nSitemap: https://h"),
+            F.col("hid"),
+            F.lit(".example.com/news.xml # freshest\n"),
+        ).alias("robots_txt"),
+    )
+    meta = parse_robots_meta(robots, agent="*")
+    return meta.select(
+        "host",
+        "crawl_delay_ms",
+        F.posexplode("sitemaps").alias("sm_index", "sitemap"),
+    ).orderBy("host", "sm_index")
+
+
 _BLOCKLIST = ["table scan", "slow join", "batch", "window"]
 
 
@@ -3776,6 +3816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_glyph_ocr": q_extract_glyph_ocr,
     "json_ld": q_json_ld,
     "phrase_gate": q_phrase_gate,
+    "robots_meta": q_robots_meta,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -6299,3 +6340,15 @@ def _phrase_gate_oracle() -> str:
 
 
 ORACLES["phrase_gate"] = _phrase_gate_oracle()
+
+ORACLES["robots_meta"] = """
+    WITH hosts AS (SELECT DISTINCT (doc_id % 20) AS hid FROM documents)
+    SELECT 'h' || hid::VARCHAR || '.example.com' AS host,
+           CAST(hid * 1000 + 500 AS BIGINT) AS crawl_delay_ms,
+           s.sm_index,
+           'https://h' || hid::VARCHAR || '.example.com/' || s.name
+               AS sitemap
+    FROM hosts, (VALUES (0, 'sitemap.xml'), (1, 'news.xml'))
+        AS s(sm_index, name)
+    ORDER BY host, sm_index
+"""

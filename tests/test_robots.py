@@ -106,3 +106,51 @@ def test_gate_query_string_not_part_of_path(spark):
         "https://q.com/x?utm=1": False,
         "https://q.com/xy": True,
     }
+
+
+# --- Crawl-delay + Sitemap metadata ---------------------------------------------
+
+
+def test_meta_group_attribution_and_fractional_delay():
+    from open_ocr_spark.dataops.robots import parse_robots_meta_txt
+
+    txt = (
+        "User-agent: googlebot\nCrawl-delay: 99\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"
+        "Crawl-delay: nonsense\n"
+        "Sitemap: https://a.com/s1.xml\n"
+        "Sitemap: https://a.com/s2.xml # newest\n"
+    )
+    delay, sitemaps = parse_robots_meta_txt(txt, agent="*")
+    assert delay == 2500  # googlebot's 99 must not leak; 2.5s -> ms
+    assert sitemaps == ["https://a.com/s1.xml", "https://a.com/s2.xml"]
+    # the specific agent sees ITS group's delay
+    delay_g, _ = parse_robots_meta_txt(txt, agent="googlebot")
+    assert delay_g == 99000
+
+
+def test_meta_max_delay_wins_and_absent_is_none():
+    from open_ocr_spark.dataops.robots import parse_robots_meta_txt
+
+    txt = (
+        "User-agent: bot\nUser-agent: *\nCrawl-delay: 1\n\n"
+        "User-agent: *\nCrawl-delay: 4\n"
+    )
+    assert parse_robots_meta_txt(txt)[0] == 4000  # conservative max
+    assert parse_robots_meta_txt("User-agent: *\nDisallow: /")[0] is None
+    assert parse_robots_meta_txt("")[1] == []
+
+
+def test_meta_spark_kernel(spark):
+    from open_ocr_spark.dataops.robots import parse_robots_meta
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 1\nSitemap: https://a.com/s.xml"),
+         ("b.com", "User-agent: *\nDisallow: /"),
+         ("c.com", None)],
+        "host string, robots_txt string",
+    )
+    got = {r.host: (r.crawl_delay_ms, list(r.sitemaps))
+           for r in parse_robots_meta(robots).collect()}
+    assert got == {"a.com": (1000, ["https://a.com/s.xml"]),
+                   "b.com": (None, [])}

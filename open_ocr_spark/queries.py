@@ -1710,6 +1710,58 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Common-Crawl ingest chain (r4): WARC container →
+    records_from_warc → http_responses. Each document becomes a real
+    gzip-member WARC holding one `response` record whose payload is a
+    raw HTTP message; five variants cycle the capture-reality layers —
+    plain Content-Length, chunked, gzip Content-Encoding, chunked gzip
+    (coding inside transfer-coding, as real stacks send it), and a
+    truncated chunked body that must surface as an error VALUE."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.sources import build_http_response, build_warc
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                body = (text or "").encode("utf-8")
+                v = i % 5
+                raw = build_http_response(
+                    body,
+                    status=200 + (i % 2) * 204,
+                    chunked=v in (1, 3, 4),
+                    gzipped=v in (2, 3),
+                )
+                if v == 4:
+                    raw = raw[:-8]  # cut into the last chunk's data
+                warc = build_warc(
+                    [(f"https://h{i % 20}.example.com/{i}", raw)],
+                    gzip_members=True,
+                )
+                out.append((i, bytearray(warc)))
+            yield pd.DataFrame(out, columns=["doc_id", "warc"])
+
+    from open_ocr_spark.sources import http_responses, records_from_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    files = docs.mapInPandas(_wrap, "doc_id long, warc binary")
+    recs = records_from_warc(files).select("doc_id", "payload")
+    return (
+        http_responses(recs)
+        .select(
+            "doc_id",
+            "http_status",
+            "http_content_type",
+            F.decode("body", "utf-8").alias("body_text"),
+            "http_error",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness metadata (r4, robots.py sibling of robots_gate): each
     host's robots.txt carries a googlebot Crawl-delay that must NOT
@@ -3817,6 +3869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ld": q_json_ld,
     "phrase_gate": q_phrase_gate,
     "robots_meta": q_robots_meta,
+    "warc_http": q_warc_http,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -6351,4 +6404,18 @@ ORACLES["robots_meta"] = """
     FROM hosts, (VALUES (0, 'sitemap.xml'), (1, 'news.xml'))
         AS s(sm_index, name)
     ORDER BY host, sm_index
+"""
+
+ORACLES["warc_http"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 200 + (doc_id % 2) * 204 END AS http_status,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'text/html; charset=utf-8' END AS http_content_type,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE coalesce(text, '') END AS body_text,
+           CASE WHEN doc_id % 5 = 4 THEN 'truncated chunk data'
+                ELSE NULL END AS http_error
+    FROM documents
+    ORDER BY doc_id
 """

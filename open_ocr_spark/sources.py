@@ -439,3 +439,167 @@ def records_from_warc(
             yield pd.DataFrame(rows, columns=pass_names + rec_names)
 
     return files.mapInPandas(kernel, schema)
+
+
+# --- HTTP envelope inside WARC response payloads --------------------------------
+# A Common-Crawl ``response`` record's payload is the RAW HTTP message the
+# crawler captured: status line, header block, and a body that may still
+# be chunked (Transfer-Encoding) and/or compressed (Content-Encoding).
+# Ingest must strip that envelope before the bytes are a page — the last
+# parsing layer between the archive format and the `pages` schema.
+
+
+def split_http_response(
+    payload: bytes, limit: int = WARC_MAX_DECOMPRESSED
+) -> tuple:
+    """(status, content_type, body, error) from one raw HTTP/1.x response.
+
+    Handles the capture-reality layers in order: CRLF header block
+    (latin-1, last-wins on duplicates), chunked transfer-coding (hex
+    size lines, optional chunk extensions, trailers ignored), then
+    gzip/x-gzip/deflate content-coding (zlib, decompression capped at
+    ``limit``).  Every malformation returns an error VALUE — a bad
+    capture never fails the job (same contract as parse_warc_bytes)."""
+    import zlib
+
+    def err(msg: str):
+        return None, None, None, msg
+
+    if not payload.startswith(b"HTTP/"):
+        return err("not an HTTP response payload")
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return err("unterminated HTTP header block")
+    head_lines = payload[:sep].split(b"\r\n")
+    parts = head_lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        return err("malformed HTTP status line")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        if b":" not in line:
+            return err("malformed HTTP header line")
+        name, _, value = line.partition(b":")
+        headers[name.strip().decode("latin-1").lower()] = (
+            value.strip().decode("latin-1")
+        )
+    body = payload[sep + 4:]
+
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        out, pos, total = [], 0, 0
+        while True:
+            eol = body.find(b"\r\n", pos)
+            if eol < 0:
+                return err("truncated chunked body (no size line)")
+            size_tok = body[pos:eol].split(b";", 1)[0].strip()
+            try:
+                size = int(size_tok, 16)
+            except ValueError:
+                return err(f"bad chunk size {size_tok[:16]!r}")
+            if size == 0:
+                break  # trailers (if any) are ignored
+            start = eol + 2
+            if start + size + 2 > len(body):
+                return err("truncated chunk data")
+            if body[start + size:start + size + 2] != b"\r\n":
+                return err("missing chunk terminator")
+            total += size
+            if total > limit:
+                return err("chunked body exceeds decompression cap")
+            out.append(body[start:start + size])
+            pos = start + size + 2
+        body = b"".join(out)
+
+    coding = headers.get("content-encoding", "").lower()
+    if coding in ("gzip", "x-gzip", "deflate"):
+        try:
+            d = zlib.decompressobj(47 if coding != "deflate" else 15)
+            body = d.decompress(body, limit)
+            if d.unconsumed_tail:
+                return err("encoded body exceeds decompression cap")
+        except zlib.error as exc:
+            return err(f"bad {coding} body ({exc})")
+    elif coding and coding != "identity":
+        return err(f"unsupported content-encoding {coding!r}")
+
+    return status, headers.get("content-type"), body, None
+
+
+def build_http_response(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    gzipped: bool = False,
+) -> bytes:
+    """Writer twin: one raw HTTP/1.1 response whose split_http_response
+    output is exactly (status, content_type, body, None) — chunked
+    splits the body into two chunks with an extension on the first;
+    gzipped applies Content-Encoding after (matching real stacks:
+    content-coding inside transfer-coding)."""
+    import gzip as _gzip
+
+    payload = body
+    headers = [f"Content-Type: {content_type}"]
+    if gzipped:
+        payload = _gzip.compress(payload, mtime=0)
+        headers.append("Content-Encoding: gzip")
+    if chunked:
+        headers.append("Transfer-Encoding: chunked")
+        half = len(payload) // 2
+        chunks = b""
+        for part in (payload[:half], payload[half:]):
+            if part:
+                ext = b";x=1" if not chunks else b""
+                chunks += f"{len(part):x}".encode() + ext + b"\r\n" + part + b"\r\n"
+        payload = chunks + b"0\r\n\r\n"
+    else:
+        headers.append(f"Content-Length: {len(payload)}")
+    head = (
+        f"HTTP/1.1 {status} X\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+    ).encode("latin-1")
+    return head + payload
+
+
+HTTP_RESPONSE_FIELDS = (
+    "http_status int, http_content_type string, body binary, "
+    "http_error string"
+)
+
+
+def http_responses(
+    records: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Strip the HTTP envelope from WARC response payloads: every input
+    column except ``payload_col`` passes through, plus (http_status,
+    http_content_type, body, http_error).  Same scale shape as
+    records_from_warc: mapInPandas where the bytes sit, no shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    passthrough = [f for f in records.schema.fields if f.name != payload_col]
+    schema = StructType(
+        list(passthrough) + list(StructType.fromDDL(HTTP_RESPONSE_FIELDS))
+    )
+    pass_names = [f.name for f in passthrough]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob, *base in zip(
+                pdf[payload_col], *[pdf[c] for c in pass_names]
+            ):
+                status, ctype, body, error = split_http_response(
+                    bytes(blob) if blob is not None else b""
+                )
+                rows.append(list(base) + [status, ctype, body, error])
+            yield pd.DataFrame(
+                rows,
+                columns=pass_names
+                + ["http_status", "http_content_type", "body", "http_error"],
+            )
+
+    return records.mapInPandas(kernel, schema)

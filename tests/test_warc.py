@@ -291,3 +291,91 @@ def test_build_warc_end_to_end_spark(spark):
                 f"https://ex.com/{f}/{i}", bytes([f * 16 + i]) * (i + 1)
             )
     assert all(r["error"] is None for r in rows)
+
+
+# --- HTTP envelope inside response payloads -------------------------------------
+
+
+class TestHttpEnvelope:
+    def test_all_four_shapes_roundtrip(self):
+        from open_ocr_spark.sources import (
+            build_http_response,
+            split_http_response,
+        )
+
+        body = "Hello <b>world</b>, ärger & more".encode("utf-8")
+        for kw in ({}, {"chunked": True}, {"gzipped": True},
+                   {"chunked": True, "gzipped": True}):
+            s, ct, b, e = split_http_response(build_http_response(body, **kw))
+            assert (s, ct, b, e) == (
+                200, "text/html; charset=utf-8", body, None
+            ), kw
+
+    def test_error_values(self):
+        from open_ocr_spark.sources import (
+            build_http_response,
+            split_http_response,
+        )
+
+        assert split_http_response(b"<html>")[3].startswith("not an HTTP")
+        assert "unterminated" in split_http_response(b"HTTP/1.1 200 X\r\nA: b")[3]
+        assert "status line" in split_http_response(b"HTTP/1.1 abc\r\n\r\n")[3]
+        trunc = build_http_response(b"x" * 50, chunked=True)[:-8]
+        assert split_http_response(trunc)[3] == "truncated chunk data"
+        bad = build_http_response(b"x" * 50, gzipped=True).replace(
+            b"\x1f\x8b", b"\x00\x00", 1
+        )
+        assert "bad gzip" in split_http_response(bad)[3]
+        raw = (b"HTTP/1.1 200 X\r\nContent-Encoding: br\r\n\r\nxx")
+        assert "unsupported content-encoding" in split_http_response(raw)[3]
+
+    def test_duplicate_headers_last_wins_and_chunk_extension(self):
+        from open_ocr_spark.sources import split_http_response
+
+        raw = (
+            b"HTTP/1.1 301 Moved\r\nContent-Type: a/b\r\n"
+            b"Content-Type: text/plain\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"3;name=value\r\nabc\r\n0\r\nTrailer: ignored\r\n\r\n"
+        )
+        s, ct, b, e = split_http_response(raw)
+        assert (s, ct, b, e) == (301, "text/plain", b"abc", None)
+
+    @given(st.binary(max_size=300), st.booleans(), st.booleans())
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_property(self, body, chunked, gzipped):
+        from open_ocr_spark.sources import (
+            build_http_response,
+            split_http_response,
+        )
+
+        s, ct, b, e = split_http_response(
+            build_http_response(body, chunked=chunked, gzipped=gzipped)
+        )
+        assert (s, b, e) == (200, body, None)
+
+    def test_spark_chain_warc_to_body(self, spark):
+        from open_ocr_spark.sources import (
+            build_http_response,
+            build_warc,
+            http_responses,
+            records_from_warc,
+        )
+
+        warc = build_warc(
+            [("https://a.com/1",
+              build_http_response(b"page one", chunked=True)),
+             ("https://a.com/2", b"not http at all")],
+            gzip_members=True,
+        )
+        files = spark.createDataFrame(
+            [(1, bytearray(warc))], "file_id long, warc binary"
+        )
+        rows = {
+            r.rec_index: (r.http_status, bytes(r.body) if r.body is not None
+                          else None, r.http_error)
+            for r in http_responses(
+                records_from_warc(files).select("rec_index", "payload")
+            ).collect()
+        }
+        assert rows[0] == (200, b"page one", None)
+        assert rows[1][0] is None and "not an HTTP" in rows[1][2]

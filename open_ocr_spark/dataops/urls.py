@@ -104,3 +104,71 @@ def dedup_by_canonical_url(
             F.min(id_col).alias("rep_doc"),
         )
     )
+
+
+# --- SURT keys + CDX index ------------------------------------------------------
+
+
+def surt_key(url: Column | str) -> Column:
+    """Sort-friendly URI Reordering Transform of an http(s) URL — the
+    key every web-archive index (CDX) sorts by, because it groups a
+    domain's subdomains and paths into one contiguous key range:
+    ``https://news.example.com/a?b=1`` → ``com,example,news)/a?b=1``.
+
+    Built on the same canonical pieces as canonicalize_url (lowercased
+    de-www'd host, default port dropped, trailing-slash-free path,
+    tracking-free bytewise-sorted query, no scheme, no fragment); the
+    host segments reverse with pure Catalyst array ops. Null/unparseable
+    urls yield NULL."""
+    col = F.col(url) if isinstance(url, str) else url
+    canon = canonicalize_url(col)
+    host = F.try_parse_url(canon, F.lit("HOST"))
+    # non-default port survives canonicalize_url inside AUTHORITY
+    port = F.regexp_extract(
+        F.coalesce(F.try_parse_url(canon, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$",
+        1,
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.try_parse_url(canon, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(canon, F.lit("QUERY"))
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            rev_host,
+            F.when(port != "", F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            F.lit(")"),
+            path,
+            F.when(
+                query.isNotNull() & (query != ""),
+                F.concat(F.lit("?"), query),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def cdx_index(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """(surt, warc_ts, url, digest): the CDX lookup index for a capture
+    table — one row per capture, content digest for revisit detection,
+    ordered by (surt, warc_ts) so a domain or prefix lookup is ONE
+    contiguous range scan.
+
+    At archive scale this is the layout decision, not just a sort: the
+    index table is written range-partitioned/sorted on surt (here an
+    orderBy — a range exchange), so Iceberg/parquet min-max pruning
+    turns "every capture of *.example.com/path*" into a few-file read
+    instead of a full index scan."""
+    return (
+        pages.select(
+            surt_key(F.col(url_col)).alias("surt"),
+            F.col(ts_col).alias("warc_ts"),
+            F.col(url_col).alias("url"),
+            F.md5(F.col("html").cast("binary")).alias("digest"),
+        )
+        .filter(F.col("surt").isNotNull())
+        .orderBy("surt", "warc_ts", "url")
+    )

@@ -1710,6 +1710,17 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive CDX index (r4, dataops/urls.py): SURT keys over the
+    capture table + content digests, range-ordered so prefix lookups
+    are contiguous. The oracle rebuilds the SURT transform and the md5
+    digest of the exact wrapped html bytes in SQL."""
+    from open_ocr_spark.dataops.urls import cdx_index
+
+    pages = pages_from_documents(spark, sf_dir)
+    return cdx_index(pages)
+
+
 def q_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Common-Crawl ingest chain (r4): WARC container →
     records_from_warc → http_responses. Each document becomes a real
@@ -3870,6 +3881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_gate": q_phrase_gate,
     "robots_meta": q_robots_meta,
     "warc_http": q_warc_http,
+    "cdx_index": q_cdx_index,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -6419,3 +6431,19 @@ ORACLES["warc_http"] = """
     FROM documents
     ORDER BY doc_id
 """
+
+
+def _cdx_oracle() -> str:
+    pre = _WRAP_PREFIX.replace("'", "''")
+    suf = _WRAP_SUFFIX.replace("'", "''")
+    return f"""
+        SELECT 'com,example,docs)/doc/' || doc_id::VARCHAR AS surt,
+               TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+               'https://docs.example.com/doc/' || doc_id::VARCHAR AS url,
+               md5('{pre}' || coalesce(text, '') || '{suf}') AS digest
+        FROM documents
+        ORDER BY surt
+    """
+
+
+ORACLES["cdx_index"] = _cdx_oracle()

@@ -1362,3 +1362,51 @@ def test_key_skew_gini_reference(spark):
     # uniform counts -> gini 0
     u = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
     assert key_skew_gini(u, "k").collect()[0].gini_e4 == 0.0
+
+
+# --- SURT + CDX ------------------------------------------------------------------
+
+
+def test_surt_key_shapes(spark):
+    from open_ocr_spark.dataops.urls import surt_key
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "https://news.example.com/a/b?b=1&a=2&utm_source=x"),
+        (2, "HTTP://WWW.Example.COM:80/path/"),     # www + default port
+        (3, "https://ex.com:8443/x"),               # non-default port kept
+        (4, "https://ex.com"),                      # bare host
+        (5, "not a url"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.s for r in df.select("id", surt_key("url").alias("s")).collect()}
+    assert got == {
+        1: "com,example,news)/a/b?a=2&b=1",
+        2: "com,example)/path",
+        3: "com,ex:8443)/x",
+        4: "com,ex)",
+        5: None,
+        6: None,
+    }
+
+
+def test_cdx_index_order_and_digest(spark):
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.urls import cdx_index
+
+    pages = spark.createDataFrame(
+        [("https://b.com/x", "2024-01-02", b"one"),
+         ("https://a.com/y", "2024-01-01", b"two"),
+         ("https://a.com/y", "2024-01-03", b"two"),
+         ("bogus", "2024-01-01", b"z")],
+        "url string, ts string, html binary",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "html")
+    rows = cdx_index(pages).collect()
+    assert [r.surt for r in rows] == ["com,a)/y", "com,a)/y", "com,b)/x"]
+    assert rows[0].warc_ts < rows[1].warc_ts  # captures in time order
+    assert rows[0].digest == rows[1].digest == hashlib.md5(b"two").hexdigest()

@@ -408,3 +408,43 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ),
         )
     )
+
+
+# Labeled accuracy fixture for the trigram/script lang-id: one
+# natural sentence per language; the pytest accuracy gate AND the
+# driver query lang_id_fixture both consume it (one source of truth).
+LANG_ID_FIXTURE = [
+    ("en", "The committee decided that the proposal should be reviewed "
+           "before the end of the year because many people were concerned."),
+    ("de", "Die Regierung hat beschlossen, dass die neuen Regeln ab dem "
+           "nächsten Jahr gelten sollen, weil viele Menschen sich "
+           "beschwert haben."),
+    ("fr", "Le gouvernement a décidé que les nouvelles règles seraient "
+           "appliquées à partir de l'année prochaine parce que beaucoup "
+           "de gens se sont plaints."),
+    ("es", "El gobierno ha decidido que las nuevas reglas se aplicarán a "
+           "partir del próximo año porque mucha gente se ha quejado."),
+    ("pt", "O governo decidiu que as novas regras serão aplicadas a "
+           "partir do próximo ano porque muitas pessoas reclamaram."),
+    ("it", "Il governo ha deciso che le nuove regole saranno applicate a "
+           "partire dal prossimo anno perché molte persone si sono "
+           "lamentate."),
+    ("nl", "De regering heeft besloten dat de nieuwe regels vanaf volgend "
+           "jaar gelden omdat veel mensen hebben geklaagd."),
+    ("ru", "Правительство решило, что новые правила вступят в силу со "
+           "следующего года, потому что многие люди жаловались."),
+    ("ar", "قررت الحكومة أن القواعد الجديدة ستطبق اعتبارا من العام المقبل "
+           "لأن الكثير من الناس اشتكوا."),
+    ("hi", "सरकार ने फैसला किया कि नए नियम अगले साल से लागू होंगे क्योंकि बहुत से "
+           "लोगों ने शिकायत की।"),
+    ("ko", "정부는 많은 사람들이 불평했기 때문에 새로운 규칙이 내년부터 "
+           "적용될 것이라고 결정했다."),
+    ("ja", "政府は多くの人々が苦情を言ったため、新しい規則が来年から適用"
+           "されると決定しました。"),
+    ("zh", "政府决定新规则将从明年开始实施因为很多人投诉了这个问题需要解决"),
+    ("el", "Η κυβέρνηση αποφάσισε ότι οι νέοι κανόνες θα ισχύσουν από το "
+           "επόμενο έτος."),
+    ("he", "הממשלה החליטה שהכללים החדשים ייכנסו לתוקף מהשנה הבאה כי אנשים "
+           "רבים התלוננו."),
+    ("th", "รัฐบาลตัดสินใจว่ากฎใหม่จะมีผลบังคับใช้ตั้งแต่ปีหน้าเพราะมีคนจำนวนมากร้องเรียน"),
+]

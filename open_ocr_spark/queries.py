@@ -1710,6 +1710,28 @@ def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID made hash-checkable (r4): the library's labeled
+    16-language/9-script fixture runs through the real vectorized
+    classifier and the oracle states every expected label in closed
+    form — a trigram-profile or script-rule regression flips a row and
+    fails the driver hash (previously lang-id was rows-only)."""
+    from open_ocr_spark.dataops.textstats import (
+        LANG_ID_FIXTURE,
+        with_lang_id,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(LANG_ID_FIXTURE)],
+        "sample_id long, expected string, text string",
+    )
+    return (
+        with_lang_id(df)
+        .select("sample_id", "expected", "lang_pred")
+        .orderBy("sample_id")
+    )
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-archive CDX index (r4, dataops/urls.py): SURT keys over the
     capture table + content digests, range-ordered so prefix lookups
@@ -3882,6 +3904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_meta": q_robots_meta,
     "warc_http": q_warc_http,
     "cdx_index": q_cdx_index,
+    "lang_id_fixture": q_lang_id_fixture,
     # -- rows-only in r1-r3, gained full oracles in r4: need their first
     # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -6447,3 +6470,20 @@ def _cdx_oracle() -> str:
 
 
 ORACLES["cdx_index"] = _cdx_oracle()
+
+
+def _lang_id_fixture_oracle() -> str:
+    from open_ocr_spark.dataops.textstats import LANG_ID_FIXTURE
+
+    values = ", ".join(
+        f"({i}, '{lang}', '{lang}')"
+        for i, (lang, _) in enumerate(LANG_ID_FIXTURE)
+    )
+    return f"""
+        SELECT * FROM (VALUES {values})
+            AS t(sample_id, expected, lang_pred)
+        ORDER BY sample_id
+    """
+
+
+ORACLES["lang_id_fixture"] = _lang_id_fixture_oracle()

@@ -3888,10 +3888,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pptx_text": q_extract_pptx_text,
     "html_tables": q_html_tables,
     "quality_classifier": q_quality_classifier,
-    "top_bigrams": q_top_bigrams,
-    "key_skew_gini": q_key_skew_gini,
-    "readability_scores": q_readability_scores,
-    "bloom_prune_stats": q_bloom_prune_stats,
     "hll_distinct_md5": q_hll_distinct_md5,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
@@ -3910,6 +3906,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # -- r4-new but out of window slots: round 4 added 54 new queries
+    # -- against 50 slots. These four diagnostics sit first past the
+    # -- boundary because their primitives are hash-checked by in-window
+    # -- queries (token/aggregate paths) and their modules carry
+    # -- hand-value pytest checks; they are replica-green this session
+    # -- (tools/check_contract.py, all three SFs) and rotate into the
+    # -- window first in r5.
+    "top_bigrams": q_top_bigrams,
+    "key_skew_gini": q_key_skew_gini,
+    "readability_scores": q_readability_scores,
+    "bloom_prune_stats": q_bloom_prune_stats,
     # -- last driver-checked in r1/r2, BEFORE the r3/r4 code changes
     # -- (charset sniff, seven r3 edge fixes, r4 jpeg/urls/dedup edits):
     # -- rotate every one through the r4 window (VERDICT r3 item 3)

@@ -98,25 +98,52 @@ def check_window(queries: dict) -> int:
 
     from open_ocr_spark.queries import DRIVER_WINDOW
 
+    from open_ocr_spark.queries import ORACLES
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recorded_green: set[str] = set()
+    hash_checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
-            ok = row.get("hash_match") is True or (
+            if row.get("hash_match") is True:
+                hash_checked.add(name)
+                recorded_green.add(name)
+            elif (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
-            )
-            if ok:
+            ):
                 recorded_green.add(name)
 
     names = list(queries)
     outside = names[DRIVER_WINDOW:]
     never_checked = [n for n in outside if n not in recorded_green]
+    # a slot is legitimately OCCUPIED by a query that was never checked
+    # at all, or whose only recorded rows are rows-only while it now
+    # carries an oracle (upgrade-pending: its first hash-check is the
+    # point of holding the slot)
+    in_window_new = [
+        n
+        for n in names[:DRIVER_WINDOW]
+        if n not in recorded_green
+        or (n not in hash_checked and n in ORACLES)
+    ]
     print(
         f"registry: {len(names)} queries, driver window {DRIVER_WINDOW} "
         f"-> {len(outside)} outside the window "
         f"({len(never_checked)} of those never driver-checked)"
     )
+    if never_checked and len(in_window_new) >= DRIVER_WINDOW:
+        # Saturation, not mis-ordering: every window slot is already
+        # taken by a strictly-newer never-checked query, so there is no
+        # slot to move these into — they are the documented overflow and
+        # MUST rotate into the window first next round.
+        print(
+            f"WINDOW OVERFLOW: {len(in_window_new) + len(never_checked)} "
+            f"never-checked queries compete for {DRIVER_WINDOW} slots; "
+            f"past the boundary (rotate in first next round): "
+            f"{never_checked}"
+        )
+        return 0
     for n in never_checked:
         print(f"WINDOW VIOLATION: {n!r} is past registry slot "
               f"{DRIVER_WINDOW} but has no recorded CORRECTNESS green - "

@@ -132,18 +132,23 @@ def check_window(queries: dict) -> int:
         f"-> {len(outside)} outside the window "
         f"({len(never_checked)} of those never driver-checked)"
     )
+    overflow_ok: list[str] = []
     if never_checked and len(in_window_new) >= DRIVER_WINDOW:
         # Saturation, not mis-ordering: every window slot is already
-        # taken by a strictly-newer never-checked query, so there is no
-        # slot to move these into — they are the documented overflow and
-        # MUST rotate into the window first next round.
+        # held by a query needing its first (hash-)check, so there is no
+        # slot to move these into. Excuse ONLY the overflow-sized run of
+        # entries sitting immediately past the boundary (positioned to
+        # rotate in first next round) — a never-checked query any deeper
+        # in the registry is still a violation.
+        budget = len(in_window_new) + len(never_checked) - DRIVER_WINDOW
+        boundary_run = names[DRIVER_WINDOW:DRIVER_WINDOW + budget]
+        overflow_ok = [n for n in never_checked if n in boundary_run]
+        never_checked = [n for n in never_checked if n not in boundary_run]
         print(
-            f"WINDOW OVERFLOW: {len(in_window_new) + len(never_checked)} "
-            f"never-checked queries compete for {DRIVER_WINDOW} slots; "
-            f"past the boundary (rotate in first next round): "
-            f"{never_checked}"
+            f"WINDOW OVERFLOW: {len(in_window_new)} slot-needing queries "
+            f"fill all {DRIVER_WINDOW} slots; immediately past the "
+            f"boundary (rotate in first next round): {overflow_ok}"
         )
-        return 0
     for n in never_checked:
         print(f"WINDOW VIOLATION: {n!r} is past registry slot "
               f"{DRIVER_WINDOW} but has no recorded CORRECTNESS green - "

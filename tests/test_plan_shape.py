@@ -293,3 +293,47 @@ def test_pack_multimodal_window_is_partitioned(spark):
     assert _nodes(plan, "Window") == 1
     assert "hashpartitioning(bucket" in plan
     assert "SinglePartition" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    # each Lloyd iteration must be a broadcast of the tiny centroid
+    # table against the vector scan — never a shuffle of the vectors on
+    # a centroid key, never a cartesian over unbroadcast sides
+    from open_ocr_spark.dataops.kmeans import kmeans_assignments
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(kmeans_assignments(emb, iters=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the argmin is a codegen'd hash aggregate, not a sort
+    assert "min_by" in plan or "HashAggregate" in plan
+
+
+def test_phrase_gate_is_shuffle_free(spark):
+    # one codegen'd projection: no Exchange node at all
+    from open_ocr_spark.dataops.quality_rules import phrase_gate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(phrase_gate(docs, ["alpha", "beta gamma"]))
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_cdx_index_single_scan_single_range_exchange(spark):
+    # the index build is scan -> project -> ONE range exchange (the
+    # storage sort); a second scan or a hash shuffle is a regression
+    from open_ocr_spark.dataops.urls import cdx_index
+    from open_ocr_spark.queries import pages_from_documents
+
+    plan = plan_of(cdx_index(pages_from_documents(spark, SF)))
+    n_scans = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+    )
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and line.strip().endswith("Exchange")
+    )
+    assert n_scans == 1, plan
+    assert n_exchanges == 1, plan
+    assert "rangepartitioning" in plan

@@ -148,6 +148,10 @@ def semantic_dedup(
     from open_ocr_spark.dataops.similarity import cosine_sim
 
     _, asg = kmeans_fit(embeddings, iters=iters)
+    # with_cell feeds three consumers (pair sides a and b, the output
+    # join): pin the assignment so the broadcast-argmin subtree — the
+    # expensive stage — runs once, per the module's pinning policy
+    asg = asg.localCheckpoint(eager=True)
     with_cell = embeddings.join(asg, "vec_id").select(
         "vec_id", "cell", "embedding"
     )

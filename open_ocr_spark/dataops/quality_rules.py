@@ -181,6 +181,16 @@ def _phrase_regex(phrases: list[str]) -> str:
 
     if not phrases:
         raise ValueError("phrase_gate: empty blocklist")
+    # (?i) is ASCII-only case folding in Java regex but Unicode folding
+    # in RE2: a non-ASCII phrase would silently diverge between the
+    # Spark plan and the DuckDB oracle, so the contract is ASCII-only —
+    # enforced, not documented-and-hoped
+    non_ascii = [p for p in phrases if not p.isascii()]
+    if non_ascii:
+        raise ValueError(
+            f"phrase_gate: non-ASCII phrases {non_ascii!r} — (?i) case "
+            "folding differs between engines; fold or transliterate first"
+        )
 
     def _anchored(p: str) -> str:
         # \b only exists at a word-char edge: a phrase that starts or
@@ -197,7 +207,10 @@ def _phrase_regex(phrases: list[str]) -> str:
 
 
 def phrase_gate(
-    docs: DataFrame, phrases: list[str], text: str = "text"
+    docs: DataFrame,
+    phrases: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, n_hits, blocked): the blocklist-phrase filter every
     published web corpus applies (C4 drops pages containing any entry of
@@ -215,7 +228,7 @@ def phrase_gate(
     t = F.coalesce(F.col(text), F.lit(""))
     n = F.size(F.regexp_extract_all(t, F.lit(pat), 0))
     return docs.select(
-        "doc_id",
+        id_col,
         n.cast("long").alias("n_hits"),
         (n > 0).alias("blocked"),
     )

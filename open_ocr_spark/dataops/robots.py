@@ -177,7 +177,12 @@ def parse_robots_meta_txt(txt: str, agent: str = "*"):
         elif field in ("allow", "disallow"):
             in_group_rules = True
         elif field == "crawl-delay":
-            in_group_rules = True
+            # NOT group-terminating: RFC 9309 §2.2.4 — records other
+            # than allow/disallow "MUST NOT interfere with group
+            # parsing", and parse_robots_rules above treats this line
+            # as an ignorable unknown; the two parsers must attribute
+            # groups identically or a crawler combining them fetches
+            # under one group's rules at another group's pace
             if "*" in group_agents or agent in group_agents:
                 try:
                     delays.append(int(round(float(value) * 1000)))

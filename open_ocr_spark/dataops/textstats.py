@@ -362,7 +362,9 @@ def top_ngrams(
     )
 
 
-def char_entropy(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
     """(doc_id, n_chars, entropy_bits): Shannon entropy of the per-document
     character distribution, 4dp — the information-density quality signal
     corpus filters use alongside repetition_stats (machine-generated spam
@@ -378,7 +380,7 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     chars = docs.select(
         id_col,
         F.explode(
-            F.split(F.coalesce(F.col("text"), F.lit("")), "")
+            F.split(F.coalesce(F.col(text), F.lit("")), "")
         ).alias("ch"),
     ).filter(F.col("ch") != "")
     hist = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))

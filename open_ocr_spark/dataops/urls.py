@@ -150,7 +150,10 @@ def surt_key(url: Column | str) -> Column:
 
 
 def cdx_index(
-    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
 ) -> DataFrame:
     """(surt, warc_ts, url, digest): the CDX lookup index for a capture
     table — one row per capture, content digest for revisit detection,
@@ -167,7 +170,7 @@ def cdx_index(
             surt_key(F.col(url_col)).alias("surt"),
             F.col(ts_col).alias("warc_ts"),
             F.col(url_col).alias("url"),
-            F.md5(F.col("html").cast("binary")).alias("digest"),
+            F.md5(F.col(payload_col).cast("binary")).alias("digest"),
         )
         .filter(F.col("surt").isNotNull())
         .orderBy("surt", "warc_ts", "url")

@@ -1762,6 +1762,14 @@ def q_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 body = (text or "").encode("utf-8")
                 v = i % 5
+                if v == 4:
+                    # pad so the 8-byte cut always lands in the LAST
+                    # CHUNK'S data (an empty body's chunked payload is
+                    # just the 5-byte terminator and the cut would eat
+                    # the header block -> a different error message);
+                    # body content is irrelevant here, the oracle
+                    # expects a NULL body for the error row
+                    body += b" " * 16
                 raw = build_http_response(
                     body,
                     status=200 + (i % 2) * 204,

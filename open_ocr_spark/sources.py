@@ -485,7 +485,15 @@ def split_http_response(
         )
     body = payload[sep + 4:]
 
-    if "chunked" in headers.get("transfer-encoding", "").lower():
+    te = headers.get("transfer-encoding", "").lower()
+    if te and not all(
+        t.strip() in ("chunked", "identity") for t in te.split(",")
+    ):
+        # mirror the content-coding rejection below: an unhandled
+        # transfer-coding must be an error value, never still-encoded
+        # bytes silently returned as the page body
+        return err(f"unsupported transfer-encoding {te!r}")
+    if "chunked" in te:
         out, pos, total = [], 0, 0
         while True:
             eol = body.find(b"\r\n", pos)

@@ -173,3 +173,13 @@ def test_phrase_gate_empty_list_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         phrase_gate(df, [])
+
+
+def test_phrase_gate_rejects_non_ascii(spark):
+    import pytest as _pytest
+
+    from open_ocr_spark.dataops.quality_rules import phrase_gate
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-ASCII"):
+        phrase_gate(df, ["café"])

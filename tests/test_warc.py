@@ -379,3 +379,24 @@ class TestHttpEnvelope:
         }
         assert rows[0] == (200, b"page one", None)
         assert rows[1][0] is None and "not an HTTP" in rows[1][2]
+
+    def test_unsupported_transfer_coding_is_error_value(self):
+        from open_ocr_spark.sources import split_http_response
+
+        raw = b"HTTP/1.1 200 X\r\nTransfer-Encoding: gzip\r\n\r\nxx"
+        assert "unsupported transfer-encoding" in split_http_response(raw)[3]
+        # the chunked-after-gzip composite is equally unhandled
+        raw2 = b"HTTP/1.1 200 X\r\nTransfer-Encoding: gzip, chunked\r\n\r\nxx"
+        assert "unsupported transfer-encoding" in split_http_response(raw2)[3]
+
+    def test_truncation_with_padded_empty_body_stays_chunk_error(self):
+        # the warc_http query's variant 4 pads the body so the 8-byte
+        # cut always lands in chunk DATA, keeping the oracle's error
+        # message stable even for empty documents
+        from open_ocr_spark.sources import (
+            build_http_response,
+            split_http_response,
+        )
+
+        raw = build_http_response(b" " * 16, chunked=True)[:-8]
+        assert split_http_response(raw)[3] == "truncated chunk data"

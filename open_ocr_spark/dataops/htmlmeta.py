@@ -87,9 +87,14 @@ def extract_json_ld(
     Pure Catalyst end to end: regexp_extract_all finds every
     <script type="application/ld+json"> block (RE2/Java-shared syntax,
     like the other patterns in this module), explode fans blocks out,
-    get_json_object pulls @type/name — malformed JSON yields NULL and
-    the row drops, an error-as-value per block rather than per page.
-    No shuffle before the explode; block volume is output-proportional."""
+    get_json_object pulls @type/name — ONLY malformed JSON drops the
+    row (filter on the '$' parse succeeding), an error-as-value per
+    block rather than per page. Valid blocks with no top-level @type
+    (@graph containers, @context-only wrappers) are KEPT with a NULL
+    ld_type so downstream consumers decide (ADVICE r4: dropping them
+    silently lost real structured data under a contract that claimed
+    only malformed JSON drops). No shuffle before the explode; block
+    volume is output-proportional."""
     html = F.col(html_col)
     if dict(pages.dtypes).get(html_col) == "binary":
         html = F.decode(html, "utf-8")
@@ -97,10 +102,10 @@ def extract_json_ld(
         id_col, F.explode(F.regexp_extract_all(html, F.lit(_LD_BLOCK), 1)).alias("block")
     )
     return (
-        blocks.select(
+        blocks.filter(F.get_json_object("block", "$").isNotNull())
+        .select(
             id_col,
             F.get_json_object("block", "$['@type']").alias("ld_type"),
             F.get_json_object("block", "$.name").alias("name"),
         )
-        .filter(F.col("ld_type").isNotNull())
     )

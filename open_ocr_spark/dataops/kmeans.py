@@ -67,11 +67,26 @@ def quantize(embeddings: DataFrame) -> DataFrame:
 def _int_means(members: DataFrame, key: str = "cell") -> DataFrame:
     """Element-wise floor(sum/count) integer mean of `vq` per `key` —
     posexplode + two groupBys on uniform keys, no Python. floor of an
-    exact-integer ratio is engine-independent (both operands < 2^53)."""
+    exact-integer ratio is engine-independent ONLY while both operands
+    stay below 2^53 (long/count division runs in double); the guard
+    turns a violation into a loud executor-side error instead of silent
+    drift vs the DuckDB oracle (ADVICE r4)."""
+    exact_sum = F.when(
+        F.abs(F.sum("val")) < F.lit(2**53), F.sum("val")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "kmeans integer mean overflow: |sum(vq)|=%d >= 2^53 "
+                "for a (cell,pos) group; floor(sum/count) is no longer "
+                "exact — lower SCALE or shard the cell",
+                F.abs(F.sum("val")),
+            )
+        )
+    )
     return (
         members.select(key, F.posexplode("vq").alias("pos", "val"))
         .groupBy(key, "pos")
-        .agg(F.floor(F.sum("val") / F.count("*")).alias("m"))
+        .agg(F.floor(exact_sum / F.count("*")).alias("m"))
         .groupBy(key)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pairs"))
         .select(key, F.transform("_pairs", lambda s: s["m"]).alias("cq"))

@@ -59,7 +59,13 @@ _pairs_min = min(
     for i, a in enumerate(FONT.values())
     for b in list(FONT.values())[i + 1:]
 )
-assert len(_REVERSE) == len(FONT) and _pairs_min >= 3, _pairs_min
+if len(_REVERSE) != len(FONT) or _pairs_min < 3:
+    # explicit raise, not assert: the guard must survive `python -O` —
+    # an aliased glyph table would corrupt OCR output silently
+    raise RuntimeError(
+        f"glyph font ambiguity: {len(FONT)} glyphs, {len(_REVERSE)} "
+        f"distinct patterns, min pairwise Hamming {_pairs_min} (< 3)"
+    )
 
 
 def render_text_png(text: str, wrap: int = 96) -> bytes:

@@ -1860,10 +1860,12 @@ def q_phrase_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_json_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD harvest (r4, dataops/htmlmeta.py): pages carry
-    two valid ld+json blocks (built with to_json so names are properly
-    JSON-escaped), one malformed block, and one non-ld script; the
-    extractor must find exactly the valid blocks, unescape the names
-    byte-exactly, and drop the rest — pure Catalyst, no Python."""
+    two valid typed ld+json blocks (built with to_json so names are
+    properly JSON-escaped), one valid @graph container with NO top-level
+    @type (kept with NULL ld_type — ADVICE r4), one malformed block, and
+    one non-ld script; the extractor must find exactly the valid blocks,
+    unescape the names byte-exactly, and drop only the malformed and
+    non-ld ones — pure Catalyst, no Python."""
     from open_ocr_spark.dataops.htmlmeta import extract_json_ld
 
     docs = _t(spark, sf_dir, "documents")
@@ -1888,6 +1890,9 @@ def q_json_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
             b1,
             F.lit("</script><script type='application/ld+json'>"),
             b2,
+            F.lit('</script><script type="application/ld+json">'
+                  '{"@context":"https://schema.org","@graph":'
+                  '[{"@type":"WebSite"}]}'),
             F.lit('</script><script type="application/ld+json">{oops'),
             F.lit('</script><script type="text/javascript">'
                   '{"@type":"Nope","name":"x"}</script>'
@@ -4633,6 +4638,9 @@ ORACLES: dict[str, str] = {
         FROM documents
         UNION ALL
         SELECT doc_id, 'Product', 'Item ' || doc_id::VARCHAR
+        FROM documents
+        UNION ALL
+        SELECT doc_id, NULL, NULL  -- the @graph container block
         FROM documents
         ORDER BY doc_id, ld_type
     """,

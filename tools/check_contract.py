@@ -85,6 +85,26 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+# Explicit, round-stamped overflow allowlist (ADVICE r4): when a round
+# registers more never-checked queries than the driver window has slots,
+# the past-boundary entries must be DECLARED here by the person shipping
+# the round — not derived by the tool being gated, which let any
+# saturated-window reorder pass silently. An entry for round R applies
+# ONLY while CORRECTNESS_r{R+1:02d}.json does not exist yet; the moment
+# the next round's driver results land, the exemption expires and the
+# named queries must have rotated into the window and gained rows.
+OVERFLOW_OK: dict[int, list[str]] = {
+    # r4 shipped 54 new queries against 50 slots; these four diagnostics
+    # were declared past-boundary and rotated into the r5 window.
+    4: [
+        "top_bigrams",
+        "key_skew_gini",
+        "readability_scores",
+        "bloom_prune_stats",
+    ],
+}
+
+
 def check_window(queries: dict) -> int:
     """Enforce the registry-order policy: the driver records CORRECTNESS
     rows for only the first DRIVER_WINDOW registry entries, so a query may
@@ -103,7 +123,10 @@ def check_window(queries: dict) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recorded_green: set[str] = set()
     hash_checked: set[str] = set()
+    latest_round = 0
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = __import__("re").search(r"r(\d+)\.json$", path)
+        latest_round = max(latest_round, int(m.group(1)) if m else 0)
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") is True:
                 hash_checked.add(name)
@@ -130,30 +153,129 @@ def check_window(queries: dict) -> int:
     print(
         f"registry: {len(names)} queries, driver window {DRIVER_WINDOW} "
         f"-> {len(outside)} outside the window "
-        f"({len(never_checked)} of those never driver-checked)"
+        f"({len(never_checked)} of those never driver-checked); "
+        f"{len(in_window_new)}/{DRIVER_WINDOW} window slots earn a first "
+        f"(hash-)check this round"
     )
-    overflow_ok: list[str] = []
-    if never_checked and len(in_window_new) >= DRIVER_WINDOW:
-        # Saturation, not mis-ordering: every window slot is already
-        # held by a query needing its first (hash-)check, so there is no
-        # slot to move these into. Excuse ONLY the overflow-sized run of
-        # entries sitting immediately past the boundary (positioned to
-        # rotate in first next round) — a never-checked query any deeper
-        # in the registry is still a violation.
-        budget = len(in_window_new) + len(never_checked) - DRIVER_WINDOW
-        boundary_run = names[DRIVER_WINDOW:DRIVER_WINDOW + budget]
-        overflow_ok = [n for n in never_checked if n in boundary_run]
-        never_checked = [n for n in never_checked if n not in boundary_run]
+    # apply only UNEXPIRED allowlist rounds: an entry for round R is
+    # void once CORRECTNESS_r{R+1}.json exists on disk
+    live_overflow: set[str] = set()
+    for rnd, allowed in OVERFLOW_OK.items():
+        if rnd >= latest_round:
+            live_overflow.update(allowed)
+    overflow_ok = [n for n in never_checked if n in live_overflow]
+    if overflow_ok:
+        never_checked = [n for n in never_checked if n not in live_overflow]
         print(
-            f"WINDOW OVERFLOW: {len(in_window_new)} slot-needing queries "
-            f"fill all {DRIVER_WINDOW} slots; immediately past the "
-            f"boundary (rotate in first next round): {overflow_ok}"
+            f"WINDOW OVERFLOW (declared, round-stamped): {overflow_ok} "
+            f"- exemption expires when CORRECTNESS_r{latest_round + 1:02d}"
+            f".json lands"
         )
     for n in never_checked:
         print(f"WINDOW VIOLATION: {n!r} is past registry slot "
               f"{DRIVER_WINDOW} but has no recorded CORRECTNESS green - "
               f"move it into the first {DRIVER_WINDOW} entries")
-    return len(never_checked)
+    return len(never_checked) + check_stale(queries, names, in_window_new)
+
+
+def check_stale(queries: dict, names: list, in_window_new: list) -> int:
+    """VERDICT r4 item 3: every query's LAST driver-green should postdate
+    the last code change to the plan it builds.  A query's code = the
+    source file its builder is defined in (meaningful once the registry
+    is split per-domain) plus every `open_ocr_spark.*` module the builder
+    imports.  Compares git last-commit times of those files against the
+    commit time of the CORRECTNESS json that recorded the query's newest
+    driver row, prints a rotation-ordered staleness report, and returns a
+    violation count only for WASTED window slots — slots holding a
+    fresh-green query while a staler one sits outside (the window is
+    finite, so staleness alone is a report, mis-prioritisation is the
+    error)."""
+    import glob
+    import inspect
+    import json
+    import os
+    import re
+    import subprocess
+
+    from open_ocr_spark.queries import DRIVER_WINDOW
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def last_commit_ts(path: str) -> int:
+        out = subprocess.run(
+            ["git", "-C", repo, "log", "-1", "--format=%ct", "--", path],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        return int(out) if out else 0
+
+    newest_green: dict[str, int] = {}
+    round_ts: dict[int, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        round_ts[rnd] = last_commit_ts(os.path.relpath(path, repo))
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+
+    file_ts: dict[str, int] = {}
+
+    def dep_files(fn) -> set[str]:
+        try:
+            src = inspect.getsource(fn)
+            own = os.path.relpath(inspect.getsourcefile(fn), repo)
+        except (OSError, TypeError):
+            return set()
+        deps = {own} if not own.startswith("..") else set()
+        for mod in re.findall(r"from (open_ocr_spark[.\w]*) import", src):
+            rel = mod.replace(".", "/")
+            for cand in (rel + ".py", rel + "/__init__.py"):
+                if os.path.exists(os.path.join(repo, cand)):
+                    deps.add(cand)
+                    break
+        # the monolithic registry file changes every round for unrelated
+        # reasons; it stops being excluded once builders live per-domain
+        deps.discard("open_ocr_spark/queries.py")
+        return deps
+
+    stale: list[tuple[int, str, str]] = []  # (lag_seconds, name, file)
+    for name, fn in queries.items():
+        rnd = newest_green.get(name)
+        if rnd is None:
+            continue  # never checked: handled by check_window
+        green_ts = round_ts.get(rnd, 0)
+        for f in dep_files(fn):
+            if f not in file_ts:
+                file_ts[f] = last_commit_ts(f)
+            if file_ts[f] > green_ts:
+                stale.append((file_ts[f] - green_ts, name, f))
+                break
+    stale.sort(reverse=True)
+    wasted = [
+        n for n in names[:DRIVER_WINDOW]
+        if n not in in_window_new and n not in {s[1] for s in stale}
+    ]
+    stale_outside = [s for s in stale if s[1] in names[DRIVER_WINDOW:]]
+    if stale:
+        print(
+            f"stale greens: {len(stale)} queries' newest driver row "
+            f"predates a code change ({len(stale_outside)} outside the "
+            f"window); rotation order (most stale first): "
+            f"{[s[1] for s in stale_outside][:15]}"
+        )
+    violations = min(len(stale_outside), len(wasted))
+    if violations:
+        print(
+            f"STALE VIOLATION: {violations} window slot(s) hold fresh-"
+            f"green queries ({wasted[:violations]}) while staler ones "
+            f"sit outside ({[s[1] for s in stale_outside[:violations]]})"
+        )
+    return violations
 
 
 def main():

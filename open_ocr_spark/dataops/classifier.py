@@ -1,7 +1,11 @@
-"""Linear text-classifier serving at corpus scale (the CCNet/fastText
-quality-gate shape): tokenize, look up a per-token weight, mean-pool,
-sigmoid.  This is the stage a real pipeline runs over every crawled
-document with weights learned offline; here the weight table is either
+"""Linear text-classifier TRAIN + SERVE at corpus scale (the
+CCNet/fastText quality-gate shape): tokenize, look up a per-token
+weight, mean-pool, sigmoid.  This is the stage a real pipeline runs
+over every crawled document.  Training (perceptron_train, r5) closes
+the last "offline model" dependency: the gate's weights are learned
+IN-corpus with an integer-exact batch perceptron whose per-iteration
+work is one term equi-join plus two hash aggregates — the same
+distributed shape as serving.  For serving, the weight table is either
 
 - caller-supplied (term, weight) pairs — broadcast-joined, the
   production path, or
@@ -24,6 +28,98 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TWO31 = 2147483647
+
+
+def _term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, cnt): bag-of-words counts with the module's shared
+    tokenizer (lower + whitespace split, empties dropped) — identical
+    spelling to hashed_linear_score so trained weights serve directly."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+",
+                    ),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def perceptron_train(
+    docs: DataFrame,
+    iters: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    pin: bool = True,
+) -> DataFrame:
+    """(term, weight) after ``iters`` batch-perceptron epochs — integer-
+    exact, so the result is parallelism-invariant and the DuckDB oracle
+    can replay every epoch as an unrolled CTE (the kmeans_clusters /
+    bpe_train pattern).
+
+    ``docs[label_col]`` must be +1/-1.  Epoch semantics: score every
+    document under the current weights (missing terms contribute 0, the
+    empty table scores everything 0), predict sign(score) with the
+    score>=0 -> +1 tie rule, then add sum(y * cnt) over MISCLASSIFIED
+    documents to each term's weight — the classic batch perceptron on
+    count features (Rosenblatt 1958; Collins EMNLP'02 for the averaged
+    structured variant this mirrors).
+
+    Scale shape: token counts are computed once and pinned; each epoch
+    is one term equi-join (toks x weights — both term-partitioned, no
+    broadcast assumption since the vocab is corpus-sized at 100 TB),
+    one per-doc hash aggregate, one misclassified semi-set and one
+    per-term hash aggregate.  No collect anywhere: the model STAYS a
+    DataFrame, exactly how a 10^12-doc corpus would train a gate."""
+    toks = _term_counts(docs, text_col, id_col)
+    labels = docs.select(id_col, F.col(label_col).cast("long").alias("y"))
+    if pin:
+        toks = toks.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    weights = spark.createDataFrame([], "term string, w long")
+    for _ in range(iters):
+        scores = (
+            toks.join(weights, "term")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("w") * F.col("cnt")).alias("score"))
+        )
+        mis = (
+            labels.join(scores, id_col, "left")
+            .filter(
+                F.when(F.coalesce("score", F.lit(0)) >= 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                != F.col("y")
+            )
+            .select(id_col, "y")
+        )
+        delta = (
+            mis.join(toks, id_col)
+            .groupBy("term")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
+        )
+        weights = (
+            weights.join(delta, "term", "full")
+            .select(
+                "term",
+                (F.coalesce("w", F.lit(0)) + F.coalesce("d", F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        if pin:
+            weights = weights.localCheckpoint(eager=True)
+    return weights.filter(F.col("w") != 0).select(
+        "term", F.col("w").alias("weight")
+    )
 
 
 def _hash_weight(col):

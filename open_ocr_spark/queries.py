@@ -2363,6 +2363,80 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier TRAINING (r5, dataops/classifier.py
+    perceptron_train — VERDICT r4 item 5): two integer-exact batch-
+    perceptron epochs over the documents corpus with in-corpus labels
+    (y=+1 for lang='en', the CCNet reference-vs-crawl shape), no collect,
+    per-epoch work one term equi-join + two hash aggregates. The oracle
+    REPLAYS BOTH EPOCHS as an unrolled CTE (score under w, misclassify
+    with the score>=0 tie rule, sum y*cnt deltas, full-outer merge), so
+    tokenization, tie-breaks and every weight value hash-check."""
+    from open_ocr_spark.dataops.classifier import perceptron_train
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    return perceptron_train(docs, iters=2).orderBy("term")
+
+
+def _classifier_train_oracle(iters: int = 2) -> str:
+    """Unrolled-CTE replay of perceptron_train: w0 is empty, epoch i
+    scores under w{i-1} (missing terms = 0), misclassifies with the
+    score>=0 -> +1 tie rule, and merges sum(y*cnt) over misclassified
+    docs into w{i}."""
+    ctes = [
+        """toks AS (
+            SELECT doc_id, term, count(*)::BIGINT AS cnt
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           lower(coalesce(text, '')), '\\s+')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY doc_id, term
+        )""",
+        """labels AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y
+            FROM documents
+        )""",
+        "w0 AS (SELECT '' AS term, 0::BIGINT AS w WHERE false)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+            SELECT t.doc_id, sum(w.w * t.cnt)::BIGINT AS score
+            FROM toks t JOIN w{i - 1} w USING (term)
+            GROUP BY t.doc_id
+        )""")
+        ctes.append(f"""m{i} AS (
+            SELECT l.doc_id, l.y
+            FROM labels l LEFT JOIN s{i} s USING (doc_id)
+            WHERE (CASE WHEN coalesce(s.score, 0) >= 0
+                        THEN 1 ELSE -1 END) <> l.y
+        )""")
+        ctes.append(f"""w{i} AS (
+            SELECT coalesce(w.term, d.term) AS term,
+                   (coalesce(w.w, 0) + coalesce(d.d, 0))::BIGINT AS w
+            FROM w{i - 1} w
+            FULL OUTER JOIN (
+                SELECT t.term, sum(m.y * t.cnt)::BIGINT AS d
+                FROM m{i} m JOIN toks t USING (doc_id)
+                GROUP BY t.term
+            ) d ON w.term = d.term
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT term, w AS weight FROM w{iters} WHERE w <> 0 "
+        "ORDER BY term"
+    )
+
+
 def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured table extraction (kernels/tables.py) through the real
     HTML parse: each document becomes a page with nav/footer
@@ -2998,6 +3072,44 @@ def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         _flate_wrap(F.col("doc_id"), F.col("text")).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 depth for how real-world PDFs actually store text (r5, VERDICT
+    r4 item 4): every document becomes a COMPOSITE-FONT PDF whose show
+    string carries per-document font codes (assigned by first appearance,
+    so a byte-fallback read is mojibake) resolved through an embedded
+    ToUnicode CMap — bfchar pairs, array-destination bfrange, an
+    incrementing hex bfrange and a multi-code-unit ligature destination
+    all on the value path, content stream FlateDecode'd
+    (kernels/pdf_text.py render_pdf_cmap, the writer twin). The kernel
+    must map codes back to Unicode byte-exactly: text + 'abc<<>>'."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cmap_wrap(texts):
+        from open_ocr_spark.kernels.pdf_text import render_pdf_cmap
+
+        return pd.Series([render_pdf_cmap(t or "") for t in texts])
+
+    _cmap_wrap.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _cmap_wrap = pandas_udf(_cmap_wrap, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://docs.example.com/pdfcmap/"), F.col("doc_id")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        _cmap_wrap(F.col("text")).alias("html"),
         F.lit("eng").alias("lang"),
         "doc_id",
     )
@@ -3866,7 +3978,67 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- new in r4 (no prior green: must sit inside the window) ----------
+    # -- r5-new: never driver-checked, must sit inside the window -------
+    "extract_pdf_cmap": q_extract_pdf_cmap,
+    "classifier_train": q_classifier_train,
+    # -- r4 window-overflow diagnostics (VERDICT r4 item 1): never
+    # -- driver-checked; the OVERFLOW_OK_r4 exemption expires when
+    # -- CORRECTNESS_r05.json lands, so these four lead the rotation
+    "top_bigrams": q_top_bigrams,
+    "key_skew_gini": q_key_skew_gini,
+    "readability_scores": q_readability_scores,
+    "bloom_prune_stats": q_bloom_prune_stats,
+    # -- made stale by the r5 CMap/perceptron commit itself (pdf_text.py
+    # -- and classifier.py are deps of these four r3/r4-green queries)
+    "extract_pdf_flate": q_extract_pdf_flate,
+    "extract_pdf_tj": q_extract_pdf_tj,
+    "extract_pdf_text": q_extract_pdf_text,
+    "quality_classifier": q_quality_classifier,
+    # -- stale greens (VERDICT r4 item 3): newest driver row predates a
+    # -- code change to a dep module, in check_contract rotation order
+    "media_features": q_media_features,
+    "binary_payload_stats": q_binary_payload_stats,
+    "warc_roundtrip": q_warc_roundtrip,
+    "url_fetch_roundtrip": q_url_fetch_roundtrip,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "multipart_roundtrip": q_multipart_roundtrip,
+    "canonical_url_dedup": q_canonical_url_dedup,
+    "bpe_token_counts": q_bpe_token_counts,
+    "temperature_sample": q_temperature_sample,
+    "host_pagerank": q_host_pagerank,
+    "host_link_graph": q_host_link_graph,
+    "pack_training_sequences": q_pack_training_sequences,
+    "media_resize_png": q_media_resize_png,
+    "media_resize_jpeg": q_media_resize_jpeg,
+    "media_resize": q_media_resize,
+    "media_frame_sample_mp4": q_media_frame_sample_mp4,
+    "media_frame_sample": q_media_frame_sample,
+    "audio_stats_wav": q_audio_stats_wav,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_clusters": q_kmeans_clusters,
+    "json_ld": q_json_ld,
+    "html_meta": q_html_meta,
+    "extract_glyph_ocr": q_extract_glyph_ocr,
+    # -- oldest surviving greens (r2 vintage): refresh while slots allow
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "anti_join_resume": q_anti_join_resume,
+    "base64_roundtrip": q_base64_roundtrip,
+    "cube_source_lang": q_cube_source_lang,
+    "daily_event_stats": q_daily_event_stats,
+    "distinct_counts": q_distinct_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_topk": q_embedding_topk,
+    "fact_fact_join_revenue": q_fact_fact_join_revenue,
+    "full_outer_user_activity": q_full_outer_user_activity,
+    "grouping_sets_docs": q_grouping_sets_docs,
+    "intersect_user_ids": q_intersect_user_ids,
+    "join_region_nation_customer": q_join_region_nation_customer,
+    "join_top_customers": q_join_top_customers,
+    "lang_id": q_lang_id,
+    "orders_above_avg": q_orders_above_avg,
+    # -- past the window (83): fresh r3/r4 greens whose deps are
+    # -- unchanged since their newest driver row, in prior order
     "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
     "simhash_fingerprints_md5": q_simhash_fingerprints_md5,
     "media_resize_jpeg_progressive": q_media_resize_jpeg_progressive,
@@ -3875,7 +4047,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample_webm": q_media_frame_sample_webm,
     "substring_dedup": q_substring_dedup,
     "host_quota_sample": q_host_quota_sample,
-    "html_meta": q_html_meta,
     "crawl_delta": q_crawl_delta,
     "ngram_fluency": q_ngram_fluency,
     "robots_gate": q_robots_gate,
@@ -3900,123 +4071,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_dedup": q_image_dhash_dedup,
     "extract_pptx_text": q_extract_pptx_text,
     "html_tables": q_html_tables,
-    "quality_classifier": q_quality_classifier,
     "hll_distinct_md5": q_hll_distinct_md5,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semantic_dedup": q_semantic_dedup,
     "char_entropy": q_char_entropy,
     "extract_xlsx_text": q_extract_xlsx_text,
     "extract_epub_text": q_extract_epub_text,
-    "extract_glyph_ocr": q_extract_glyph_ocr,
-    "json_ld": q_json_ld,
     "phrase_gate": q_phrase_gate,
     "robots_meta": q_robots_meta,
     "warc_http": q_warc_http,
     "cdx_index": q_cdx_index,
     "lang_id_fixture": q_lang_id_fixture,
-    # -- rows-only in r1-r3, gained full oracles in r4: need their first
-    # -- hash-checked driver row
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    # -- r4-new but out of window slots: round 4 added 54 new queries
-    # -- against 50 slots. These four diagnostics sit first past the
-    # -- boundary because their primitives are hash-checked by in-window
-    # -- queries (token/aggregate paths) and their modules carry
-    # -- hand-value pytest checks; they are replica-green this session
-    # -- (tools/check_contract.py, all three SFs) and rotate into the
-    # -- window first in r5.
-    "top_bigrams": q_top_bigrams,
-    "key_skew_gini": q_key_skew_gini,
-    "readability_scores": q_readability_scores,
-    "bloom_prune_stats": q_bloom_prune_stats,
-    # -- last driver-checked in r1/r2, BEFORE the r3/r4 code changes
-    # -- (charset sniff, seven r3 edge fixes, r4 jpeg/urls/dedup edits):
-    # -- rotate every one through the r4 window (VERDICT r3 item 3)
-    "base64_roundtrip": q_base64_roundtrip,
-    "embedding_topk": q_embedding_topk,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
-    "binary_payload_stats": q_binary_payload_stats,
-    "orders_above_avg": q_orders_above_avg,
-    "doc_fingerprints": q_doc_fingerprints,
-    "lang_id": q_lang_id,
-    "full_outer_user_activity": q_full_outer_user_activity,
     "pivot_order_status": q_pivot_order_status,
     "percentile_order_value": q_percentile_order_value,
-    "distinct_counts": q_distinct_counts,
-    "grouping_sets_docs": q_grouping_sets_docs,
     "scan_filter_project": q_scan_filter_project,
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "join_top_customers": q_join_top_customers,
-    "join_region_nation_customer": q_join_region_nation_customer,
     "window_latest_event_per_user": q_window_latest_event_per_user,
     "window_running_revenue": q_window_running_revenue,
-    "anti_join_resume": q_anti_join_resume,
     "semi_join_events": q_semi_join_events,
-    "daily_event_stats": q_daily_event_stats,
     "set_except_sources": q_set_except_sources,
     "union_lang_totals": q_union_lang_totals,
-    "fact_fact_join_revenue": q_fact_fact_join_revenue,
     "top_unshipped_orders": q_top_unshipped_orders,
-    "intersect_user_ids": q_intersect_user_ids,
-    "cube_source_lang": q_cube_source_lang,
     "window_event_gaps": q_window_event_gaps,
     "embedding_near_dup": q_embedding_near_dup,
-    # -- r3-green, but their code paths CHANGED in r4 (html charset
-    # -- prescan comments, try_parse_url canonicalization, jpeg decoder
-    # -- refactor, dedup hashing param threading, warc oracle): re-check
     "extract_main_text": q_extract_main_text,
     "extract_status_rollup": q_extract_status_rollup,
     "extract_structured_spans": q_extract_structured_spans,
-    "canonical_url_dedup": q_canonical_url_dedup,
-    "warc_roundtrip": q_warc_roundtrip,
-    "media_resize_jpeg": q_media_resize_jpeg,
-    "media_resize": q_media_resize,
-    "media_features": q_media_features,
     "exact_dedup_groups": q_exact_dedup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "prepare_corpus_full": q_prepare_corpus_full,
-    # -- past the window: r3-green driver rows on file and their code
-    # -- paths untouched in r4; minhash/simhash (xxhash forms) sit here
-    # -- because their driver check is rows-only by design — the md5
-    # -- twins at slots 1-2 carry the hash-checked evidence for the same
-    # -- plan shape, and pytest pins xxhash==md5-form equivalence
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "engine_dispatch": q_engine_dispatch,
     "asof_last_order": q_asof_last_order,
     "topk_orders_per_customer": q_topk_orders_per_customer,
-    "extract_pdf_flate": q_extract_pdf_flate,
-    "multipart_roundtrip": q_multipart_roundtrip,
-    "url_fetch_roundtrip": q_url_fetch_roundtrip,
-    "extract_pdf_tj": q_extract_pdf_tj,
-    "media_resize_png": q_media_resize_png,
-    "media_frame_sample_mp4": q_media_frame_sample_mp4,
-    "audio_stats_wav": q_audio_stats_wav,
     "session_window_stats": q_session_window_stats,
     "line_dedup_docs": q_line_dedup_docs,
-    "pack_training_sequences": q_pack_training_sequences,
     "decontaminate_docs": q_decontaminate_docs,
-    "host_link_graph": q_host_link_graph,
-    "host_pagerank": q_host_pagerank,
-    "temperature_sample": q_temperature_sample,
-    "extract_pdf_text": q_extract_pdf_text,
     "ntile_order_quartiles": q_ntile_order_quartiles,
     "range_join_event_pairs": q_range_join_event_pairs,
     "stats_corr_revenue": q_stats_corr_revenue,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
-    "media_frame_sample": q_media_frame_sample,
     "rollup_source_lang": q_rollup_source_lang,
     "salted_host_counts": q_salted_host_counts,
     "approx_distinct_users": q_approx_distinct_users,
     "sessionize_events": q_sessionize_events,
     "host_doc_counts": q_host_doc_counts,
-    "repetition_stats": q_repetition_stats,
-    "pii_scrub": q_pii_scrub,
-    "bpe_token_counts": q_bpe_token_counts,
     "prepare_corpus": q_prepare_corpus,
 }
 
@@ -5144,6 +5248,12 @@ ORACLES: dict[str, str] = {
     """,
     "extract_pdf_flate": """
         SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "extract_pdf_cmap": """
+        SELECT doc_id, coalesce(text, '') || 'abc<<>>' AS extracted_text,
+               'ok' AS status
         FROM documents
         ORDER BY doc_id
     """,
@@ -6408,6 +6518,7 @@ def _semdedup_oracle(iters: int = 2, threshold: float = 0.99) -> str:
 
 ORACLES["kmeans_clusters"] = _kmeans_oracle()
 ORACLES["semantic_dedup"] = _semdedup_oracle()
+ORACLES["classifier_train"] = _classifier_train_oracle()
 
 ORACLES["char_entropy"] = """
     WITH chars AS (

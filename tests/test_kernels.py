@@ -708,3 +708,80 @@ def test_extraction_honours_declared_charset():
     from open_ocr_spark.kernels.htmltree import parse_html_stdlib
 
     assert parse_html(raw).candidates and parse_html_stdlib(raw).candidates
+
+
+# --- ToUnicode CMap (PDF 32000-1:2008 §9.10.3) -------------------------------
+
+
+def test_pdf_cmap_writer_roundtrip():
+    from open_ocr_spark.kernels.pdf_text import render_pdf_cmap
+
+    for text in ("Hello, CMap!", "", "aaaa", "café — naïve 🚀"):
+        assert extract_pdf_text(render_pdf_cmap(text)) == text + "abc<<>>"
+
+
+def test_pdf_cmap_is_load_bearing():
+    # with the ToUnicode ref removed, the same bytes must mojibake:
+    # proves the decode goes through the CMap, not a byte fallback
+    from open_ocr_spark.kernels.pdf_text import render_pdf_cmap
+
+    pdf = render_pdf_cmap("Hi").replace(b"/ToUnicode 5 0 R ", b"")
+    assert extract_pdf_text(pdf).startswith("\x00\x01\x00\x02")
+
+
+def test_pdf_cmap_bfchar_bfrange_forms():
+    from open_ocr_spark.kernels.pdf_text import _parse_cmap
+
+    body = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <00660066>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"             # incrementing hex dst
+        b"<0020> <0021> [<005A> <0039>]\n"    # array dst
+        b"endbfrange\n"
+    )
+    width, m = _parse_cmap(body)
+    assert width == 2
+    assert m[1] == "A" and m[2] == "ff"       # multi-unit ligature
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert (m[0x20], m[0x21]) == ("Z", "9")
+
+
+def test_pdf_cmap_one_byte_codes_and_unmapped_replacement():
+    from open_ocr_spark.kernels.pdf_text import _cmap_text, _parse_cmap
+
+    body = (
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <0058>\nendbfchar\n"
+    )
+    width, m = _parse_cmap(body)
+    assert width == 1
+    assert _cmap_text(b"A" + b"\x07", width, m) == "X�"
+
+
+def test_pdf_cmap_trailing_partial_code_replacement():
+    from open_ocr_spark.kernels.pdf_text import _cmap_text
+
+    assert _cmap_text(b"\x00\x01\x02", 2, {1: "Q"}) == "Q�"
+
+
+def test_pdf_cmap_malformed_range_skipped():
+    from open_ocr_spark.kernels.pdf_text import _parse_cmap
+
+    body = b"1 beginbfrange\n<0010> <0001> <0041>\nendbfrange\n"
+    _, m = _parse_cmap(body)  # hi < lo: skipped, no explosion
+    assert m == {}
+
+
+def test_pdf_font_without_tounicode_falls_back():
+    # a Tf op naming a font with no CMap keeps the plain byte decode
+    pdf = (
+        b"%PDF-1.7\n"
+        b"3 0 obj\n<< /Resources << /Font << /G1 4 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Font /ToUnicode 9 0 R >>\nendobj\n"
+        b"9 0 obj\n<< /Length 43 >>\nstream\n"
+        b"1 beginbfchar\n<0001> <0051>\nendbfchar\n"
+        b"\nendstream\nendobj\n"
+        b"BT /F9 12 Tf (plain bytes) Tj ET\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "plain bytes"

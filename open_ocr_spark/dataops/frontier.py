@@ -69,3 +69,63 @@ def frontier_schedule(
         .withColumn("fetch_order", F.row_number().over(w))
         .filter(F.col("fetch_order") <= per_host_quota)
     )
+
+
+def frontier_polite(
+    candidates: DataFrame,
+    rules: DataFrame,
+    meta: DataFrame,
+    seen: DataFrame,
+    per_host_quota: int = 4,
+    round_ms: int = 60_000,
+    default_delay_ms: int = 1_000,
+) -> DataFrame:
+    """`frontier_schedule` composed with the robots politeness metadata
+    (r5; VERDICT r4 item 7): the per-host quota is further bound by the
+    host's OWN Crawl-delay budget, and every scheduled fetch gets its
+    earliest polite start time.
+
+    (url, host, in_degree, fetch_order, delay_ms, fetch_at_ms) where
+
+    - delay_ms  = the host's group-scoped Crawl-delay from
+      ``parse_robots_meta`` (``default_delay_ms`` when the host declares
+      none; floored at 1 so a zero delay cannot divide away the budget),
+    - the effective quota = min(per_host_quota, floor(round_ms /
+      delay_ms), and at least 1 — a crawl round of ``round_ms`` can only
+      fit that many polite fetches against one host,
+    - fetch_at_ms = (fetch_order - 1) * delay_ms, the fetch's scheduled
+      offset inside the round.
+
+    Scale shape: everything frontier_schedule guarantees (one uniform
+    hash aggregate, anti-join on the same key, map-side WindowGroupLimit
+    quota prune) plus ONE per-host equi-join against the metadata table —
+    hosts number ~10^7 at crawl scale, broadcastable or a cheap shuffle
+    next to the 10^12-row candidate set either way.  No collects."""
+    sched = frontier_schedule(
+        candidates, rules, seen, per_host_quota=per_host_quota
+    )
+    delays = (
+        meta.select(F.lower(F.col("host")).alias("host"), "crawl_delay_ms")
+        .groupBy("host")
+        .agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
+    )
+    delay = F.greatest(
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms)),
+        F.lit(1),
+    )
+    budget_quota = F.greatest(
+        F.floor(F.lit(round_ms) / delay).cast("long"), F.lit(1)
+    )
+    return (
+        sched.join(delays, "host", "left")
+        .filter(F.col("fetch_order") <= budget_quota)
+        .select(
+            "url",
+            "host",
+            "in_degree",
+            "fetch_order",
+            delay.cast("long").alias("delay_ms"),
+            ((F.col("fetch_order") - 1) * delay).cast("long")
+            .alias("fetch_at_ms"),
+        )
+    )

@@ -2774,6 +2774,176 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "fetch_order")
 
 
+def q_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frontier_schedule x robots politeness, composed (r5, VERDICT r4
+    item 7 — dataops/frontier.py frontier_polite): the same candidate /
+    robots / seen fixture as frontier_schedule, but every host's
+    robots.txt now declares a '*'-group Crawl-delay of (hid).5 seconds
+    behind a googlebot distractor group (99 s — leaking it across groups
+    flips nearly every row).  With a 10-second round budget the delay
+    budget OVERRIDES the quota of 4 on hosts 3..9 (h3/h4 fit 2 fetches,
+    h5..h9 fit 1) and leaves it binding on h0..h2; each kept fetch gets
+    its polite start offset.  The oracle replays BOTH stages — the full
+    count / anti-join / gate / rank frontier pipeline, then the delay
+    join, budget filter and offset arithmetic — in closed form."""
+    from open_ocr_spark.dataops.frontier import frontier_polite
+    from open_ocr_spark.dataops.robots import parse_robots, parse_robots_meta
+
+    i = F.col("doc_id")
+    h = (i % 10).cast("string")
+    p = (i % 25).cast("string")
+    raw_page = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit("https://www.h"), h, F.lit(".example.com:443/page/"), p,
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+            F.lit("?a=1&b=2"),
+        )
+    )
+    home = F.concat(F.lit("https://h"), h, F.lit(".example.com/"))
+    priv = F.concat(
+        F.lit("https://h"), h, F.lit(".example.com/private/"),
+        i.cast("string"),
+    )
+    src = F.concat(F.lit("https://s"), i.cast("string"), F.lit(".example.com/"))
+
+    docs = _t(spark, sf_dir, "documents")
+    candidates = docs.select(
+        src.alias("src_url"),
+        F.explode(F.array(raw_page, home, priv)).alias("dst_url"),
+    )
+    robots = (
+        docs.select(
+            F.concat(F.lit("h"), h, F.lit(".example.com")).alias("host"),
+            h.alias("hid"),
+        )
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit(
+                    "User-agent: googlebot\nCrawl-delay: 99\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /private/\nCrawl-delay: "
+                ),
+                F.col("hid"),
+                F.lit(".5\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    seen = (
+        docs.filter(i % 25 < 5)
+        .select(
+            F.concat(
+                F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+                F.lit("?b=2&a=1&utm_medium=social"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return frontier_polite(
+        candidates,
+        parse_robots(robots),
+        parse_robots_meta(robots, agent="*"),
+        seen,
+        per_host_quota=4,
+        round_ms=10_000,
+    ).orderBy("host", "fetch_order")
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export (r5, VERDICT r4 item 6 — dataops/wet.py): the
+    extraction output packed into Common-Crawl-style WET segment files
+    (warcinfo lead record + one text/plain `conversion` record per
+    document, md5-url bucketed into 8 files, pure Catalyst), then
+    exploded BACK through the engine's own WARC parser.  The oracle
+    rebuilds every record in closed form — file assignment via the
+    shared md5-bucket expression, in-file rec_index from the uri sort,
+    the warcinfo body verbatim — so a header, bucketing, ordering or
+    Content-Length byte bug breaks the hash."""
+    from open_ocr_spark.dataops.wet import wet_files
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    extracted = docs.select(
+        F.concat(
+            F.lit("https://crawl.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"),
+    )
+    files = wet_files(extracted, num_buckets=8)
+    return (
+        records_from_warc(files, "wet")
+        .select(
+            "file_id",
+            "rec_index",
+            "warc_type",
+            "target_uri",
+            "content_type",
+            F.decode("payload", "utf-8").alias("text"),
+        )
+        .orderBy("file_id", "rec_index")
+    )
+
+
+def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT export (r5, VERDICT r4 item 6 — dataops/wet.py): pages with
+    three link shapes (no outlinks / one double-quoted / two mixed-quote
+    links) become WAT `metadata` records whose JSON envelope composes the
+    engine's OWN html parsers (htmlmeta title, links outlinks), packed
+    into WARC segment files and exploded back through the WARC parser;
+    the JSON is then re-parsed with from_json.  The oracle states title,
+    link count and first sorted link in closed form, so the envelope
+    build, the container roundtrip and the JSON schema all sit on the
+    value path."""
+    from open_ocr_spark.dataops.wet import wat_files
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    link1 = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"), i,
+    )
+    link2 = F.concat(F.lit("https://ref.example.org/"), i)
+    html = F.concat(
+        F.lit("<title>Doc "), i, F.lit("</title>"),
+        F.when(
+            v >= 1, F.concat(F.lit('<a href="'), link1, F.lit('">x</a>'))
+        ).otherwise(F.lit("")),
+        F.when(
+            v == 2, F.concat(F.lit("<a href='"), link2, F.lit("'>y</a>"))
+        ).otherwise(F.lit("")),
+        F.lit("<body>b</body>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p.example.com/"), i).alias("url"),
+        html.alias("html"),
+    )
+    env_schema = (
+        "struct<Envelope:struct<"
+        "`WARC-Header-Metadata`:struct<`WARC-Target-URI`:string>,"
+        "`Payload-Metadata`:struct<`HTML-Metadata`:struct<"
+        "Head:struct<Title:string>,Links:array<struct<url:string>>>>>>"
+    )
+    recs = records_from_warc(wat_files(pages, num_buckets=8), "wat").filter(
+        F.col("warc_type") == "metadata"
+    )
+    parsed = F.from_json(F.decode("payload", "utf-8"), env_schema)
+    hm = parsed["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
+    return recs.select(
+        "target_uri",
+        hm["Head"]["Title"].alias("title"),
+        F.size(hm["Links"]).cast("long").alias("n_links"),
+        F.try_element_at(hm["Links"], F.lit(1))["url"].alias("first_link"),
+    ).orderBy("target_uri")
+
+
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content-type sniffing (dataops/mime.py) over 16 payload
     shapes cycled by doc_id — every container family the kernels route
@@ -3981,6 +4151,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r5-new: never driver-checked, must sit inside the window -------
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,
+    "wet_roundtrip": q_wet_roundtrip,
+    "wat_metadata": q_wat_metadata,
+    "frontier_polite": q_frontier_polite,
+    # -- made stale by the r5 frontier_polite commit (frontier.py dep)
+    "frontier_schedule": q_frontier_schedule,
     # -- r4 window-overflow diagnostics (VERDICT r4 item 1): never
     # -- driver-checked; the OVERFLOW_OK_r4 exemption expires when
     # -- CORRECTNESS_r05.json lands, so these four lead the rotation
@@ -4064,7 +4239,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_stats": q_anchor_text_stats,
     "stratified_sample_md5": q_stratified_sample_md5,
     "mime_sniff": q_mime_sniff,
-    "frontier_schedule": q_frontier_schedule,
     "bpe_train": q_bpe_train,
     "bpe_encode_docs": q_bpe_encode_docs,
     "bm25_search": q_bm25_search,
@@ -5148,6 +5322,105 @@ ORACLES: dict[str, str] = {
         FROM ranked
         WHERE fetch_order <= 4
         ORDER BY host, fetch_order
+    """,
+    "frontier_polite": """
+        WITH cand AS (
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/' AS src_url,
+                   'https://h' || (doc_id % 10)::VARCHAR
+                       || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                       || '?a=1&b=2' AS url
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/',
+                   'https://h' || (doc_id % 10)::VARCHAR || '.example.com'
+            FROM documents
+        ),
+        agg AS (
+            SELECT url, count(DISTINCT src_url)::BIGINT AS in_degree
+            FROM cand GROUP BY url
+        ),
+        fresh AS (
+            SELECT * FROM agg WHERE url NOT IN (
+                SELECT DISTINCT 'https://h' || (doc_id % 10)::VARCHAR
+                           || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                           || '?a=1&b=2'
+                FROM documents WHERE doc_id % 25 < 5
+            )
+        ),
+        ranked AS (
+            SELECT url,
+                   regexp_extract(url, 'https://([^/?]+)', 1) AS host,
+                   in_degree,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, 'https://([^/?]+)', 1)
+                       ORDER BY in_degree DESC, url
+                   ) AS fetch_order
+            FROM fresh
+        ),
+        delays AS (
+            SELECT DISTINCT
+                   'h' || (doc_id % 10)::VARCHAR || '.example.com' AS host,
+                   ((doc_id % 10) * 1000 + 500)::BIGINT AS delay_ms
+            FROM documents
+        )
+        SELECT r.url, r.host, r.in_degree, r.fetch_order, d.delay_ms,
+               ((r.fetch_order - 1) * d.delay_ms)::BIGINT AS fetch_at_ms
+        FROM ranked r JOIN delays d USING (host)
+        WHERE r.fetch_order <= 4
+          AND r.fetch_order <= greatest(10000 // d.delay_ms, 1)
+        ORDER BY host, fetch_order
+    """,
+    "wet_roundtrip": """
+        WITH recs AS (
+            SELECT 'https://crawl.example.com/doc/' || doc_id::VARCHAR AS uri,
+                   coalesce(text, '') AS text
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT (('0x' || substring(md5(uri), 1, 4))::INT % 8)::BIGINT
+                       AS file_id,
+                   uri, text
+            FROM recs
+        ),
+        conv AS (
+            SELECT file_id,
+                   row_number() OVER (
+                       PARTITION BY file_id ORDER BY uri
+                   )::INT AS rec_index,
+                   'conversion' AS warc_type,
+                   uri AS target_uri,
+                   'text/plain' AS content_type,
+                   text
+            FROM bucketed
+        ),
+        info AS (
+            SELECT DISTINCT file_id,
+                   0::INT AS rec_index,
+                   'warcinfo' AS warc_type,
+                   NULL::VARCHAR AS target_uri,
+                   'application/warc-fields' AS content_type,
+                   'software: open-ocr-spark WET/WAT writer' || chr(13)
+                       || chr(10) || 'format: WARC File Format 1.0'
+                       || chr(13) || chr(10) AS text
+            FROM bucketed
+        )
+        SELECT * FROM (
+            SELECT * FROM conv UNION ALL SELECT * FROM info
+        )
+        ORDER BY file_id, rec_index
+    """,
+    "wat_metadata": """
+        SELECT 'https://p.example.com/' || doc_id::VARCHAR AS target_uri,
+               'Doc ' || doc_id::VARCHAR AS title,
+               (CASE WHEN doc_id % 3 = 0 THEN 0
+                     WHEN doc_id % 3 = 1 THEN 1
+                     ELSE 2 END)::BIGINT AS n_links,
+               CASE WHEN doc_id % 3 >= 1
+                    THEN 'https://h' || (doc_id % 20)::VARCHAR
+                         || '.example.com/p/' || doc_id::VARCHAR
+               END AS first_link
+        FROM documents
+        ORDER BY target_uri
     """,
     "mime_sniff": """
         SELECT doc_id,

@@ -1,0 +1,966 @@
+"""Registry: the engine's own extraction surface (SURVEY.md §2.A) — source
+roundtrips, engine dispatch, and every document-format branch (HTML, PDF
+incl. CMap, OOXML/ODF/OCF, RTF, glyph OCR) with writer-twin oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from open_ocr_spark.pipeline.stages import extract_stage
+from open_ocr_spark.queries._shared import _WRAP_PREFIX, _WRAP_SUFFIX, _t, pages_from_documents
+
+ORACLES: dict[str, str] = {}
+
+
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: wrap every document in nav/footer boilerplate, run the real
+    extraction kernel, emit the recovered main text. The oracle is the
+    normalization identity: extraction must strip ALL boilerplate and return
+    exactly the whitespace-collapsed original text."""
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        extract_stage(pages)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("extracted_text")).alias("total_chars"),
+        )
+        .orderBy("status")
+    )
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 source parity: the inline-base64 ingest path
+    (unbase64 = the reference's decodeBase64, ocr_request.go:33-45) must
+    round-trip every document byte-exactly."""
+    # Sort-early pattern (used by every projection-style query below): put
+    # the orderBy on the SCAN and project after. A sort on top of a heavy
+    # projection executes the projection twice — the range-partitioner's
+    # sampling pass re-runs the sort's child — measured 6× slower on the
+    # quality query. Projection preserves sort order, so results are
+    # identical.
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")
+    roundtrip = F.decode(
+        F.unbase64(F.base64(F.encode(F.col("text"), "utf-8"))), "utf-8"
+    )
+    return docs.select(
+        "doc_id",
+        roundtrip.alias("roundtrip_text"),
+        (roundtrip == F.col("text")).alias("matches"),
+    )
+
+
+def q_extract_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML conversion through the FULL kernel path (r4,
+    kernels/docx_text.py): every document becomes a real .docx — stdlib
+    zip container, [Content_Types].xml + word/document.xml — whose two
+    paragraphs carry the document text and a tab + XML-entity line
+    ('<' and '&' escaped in the package, decoded on extraction);
+    magic-byte routing must pick the DOCX branch and return the text
+    byte-exactly.  A zip-walk, run-concatenation, w:tab/w:br or
+    entity-decode bug changes extracted_text and breaks the hash."""
+    import pandas as pd
+
+    def _docx_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_docx
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                paras = [
+                    text if text is not None else "",
+                    f"Doc {i}\t<tagged & checked>",
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/docx/{i}",
+                     bytearray(build_docx(paras)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _docx_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpreadsheetML conversion through the FULL kernel path (r4,
+    kernels/docx_text.py xlsx sibling — completes the OOXML trio):
+    every document becomes a real two-sheet .xlsx whose string cells go
+    through a deduplicated sharedStrings table (the indirection real
+    Excel files use) and whose numeric cells are literal <v> values;
+    magic-byte routing must distinguish the workbook from the other
+    office zips and return tab/newline/blank-line flat text
+    byte-exactly."""
+    import pandas as pd
+
+    def _xlsx_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_xlsx
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = text if text is not None else ""
+                sheets = [
+                    [["Doc", str(i)], [t], ["<cells & rows>", "", "-3.5"]],
+                    [["Doc", "total"], [str(i), str(i)]],
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/xlsx/{i}",
+                     bytearray(build_xlsx(sheets)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _xlsx_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_glyph_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal image→text contract in the pixel domain
+    (r4, kernels/glyph_ocr.py): every document's text is rasterized
+    into a REAL PNG with the deterministic 5×7 glyph font (the writer
+    twin, via the repo's own PNG encoder), the payload routes through
+    the extraction kernel's image branch by magic bytes, and template-
+    matching OCR over the decoded pixels must recover the text exactly.
+    The oracle is the font-normalization transform (upper, drop
+    unsupported glyphs, 96-glyph line, trailing-pad strip)."""
+    import pandas as pd
+
+    def _render(batches):
+        from open_ocr_spark.kernels.glyph_ocr import render_text_png
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["clean"]):
+                i = int(i)
+                out.append(
+                    (i, f"https://docs.example.com/scan/{i}",
+                     bytearray(render_text_png(t)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "url", "html"])
+
+    clean = F.rtrim(
+        F.substring(
+            F.regexp_replace(
+                F.upper(F.coalesce(F.col("text"), F.lit(""))),
+                r"[^A-Z0-9 .,'&-]",
+                "",
+            ),
+            1,
+            96,
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", clean.alias("clean")
+    )
+    pages = docs.mapInPandas(
+        _render, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB conversion through the FULL kernel path (r4, the OCF/OPF
+    e-book branch): every document becomes a real two-chapter .epub —
+    both chapters are boilerplate-wrapped XHTML, the manifest enumerates
+    them REVERSED while the spine holds reading order, so only a
+    spine-order reader roundtrips; each chapter runs through the
+    engine's own HTML boilerplate-strip kernel, so the oracle is the
+    same normalization identity extract_main_text uses, per chapter."""
+    import pandas as pd
+
+    def _epub_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_epub
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                t = text if text is not None else ""
+                ch1 = (_WRAP_PREFIX + t + _WRAP_SUFFIX).encode("utf-8")
+                ch2 = (
+                    _WRAP_PREFIX
+                    + f"Chapter {i} of the epub & appendix"
+                    + _WRAP_SUFFIX
+                ).encode("utf-8")
+                out.append(
+                    (i, f"https://docs.example.com/epub/{i}",
+                     bytearray(build_epub([ch1, ch2])))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _epub_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresentationML conversion through the FULL kernel path (r4,
+    kernels/docx_text.py pptx sibling): every document becomes a real
+    two-slide .pptx — slide 1 carries the document text, slide 2 two
+    paragraphs with an a:br line break and XML entities; magic-byte
+    routing must distinguish the deck from DOCX/ODT zips and return all
+    slides' text in numeric slide order, byte-exactly."""
+    import pandas as pd
+
+    def _pptx_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_pptx
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                slides = [
+                    [text if text is not None else ""],
+                    [f"Slide {i}", "<deck & notes>\nend"],
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/pptx/{i}",
+                     bytearray(build_pptx(slides)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "url", "html"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _pptx_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_odt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODF conversion through the FULL kernel path (r4, the
+    OpenDocument sibling of the DOCX branch): every document becomes a
+    real .odt — mimetype member (STORED first, per spec) + content.xml
+    — whose paragraphs carry the document text and a
+    run-length-space + entity line; magic-byte routing must
+    disambiguate ODT from DOCX inside the shared PK branch and return
+    the text byte-exactly."""
+    import pandas as pd
+
+    def _odt_wrap(batches):
+        from open_ocr_spark.kernels.docx_text import build_odt
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                paras = [
+                    text if text is not None else "",
+                    f"Odt {i}\t<open & doc>",
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/odt/{i}",
+                     bytearray(build_odt(paras)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "url", "html"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _odt_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_rtf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF conversion through the FULL kernel path (r4,
+    kernels/rtf_text.py — the third office sibling after DOCX/ODT):
+    every document becomes a real .rtf via the writer twin — header with
+    fonttbl/colortbl/ignorable-generator destinations that must be
+    skipped, body with \\uN? Unicode escapes, \\tab, and \\par between
+    paragraphs; magic-byte routing must pick the RTF branch and return
+    the text byte-exactly.  A tokenizer, destination-skip, \\uc
+    fallback, or \\par-convention bug changes extracted_text and breaks
+    the hash."""
+    import pandas as pd
+
+    def _rtf_wrap(batches):
+        from open_ocr_spark.kernels.rtf_text import build_rtf
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                paras = [
+                    text if text is not None else "",
+                    f"Rtf {i}\t«rich & text»",
+                ]
+                out.append(
+                    (i, f"https://docs.example.com/rtf/{i}",
+                     bytearray(build_rtf(paras)))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "url", "html"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.mapInPandas(
+        _rtf_wrap, "doc_id long, url string, html binary"
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity, oracle-checked end-to-end: every document is wrapped as a
+    minimal uncompressed PDF (one literal-string Tj text-show op, escapes
+    applied in pure Catalyst), routed by magic bytes through the PDF
+    branch of the kernel, and must come back byte-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for find, repl in (("\\", "\\\\"), ("(", "\\("), (")", "\\)")):
+        esc = F.replace(esc, F.lit(find), F.lit(repl))
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/pdf/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("%PDF-1.4\nBT\n("),
+                F.coalesce(esc, F.lit("")),
+                F.lit(") Tj\nET\n%%EOF\n"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_url_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity, oracle-checked end-to-end: every document becomes a
+    self-contained RFC 2397 ``data:`` URL (base64 of the boilerplate-
+    wrapped page, encoded in pure Catalyst), resolved by the fetch stage
+    (sources.fetch_url_payloads — the url2bytes recast,
+    /root/reference/ocr_util.go:35-51), extracted, and must round-trip to
+    the normalized text."""
+    from open_ocr_spark.sources import fetch_url_payloads
+
+    docs = _t(spark, sf_dir, "documents")
+    reqs = docs.select(
+        F.concat(
+            F.lit("data:text/html;base64,"),
+            F.base64(
+                F.encode(
+                    F.concat(
+                        F.lit(_WRAP_PREFIX),
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(_WRAP_SUFFIX),
+                    ),
+                    "utf-8",
+                )
+            ),
+        ).alias("url"),
+        "doc_id",
+    )
+    fetched = fetch_url_payloads(reqs).withColumn("lang", F.lit("eng"))
+    extracted = extract_stage(
+        fetched.filter(F.col("fetch_error").isNull()), passthrough=["doc_id"]
+    )
+    return (
+        extracted.select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_multipart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 parity, oracle-checked end-to-end: every document is packed into
+    a multipart/related request body (JSON part with url/engine + image
+    part with the boilerplate-wrapped page — body assembled in pure
+    Catalyst concat), parsed by the stdlib-MIME ingestion kernel
+    (sources.requests_from_multipart), extracted, and must round-trip to
+    the normalized text (/root/reference/ocr_http_multipart_handler.go:26-88)."""
+    from open_ocr_spark.sources import requests_from_multipart
+
+    docs = _t(spark, sf_dir, "documents")
+    boundary = "graftbnd"
+    json_part = F.concat(
+        F.lit(f'--{boundary}\r\nContent-Type: application/json\r\n\r\n'
+              '{"img_url": "https://docs.example.com/doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "engine": "tesseract"}\r\n'),
+    )
+    img_part_head = F.lit(
+        f"--{boundary}\r\nContent-Type: image/png\r\n\r\n"
+    )
+    body = F.concat(
+        F.encode(F.concat(json_part, img_part_head), "utf-8"),
+        F.encode(
+            F.concat(
+                F.lit(_WRAP_PREFIX),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(_WRAP_SUFFIX),
+            ),
+            "utf-8",
+        ),
+        F.encode(F.lit(f"\r\n--{boundary}--\r\n"), "utf-8"),
+    )
+    reqs = docs.select(
+        body.alias("body"),
+        F.lit(f'multipart/related; boundary="{boundary}"').alias(
+            "content_type"
+        ),
+    )
+    parsed = requests_from_multipart(reqs).withColumn(
+        "lang", F.coalesce(F.col("lang"), F.lit("eng"))
+    )
+    extracted = extract_stage(parsed.filter(F.col("error").isNull()))
+    return (
+        extracted.select(
+            F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "extracted_text",
+            "status",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity for real-world (compressed) PDFs, oracle-checked: every
+    document becomes a PDF whose content stream is zlib-deflated behind
+    /Filter /FlateDecode — the form Ghostscript handles for the reference
+    (/root/reference/convert-pdf.go:51-62) — and every ODD doc_id
+    additionally armors the deflated bytes in ASCII85, declaring the
+    [/ASCII85Decode /FlateDecode] FILTER CHAIN, so chain decoding is
+    driver-value-checked, not just unit-tested. The wrap uses an
+    Arrow-batched pandas UDF (fixture construction only; the measured
+    kernel is the unwrap); the kernel decodes with stdlib zlib/base64 and
+    must return the text byte-exact."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # annotations set explicitly: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf cannot resolve for local names
+    def _flate_wrap(ids, texts):
+        import base64
+        import zlib
+
+        out = []
+        for i, t in zip(ids, texts):
+            s = (t or "").replace("\\", "\\\\")
+            s = s.replace("(", "\\(").replace(")", "\\)")
+            body = zlib.compress(("BT\n(" + s + ") Tj\nET\n").encode("utf-8"))
+            if int(i) % 2 == 1:
+                body = base64.a85encode(body) + b"~>"
+                filt = b"[/ASCII85Decode /FlateDecode]"
+            else:
+                filt = b"/FlateDecode"
+            out.append(
+                b"%PDF-1.5\n1 0 obj\n<< /Filter " + filt + b" /Length "
+                + str(len(body)).encode()
+                + b" >>\nstream\n"
+                + body
+                + b"\nendstream\nendobj\n%%EOF\n"
+            )
+        return pd.Series(out)
+
+    _flate_wrap.__annotations__ = {
+        "ids": pd.Series, "texts": pd.Series, "return": pd.Series
+    }
+    _flate_wrap = pandas_udf(_flate_wrap, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/pdfz/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        _flate_wrap(F.col("doc_id"), F.col("text")).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 depth for how real-world PDFs actually store text (r5, VERDICT
+    r4 item 4): every document becomes a COMPOSITE-FONT PDF whose show
+    string carries per-document font codes (assigned by first appearance,
+    so a byte-fallback read is mojibake) resolved through an embedded
+    ToUnicode CMap — bfchar pairs, array-destination bfrange, an
+    incrementing hex bfrange and a multi-code-unit ligature destination
+    all on the value path, content stream FlateDecode'd
+    (kernels/pdf_text.py render_pdf_cmap, the writer twin). The kernel
+    must map codes back to Unicode byte-exactly: text + 'abc<<>>'."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cmap_wrap(texts):
+        from open_ocr_spark.kernels.pdf_text import render_pdf_cmap
+
+        return pd.Series([render_pdf_cmap(t or "") for t in texts])
+
+    _cmap_wrap.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _cmap_wrap = pandas_udf(_cmap_wrap, "binary")
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://docs.example.com/pdfcmap/"), F.col("doc_id")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        _cmap_wrap(F.col("text")).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_tj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity for the text-show forms real PDF generators emit
+    (/root/reference/convert-pdf.go:51-62 ingests them via Ghostscript):
+    a kerned ``[(..) -120 (..)] TJ`` array (the dominant form in the wild),
+    a hex-string ``<...> Tj``, and the ``aw ac (..) \"`` operator. The page
+    is assembled in pure Catalyst: the document text is split in half
+    BEFORE escaping (so an escape sequence can never straddle the array
+    elements), each half becomes one TJ array element, and the kernel must
+    concatenate them back byte-exact; line 2 is hex-encoded, line 3 uses
+    the quote operator."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    half = (F.length(txt) / 2).cast("int")
+    parts = [
+        F.substring(txt, 1, half),
+        txt.substr(half + 1, F.length(txt)),
+    ]
+    for j, p in enumerate(parts):
+        for find, repl in (("\\", "\\\\"), ("(", "\\("), (")", "\\)")):
+            p = F.replace(p, F.lit(find), F.lit(repl))
+        parts[j] = p
+    hex_line = F.hex(
+        F.encode(
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string")), "utf-8"
+        )
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/pdftj/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("%PDF-1.4\nBT\n[("),
+                parts[0],
+                F.lit(") -120 ("),
+                parts[1],
+                F.lit(")] TJ\n<"),
+                hex_line,
+                F.lit("> Tj\n2 0.5 (END) \"\nET\n%%EOF\n"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11 hOCR-recast parity, oracle-checked: run the kernel in
+    structured-output mode (engine_args.config_vars.tessedit_create_hocr,
+    tesseract_engine_test.go:50), then PARSE the span JSON back to rows so
+    the oracle checks ids/offsets/text as values, not as a JSON string.
+
+    The fixture is RAGGED (VERDICT r2 item 8): doc_id % 3 selects 0, 1 or
+    2 appendix paragraphs after the original text, every appendix is
+    preceded by a literally-empty ``<p></p>`` (exercising the
+    empty-paragraph drop mid-document), and documents with empty text
+    exercise the leading-empty edge — so span ids and running offsets are
+    stressed unevenly (1–3 spans per doc, shifted starts), not as one
+    fixed shape."""
+    docs = _t(spark, sf_dir, "documents")
+    a1 = F.concat(
+        F.lit("Appendix section for document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" - closing remarks."),
+    )
+    a2 = F.concat(
+        F.lit("Second appendix for document "),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+    )
+    k = F.pmod(F.col("doc_id"), F.lit(3))
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(k >= 1, F.concat(F.lit("</p><p></p><p>"), a1)).otherwise(
+            F.lit("")
+        ),
+        F.when(k == 2, F.concat(F.lit("</p><p></p><p>"), a2)).otherwise(
+            F.lit("")
+        ),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_WRAP_PREFIX), body, F.lit(_WRAP_SUFFIX)),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        F.col("doc_id"),
+    ).withColumn(
+        "engine_args_json",
+        F.lit('{"config_vars": {"tessedit_create_hocr": "1"}}'),
+    )
+    extracted = extract_stage(pages, passthrough=["doc_id"])
+    return (
+        extracted.select(
+            "doc_id",
+            F.explode(
+                F.from_json(
+                    F.col("extracted_text"),
+                    "struct<spans: array<struct<id:int,start:int,end:int,text:string>>>",
+                )["spans"]
+            ).alias("span"),
+        )
+        .select(
+            "doc_id",
+            F.col("span.id").alias("span_id"),
+            F.col("span.start").alias("start"),
+            F.col("span.end").alias("end"),
+            F.col("span.text").alias("span_text"),
+        )
+        .orderBy("doc_id", "span_id")
+    )
+
+
+def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13 parity, oracle-checked: a per-row `engine` column routes
+    each document through the kernel dispatch — every 10th doc uses the
+    mock engine (the reference's verbatim constant, mock_engine.go:3-10),
+    the rest the real extractor. The oracle reproduces both branches in
+    SQL, so the dispatch itself is value-checked by the driver."""
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "engine",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("mock")).otherwise(
+            F.lit("tesseract")
+        ),
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_main_text"] = """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_status_rollup"] = """
+        SELECT 'ok' AS status,
+               count(*) AS docs,
+               CAST(sum(length(trim(regexp_replace(coalesce(text, ''),
+                   '[ \t\n\r]+', ' ', 'g')))) AS BIGINT) AS total_chars
+        FROM documents
+    """
+
+
+ORACLES["base64_roundtrip"] = """
+        SELECT doc_id, text AS roundtrip_text, TRUE AS matches
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_docx_text"] = """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Doc ' || doc_id::VARCHAR || chr(9)
+                   || '<tagged & checked>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_odt_text"] = """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Odt ' || doc_id::VARCHAR || chr(9)
+                   || '<open & doc>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_glyph_ocr"] = """
+        SELECT doc_id,
+               rtrim(substring(regexp_replace(upper(coalesce(text, '')),
+                                              '[^A-Z0-9 .,''&-]', '', 'g'),
+                               1, 96), ' ') AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_epub_text"] = """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''),
+                                   '[ \t\n\r]+', ' ', 'g'))
+                   || chr(10) || chr(10) || 'Chapter ' || doc_id::VARCHAR
+                   || ' of the epub & appendix' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_xlsx_text"] = """
+        SELECT doc_id,
+               'Doc' || chr(9) || doc_id::VARCHAR || chr(10)
+                   || coalesce(text, '') || chr(10)
+                   || '<cells & rows>' || chr(9) || chr(9) || '-3.5'
+                   || chr(10) || chr(10)
+                   || 'Doc' || chr(9) || 'total' || chr(10)
+                   || doc_id::VARCHAR || chr(9) || doc_id::VARCHAR
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_pptx_text"] = """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Slide ' || doc_id::VARCHAR || chr(10) || chr(10)
+                   || '<deck & notes>' || chr(10) || 'end'
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_rtf_text"] = """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || chr(10)
+                   || 'Rtf ' || doc_id::VARCHAR || chr(9)
+                   || '«rich & text»' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_pdf_text"] = """
+        SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_pdf_flate"] = """
+        SELECT doc_id, coalesce(text, '') AS extracted_text, 'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_pdf_cmap"] = """
+        SELECT doc_id, coalesce(text, '') || 'abc<<>>' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_pdf_tj"] = """
+        SELECT doc_id,
+               coalesce(text, '') || chr(10) || 'Doc ' || doc_id
+                   || chr(10) || 'END' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["multipart_roundtrip"] = """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["url_fetch_roundtrip"] = """
+        SELECT doc_id,
+               trim(regexp_replace(coalesce(text, ''), '[ \t\n\r]+', ' ', 'g'))
+                   AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["extract_structured_spans"] = """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r]+', ' ', 'g')) AS t,
+                   'Appendix section for document ' || doc_id
+                       || ' - closing remarks.' AS a1,
+                   'Second appendix for document ' || doc_id || '.' AS a2,
+                   doc_id % 3 AS k
+            FROM documents
+        ),
+        base AS (
+            SELECT *,
+                   CASE WHEN length(t) > 0 THEN 1 ELSE 0 END AS has_t,
+                   CASE WHEN length(t) > 0 THEN length(t) + 2 ELSE 0 END
+                       AS off1
+            FROM norm
+        )
+        SELECT doc_id, span_id, "start", "end", span_text FROM (
+            SELECT doc_id, 0 AS span_id, 0 AS "start",
+                   length(t) AS "end", t AS span_text
+            FROM base WHERE has_t = 1
+            UNION ALL
+            SELECT doc_id, has_t AS span_id, off1 AS "start",
+                   off1 + length(a1) AS "end", a1 AS span_text
+            FROM base WHERE k >= 1
+            UNION ALL
+            SELECT doc_id, has_t + 1 AS span_id,
+                   off1 + length(a1) + 2 AS "start",
+                   off1 + length(a1) + 2 + length(a2) AS "end",
+                   a2 AS span_text
+            FROM base WHERE k = 2
+        )
+        ORDER BY doc_id, span_id
+    """
+
+
+ORACLES["engine_dispatch"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'mock engine decoder response'
+                    ELSE trim(regexp_replace(coalesce(text, ''),
+                         '[ \t\n\r]+', ' ', 'g'))
+               END AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -1,0 +1,1536 @@
+"""Registry: crawl web-ops — WARC/HTTP/WET/WAT, CDX, robots + politeness,
+sitemaps/feeds, frontier scheduling, link graph + PageRank, HTML meta/
+JSON-LD/tables, MIME sniff, crawl deltas, URL canonicalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from open_ocr_spark.queries._shared import _WRAP_PREFIX, _WRAP_SUFFIX, _t, pages_from_documents
+
+ORACLES: dict[str, str] = {}
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (dataops/htmlmeta.py) through the driver
+    gate: four synthetic page shapes cycle the real-world variation —
+    name-before-content vs content-before-name meta ordering, a missing
+    description (NULL path), uppercase TITLE tags, single-quoted
+    attributes — and the oracle runs the SAME regexes in DuckDB (both
+    engines' regex dialects share the used subset), with ''-vs-NULL
+    normalized identically on both sides."""
+    from open_ocr_spark.dataops.htmlmeta import extract_html_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    desc = F.concat(F.lit("desc "), ((F.col("doc_id") * 7) % 100).cast("string"))
+    canon = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"), i,
+    )
+    html = F.concat(
+        F.when(v == 3, F.concat(F.lit("<TITLE>Doc "), i, F.lit(" </TITLE>")))
+        .otherwise(F.concat(F.lit("<title>Doc "), i, F.lit("</title>"))),
+        F.when(v == 0, F.concat(
+            F.lit('<meta name="description" content="'), desc, F.lit('">')))
+        .when(v == 1, F.concat(
+            F.lit('<meta content="'), desc,
+            F.lit('" name="description">')))
+        .when(v == 3, F.concat(
+            F.lit("<meta name='description' content='"), desc, F.lit("'>")))
+        .otherwise(F.lit("")),
+        F.when(v == 3, F.concat(
+            F.lit("<link rel='canonical' href='"), canon, F.lit("'>")))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="'), canon, F.lit('">'))),
+        F.when(v != 3, F.concat(
+            F.lit('<meta property="og:title" content="OG '), i,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit("<body>x</body>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p/"), i).alias("url"), html.alias("html")
+    )
+    return (
+        extract_html_meta(pages)
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"https://p/(\d+)", 1).cast("long"),
+        )
+        .select("doc_id", "title", "meta_description", "canonical_url",
+                "og_title")
+        .orderBy("doc_id")
+    )
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synthetic crawl snapshots over the documents table — old
+    omits doc_id%5==4 (those become 'added'), new omits doc_id%5==3
+    ('removed'), and doc_id%7==0 pages change content between crawls —
+    classified by crawl_delta's full outer join on url + md5 digest
+    equality.  The oracle re-derives the status in closed form from the
+    same residues, so join laterality (added vs removed swapped) or a
+    digest-comparison bug flips rows and breaks the hash."""
+    from open_ocr_spark.dataops.delta import crawl_delta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("v1-"), F.col("doc_id").cast("string")))
+        .alias("content_md5"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 3).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("v2-"))
+                .otherwise(F.lit("v1-")),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("content_md5"),
+    )
+    return crawl_delta(old, new).orderBy("url")
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gating (dataops/robots.py) end to end: every host
+    publishes a robots.txt whose '*' group disallows /p/{h} but allows
+    the longer /p/{h}/pub, wildcard-disallows /tmp/*, and end-anchors
+    /exact$ — behind a googlebot group (Disallow: /) that must NOT leak
+    into the '*' evaluation, plus a comment line.  Six URL shapes per
+    host cycle the verdicts: prefix disallow, longest-match allow
+    override, '*' wildcard, '$' anchor hit, '$' anchor miss (/exactly),
+    and no-rule default-allow.  The oracle states the six verdicts in
+    closed form — a group-attribution, precedence (longest/Allow-tie),
+    wildcard or anchor bug flips rows and breaks the hash."""
+    from open_ocr_spark.dataops.robots import gate_urls, parse_robots
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 20).cast("string")
+    robots = docs.select(h.alias("hid")).distinct().select(
+        F.concat(F.lit("h"), F.col("hid"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit(
+                "# corpus robots\nUser-agent: googlebot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /p/"
+            ),
+            F.col("hid"),
+            F.lit("\nAllow: /p/"),
+            F.col("hid"),
+            F.lit("/pub\nDisallow: /tmp/*\nDisallow: /exact$\n"),
+        ).alias("robots_txt"),
+    )
+    v = F.col("doc_id") % 6
+    path = (
+        F.when(v == 0, F.concat(F.lit("/p/"), h))
+        .when(v == 1, F.concat(F.lit("/p/"), h, F.lit("/pub/x")))
+        .when(v == 2, F.lit("/tmp/cache/1"))
+        .when(v == 3, F.lit("/exact"))
+        .when(v == 4, F.lit("/exactly"))
+        .otherwise(F.lit("/other"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com"), path,
+            F.lit("?q="), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return gate_urls(urls, parse_robots(robots, agent="*")).orderBy("url")
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (dataops/sitemaps.py): even hosts publish a
+    <urlset> (one entry with an &amp;-escaped query and a lastmod, one
+    without lastmod, one loc-less entry that must be dropped), odd hosts
+    publish a <sitemapindex> with two child pointers (lastmod on the
+    first only).  The oracle states every discovered row in closed form
+    — kind routing, entity decoding, lastmod pairing and the loc-less
+    drop are all value-hashed."""
+    from open_ocr_spark.dataops.sitemaps import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hid = F.col("hid")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hid")).distinct()
+    base = F.concat(F.lit("https://h"), hid.cast("string"),
+                    F.lit(".example.com"))
+    lastmod = F.concat(F.lit("2026-0"), ((hid % 8) + 1).cast("string"),
+                       F.lit("-15"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="x">'
+              "<url><loc> "), base,
+        F.lit("/p/a?x=1&amp;y=2 </loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url><url><loc>"), base,
+        F.lit("/p/b</loc></url><url><lastmod>2020-01-01</lastmod></url>"
+              "</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex xmlns="x">'
+              "<sitemap><loc>"), base,
+        F.lit("/sitemap-0.xml</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></sitemap><sitemap><loc>"), base,
+        F.lit("/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+    )
+    sm = hosts.select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.when(hid % 2 == 0, urlset).otherwise(index).alias("xml"),
+    )
+    return parse_sitemaps(sm).orderBy("host", "loc")
+
+
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom discovery (dataops/feeds.py): even hosts publish RSS
+    (one item with an &amp;-escaped title + pubDate, one CDATA title
+    without a date, one link-less drop), odd hosts Atom (a rel=self
+    decoy that must lose to rel=alternate, plus a rel-less default).
+    Closed-form oracle over the same residues — kind routing, the Atom
+    rel preference, CDATA unwrap and entity decode are all
+    value-hashed."""
+    from open_ocr_spark.dataops.feeds import parse_feeds
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hid = F.col("hid")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hid")).distinct()
+    base = F.concat(F.lit("https://h"), hid.cast("string"),
+                    F.lit(".example.com"))
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><item><title>News '),
+        hid.cast("string"),
+        F.lit(" &amp; views</title><link> "), base,
+        F.lit("/p/a </link><pubDate>Mon, 17 Aug 2026 0"),
+        (hid % 10).cast("string"),
+        F.lit(":00:00 GMT</pubDate></item><item>"
+              "<title><![CDATA[Deep <dive>]]></title><link>"), base,
+        F.lit("/p/b</link></item><item><title>dropped</title></item>"
+              "</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed xmlns=\"x\"><entry><title>Entry "),
+        hid.cast("string"),
+        F.lit('</title><link rel="self" href="'), base,
+        F.lit('/meta"/><link rel="alternate" href="'), base,
+        F.lit('/e/1"/><updated>2026-08-17T10:00:00Z</updated></entry>'
+              '<entry><title>Plain</title><link href="'), base,
+        F.lit('/e/2"/></entry></feed>'),
+    )
+    feeds = hosts.select(
+        F.concat(base, F.lit("/feed")).alias("feed_url"),
+        F.when(hid % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    return parse_feeds(feeds).orderBy("feed_url", "link")
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Four crawl spellings of each logical page https://src{K}.example.com
+    /page/{L}: explicit default :443 + tracking params + fragment;
+    uppercase host + trailing slash; unsorted params + utm/ref noise —
+    those three must collapse to ONE group — plus a NON-default :8080
+    origin that must stay its own group (a different origin, not a
+    spelling)."""
+    lid = F.expr("doc_id DIV 4").cast("string")
+    src = F.expr("(doc_id DIV 4) % 20").cast("string")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://www.src"), src, F.lit(".example.com:443/page/"),
+                lid, F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://SRC"), src, F.lit(".EXAMPLE.COM/page/"),
+                lid, F.lit("/?a=1&b=2"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://src"), src, F.lit(".example.com/page/"),
+                lid, F.lit("?b=2&utm_campaign=x&a=1&ref=rss"),
+            )
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://src"), src, F.lit(".example.com:8080/page/"),
+                lid, F.lit("?a=1&b=2"),
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-url dedup: three crawl spellings of
+    every logical page must collapse to one canonical group, while a
+    fourth spelling on a NON-default port stays its own group.  Exercises
+    scheme/host case folding, default-port-only stripping (https:443
+    dropped, :8080 kept), www. stripping, trailing-slash normalisation,
+    tracking-param removal, and bytewise param sorting — the oracle
+    re-derives the canonical form with regexes + list_filter/list_sort,
+    no parse_url."""
+    from open_ocr_spark.dataops.urls import dedup_by_canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_by_canonical_url(_messy_urls(docs)).orderBy("canonical_url")
+
+
+def _link_pages(docs: DataFrame) -> DataFrame:
+    """Synthetic pages with a deterministic outlink structure: page for
+    doc D lives on host h{D%20}, links twice to h{(7D+1)%20} (once
+    double-quoted, once bare) and once single-quoted to h{(3D+2)%20},
+    plus an ``<area href>`` imagemap region to h{(11D+5)%20} and a
+    relative link that extraction must skip."""
+    def host(expr):
+        return F.concat(
+            F.lit("https://h"), expr.cast("string"), F.lit(".example.com")
+        )
+
+    a1 = host((F.col("doc_id") * 7 + 1) % 20)
+    a2 = host((F.col("doc_id") * 3 + 2) % 20)
+    a3 = host((F.col("doc_id") * 11 + 5) % 20)
+    url = F.concat(
+        host(F.col("doc_id") % 20), F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="'), a1,
+        F.lit("/x\">one</a> <a href='"), a2,
+        F.lit("/y'>two</a><a href=/rel>skip</a><a href="), a1,
+        F.lit('/bare>three</a><map name=m><area shape=rect href="'), a3,
+        F.lit('/map"></map></body></html>'),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + host-level link graph, pure Catalyst: three
+    regexp passes (double-quoted / single-quoted / bare hrefs), absolute
+    http(s) filter, host fold, multiplicity counts.  The oracle re-derives
+    the hrefs with DuckDB's regexp_extract_all and the hosts with a regex
+    (no parse_url there), so quoting classes, the relative-link skip, and
+    the double-link multiplicity are all value-hashed."""
+    from open_ocr_spark.dataops.links import extract_links, host_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    return host_edges(extract_links(_link_pages(docs))).orderBy(
+        "src_host", "dst_host"
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-graph pipeline: build pages -> extract links -> host
+    graph -> 5 rounds of deterministic integer-domain PageRank.  Integer
+    arithmetic makes the ranks EXACT (order-independent sums), so the
+    oracle value-hashes them from 5 unrolled SQL iterations instead of
+    epsilon-comparing floats — any drift in degree counts, dangling-node
+    handling, or the update formula fails the hash."""
+    from open_ocr_spark.dataops.links import extract_links, host_edges
+    from open_ocr_spark.dataops.pagerank import pagerank_int
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = host_edges(extract_links(_link_pages(docs))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return (
+        pagerank_int(edges, iterations=5)
+        .select(F.col("node").alias("host"), "rank")
+        .orderBy("host")
+    )
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container roundtrip (Common-Crawl-native ingest, A1/A3 over
+    the crawl's own format): pack documents 10-per-file into spec-shaped
+    WARC response records built entirely in Catalyst (version line, CRLF
+    headers, Content-Length in BYTES, record separators), then explode
+    the files back into records with the stdlib parser.  The oracle is
+    the identity on documents — any header, length, or separator bug in
+    the parser (or the builder) breaks the byte-equality of text and the
+    record count per file."""
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "https://crawl.example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+    )
+    files = (
+        docs.select(
+            F.expr("doc_id DIV 10").alias("file_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                    ),
+                    "\r\n\r\n",
+                ),
+                "utf-8",
+            ).alias("warc")
+        )
+    )
+    return records_from_warc(files, "warc").select(
+        "file_id",
+        "rec_index",
+        "warc_type",
+        "target_uri",
+        F.octet_length("payload").alias("n_bytes"),
+        F.decode("payload", "utf-8").alias("text"),
+    ).orderBy("file_id", "rec_index")
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive CDX index (r4, dataops/urls.py): SURT keys over the
+    capture table + content digests, range-ordered so prefix lookups
+    are contiguous. The oracle rebuilds the SURT transform and the md5
+    digest of the exact wrapped html bytes in SQL."""
+    from open_ocr_spark.dataops.urls import cdx_index
+
+    pages = pages_from_documents(spark, sf_dir)
+    return cdx_index(pages)
+
+
+def q_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Common-Crawl ingest chain (r4): WARC container →
+    records_from_warc → http_responses. Each document becomes a real
+    gzip-member WARC holding one `response` record whose payload is a
+    raw HTTP message; five variants cycle the capture-reality layers —
+    plain Content-Length, chunked, gzip Content-Encoding, chunked gzip
+    (coding inside transfer-coding, as real stacks send it), and a
+    truncated chunked body that must surface as an error VALUE."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.sources import build_http_response, build_warc
+
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                body = (text or "").encode("utf-8")
+                v = i % 5
+                if v == 4:
+                    # pad so the 8-byte cut always lands in the LAST
+                    # CHUNK'S data (an empty body's chunked payload is
+                    # just the 5-byte terminator and the cut would eat
+                    # the header block -> a different error message);
+                    # body content is irrelevant here, the oracle
+                    # expects a NULL body for the error row
+                    body += b" " * 16
+                raw = build_http_response(
+                    body,
+                    status=200 + (i % 2) * 204,
+                    chunked=v in (1, 3, 4),
+                    gzipped=v in (2, 3),
+                )
+                if v == 4:
+                    raw = raw[:-8]  # cut into the last chunk's data
+                warc = build_warc(
+                    [(f"https://h{i % 20}.example.com/{i}", raw)],
+                    gzip_members=True,
+                )
+                out.append((i, bytearray(warc)))
+            yield pd.DataFrame(out, columns=["doc_id", "warc"])
+
+    from open_ocr_spark.sources import http_responses, records_from_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    files = docs.mapInPandas(_wrap, "doc_id long, warc binary")
+    recs = records_from_warc(files).select("doc_id", "payload")
+    return (
+        http_responses(recs)
+        .select(
+            "doc_id",
+            "http_status",
+            "http_content_type",
+            F.decode("body", "utf-8").alias("body_text"),
+            "http_error",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness metadata (r4, robots.py sibling of robots_gate): each
+    host's robots.txt carries a googlebot Crawl-delay that must NOT
+    leak into the '*' group, a fractional '*' delay (exact integer
+    millis), a malformed delay line that must be ignored, and two
+    global Sitemap lines whose file order must survive. One row per
+    (host, sitemap) with the host's delay."""
+    from open_ocr_spark.dataops.robots import parse_robots_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hid = (F.col("doc_id") % 20).cast("string")
+    robots = docs.select(hid.alias("hid")).distinct().select(
+        "hid",
+        F.concat(F.lit("h"), F.col("hid"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit(
+                "User-agent: googlebot\nCrawl-delay: 99\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /x\nCrawl-delay: "
+            ),
+            F.col("hid"),
+            F.lit(
+                ".5\nCrawl-delay: oops\n"
+                "Sitemap: https://h"
+            ),
+            F.col("hid"),
+            F.lit(".example.com/sitemap.xml\nSitemap: https://h"),
+            F.col("hid"),
+            F.lit(".example.com/news.xml # freshest\n"),
+        ).alias("robots_txt"),
+    )
+    meta = parse_robots_meta(robots, agent="*")
+    return meta.select(
+        "host",
+        "crawl_delay_ms",
+        F.posexplode("sitemaps").alias("sm_index", "sitemap"),
+    ).orderBy("host", "sm_index")
+
+
+def q_json_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD harvest (r4, dataops/htmlmeta.py): pages carry
+    two valid typed ld+json blocks (built with to_json so names are
+    properly JSON-escaped), one valid @graph container with NO top-level
+    @type (kept with NULL ld_type — ADVICE r4), one malformed block, and
+    one non-ld script; the extractor must find exactly the valid blocks,
+    unescape the names byte-exactly, and drop only the malformed and
+    non-ld ones — pure Catalyst, no Python."""
+    from open_ocr_spark.dataops.htmlmeta import extract_json_ld
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = F.to_json(
+        F.struct(
+            F.lit("Article").alias("@type"),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40).alias(
+                "name"
+            ),
+        )
+    )
+    b2 = F.to_json(
+        F.struct(
+            F.lit("Product").alias("@type"),
+            F.concat(F.lit("Item "), F.col("doc_id")).alias("name"),
+        )
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            b1,
+            F.lit("</script><script type='application/ld+json'>"),
+            b2,
+            F.lit('</script><script type="application/ld+json">'
+                  '{"@context":"https://schema.org","@graph":'
+                  '[{"@type":"WebSite"}]}'),
+            F.lit('</script><script type="application/ld+json">{oops'),
+            F.lit('</script><script type="text/javascript">'
+                  '{"@type":"Nope","name":"x"}</script>'
+                  "</head><body>content</body></html>"),
+        ).alias("html"),
+    )
+    return extract_json_ld(pages).orderBy("doc_id", "ld_type")
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (kernels/tables.py) through the real
+    HTML parse: each document becomes a page with nav/footer
+    boilerplate and one 2x3 table — an entity-bearing header row plus a
+    data row whose cells are formulas of doc_id.  The kernel must parse
+    the real markup, keep document order, decode entities, and
+    collapse whitespace; the oracle regenerates every expected cell in
+    SQL.  Nesting/malformed-row behavior is pinned in
+    tests/test_tables.py."""
+    import pandas as pd
+
+    def _page_wrap(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = (
+                    "<html><body><nav><a href='/'>home</a></nav>"
+                    "<table><tr><th>name &amp; id</th><th>qty</th>"
+                    "<th>price</th></tr>"
+                    f"<tr><td> item-{i} </td><td>{i % 7}</td>"
+                    f"<td>{(i * 3) % 100}</td></tr></table>"
+                    "<footer>(c) corp</footer></body></html>"
+                )
+                out.append((i, bytearray(html.encode())))
+            yield pd.DataFrame(out, columns=["doc_id", "html"])
+
+    from open_ocr_spark.kernels.tables import html_tables
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.mapInPandas(_page_wrap, "doc_id long, html binary")
+    return html_tables(pages).orderBy("doc_id", "table_idx", "row_idx",
+                                      "col_idx")
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling end to end (dataops/frontier.py): each
+    document discovers three links — a page URL in two raw spellings
+    (www + :443 + trailing slash + tracking params + fragment vs the
+    clean form; a canonicalization bug splits the referrer counts), its
+    host's homepage (higher in-degree tier), and a /private/ URL the
+    per-host robots.txt disallows.  Seen history (messy raw forms, 1 in
+    5 pages) is anti-joined after canonicalization; the per-host quota
+    of 4 genuinely binds on half the hosts.  The oracle rebuilds the
+    canonical candidates in closed form and replays the count / anti /
+    gate / rank pipeline relationally, so it holds at any doc_id
+    density."""
+    from open_ocr_spark.dataops.frontier import frontier_schedule
+    from open_ocr_spark.dataops.robots import parse_robots
+
+    i = F.col("doc_id")
+    h = (i % 10).cast("string")
+    p = (i % 25).cast("string")
+    raw_page = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit("https://www.h"), h, F.lit(".example.com:443/page/"), p,
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+            F.lit("?a=1&b=2"),
+        )
+    )
+    home = F.concat(F.lit("https://h"), h, F.lit(".example.com/"))
+    priv = F.concat(
+        F.lit("https://h"), h, F.lit(".example.com/private/"),
+        i.cast("string"),
+    )
+    src = F.concat(F.lit("https://s"), i.cast("string"), F.lit(".example.com/"))
+
+    docs = _t(spark, sf_dir, "documents")
+    candidates = docs.select(
+        src.alias("src_url"),
+        F.explode(F.array(raw_page, home, priv)).alias("dst_url"),
+    )
+    robots = (
+        docs.select(
+            F.concat(F.lit("h"), h, F.lit(".example.com")).alias("host")
+        )
+        .distinct()
+        .select(
+            "host",
+            F.lit("User-agent: *\nDisallow: /private/\n").alias("robots_txt"),
+        )
+    )
+    seen = (
+        docs.filter(i % 25 < 5)
+        .select(
+            F.concat(
+                F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+                F.lit("?b=2&a=1&utm_medium=social"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return frontier_schedule(
+        candidates, parse_robots(robots), seen, per_host_quota=4
+    ).orderBy("host", "fetch_order")
+
+
+def q_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frontier_schedule x robots politeness, composed (r5, VERDICT r4
+    item 7 — dataops/frontier.py frontier_polite): the same candidate /
+    robots / seen fixture as frontier_schedule, but every host's
+    robots.txt now declares a '*'-group Crawl-delay of (hid).5 seconds
+    behind a googlebot distractor group (99 s — leaking it across groups
+    flips nearly every row).  With a 10-second round budget the delay
+    budget OVERRIDES the quota of 4 on hosts 3..9 (h3/h4 fit 2 fetches,
+    h5..h9 fit 1) and leaves it binding on h0..h2; each kept fetch gets
+    its polite start offset.  The oracle replays BOTH stages — the full
+    count / anti-join / gate / rank frontier pipeline, then the delay
+    join, budget filter and offset arithmetic — in closed form."""
+    from open_ocr_spark.dataops.frontier import frontier_polite
+    from open_ocr_spark.dataops.robots import parse_robots, parse_robots_meta
+
+    i = F.col("doc_id")
+    h = (i % 10).cast("string")
+    p = (i % 25).cast("string")
+    raw_page = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit("https://www.h"), h, F.lit(".example.com:443/page/"), p,
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+            F.lit("?a=1&b=2"),
+        )
+    )
+    home = F.concat(F.lit("https://h"), h, F.lit(".example.com/"))
+    priv = F.concat(
+        F.lit("https://h"), h, F.lit(".example.com/private/"),
+        i.cast("string"),
+    )
+    src = F.concat(F.lit("https://s"), i.cast("string"), F.lit(".example.com/"))
+
+    docs = _t(spark, sf_dir, "documents")
+    candidates = docs.select(
+        src.alias("src_url"),
+        F.explode(F.array(raw_page, home, priv)).alias("dst_url"),
+    )
+    robots = (
+        docs.select(
+            F.concat(F.lit("h"), h, F.lit(".example.com")).alias("host"),
+            h.alias("hid"),
+        )
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit(
+                    "User-agent: googlebot\nCrawl-delay: 99\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /private/\nCrawl-delay: "
+                ),
+                F.col("hid"),
+                F.lit(".5\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    seen = (
+        docs.filter(i % 25 < 5)
+        .select(
+            F.concat(
+                F.lit("https://h"), h, F.lit(".example.com/page/"), p,
+                F.lit("?b=2&a=1&utm_medium=social"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return frontier_polite(
+        candidates,
+        parse_robots(robots),
+        parse_robots_meta(robots, agent="*"),
+        seen,
+        per_host_quota=4,
+        round_ms=10_000,
+    ).orderBy("host", "fetch_order")
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export (r5, VERDICT r4 item 6 — dataops/wet.py): the
+    extraction output packed into Common-Crawl-style WET segment files
+    (warcinfo lead record + one text/plain `conversion` record per
+    document, md5-url bucketed into 8 files, pure Catalyst), then
+    exploded BACK through the engine's own WARC parser.  The oracle
+    rebuilds every record in closed form — file assignment via the
+    shared md5-bucket expression, in-file rec_index from the uri sort,
+    the warcinfo body verbatim — so a header, bucketing, ordering or
+    Content-Length byte bug breaks the hash."""
+    from open_ocr_spark.dataops.wet import wet_files
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    extracted = docs.select(
+        F.concat(
+            F.lit("https://crawl.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"),
+    )
+    files = wet_files(extracted, num_buckets=8)
+    return (
+        records_from_warc(files, "wet")
+        .select(
+            "file_id",
+            "rec_index",
+            "warc_type",
+            "target_uri",
+            "content_type",
+            F.decode("payload", "utf-8").alias("text"),
+        )
+        .orderBy("file_id", "rec_index")
+    )
+
+
+def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT export (r5, VERDICT r4 item 6 — dataops/wet.py): pages with
+    three link shapes (no outlinks / one double-quoted / two mixed-quote
+    links) become WAT `metadata` records whose JSON envelope composes the
+    engine's OWN html parsers (htmlmeta title, links outlinks), packed
+    into WARC segment files and exploded back through the WARC parser;
+    the JSON is then re-parsed with from_json.  The oracle states title,
+    link count and first sorted link in closed form, so the envelope
+    build, the container roundtrip and the JSON schema all sit on the
+    value path."""
+    from open_ocr_spark.dataops.wet import wat_files
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    link1 = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"), i,
+    )
+    link2 = F.concat(F.lit("https://ref.example.org/"), i)
+    html = F.concat(
+        F.lit("<title>Doc "), i, F.lit("</title>"),
+        F.when(
+            v >= 1, F.concat(F.lit('<a href="'), link1, F.lit('">x</a>'))
+        ).otherwise(F.lit("")),
+        F.when(
+            v == 2, F.concat(F.lit("<a href='"), link2, F.lit("'>y</a>"))
+        ).otherwise(F.lit("")),
+        F.lit("<body>b</body>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p.example.com/"), i).alias("url"),
+        html.alias("html"),
+    )
+    env_schema = (
+        "struct<Envelope:struct<"
+        "`WARC-Header-Metadata`:struct<`WARC-Target-URI`:string>,"
+        "`Payload-Metadata`:struct<`HTML-Metadata`:struct<"
+        "Head:struct<Title:string>,Links:array<struct<url:string>>>>>>"
+    )
+    recs = records_from_warc(wat_files(pages, num_buckets=8), "wat").filter(
+        F.col("warc_type") == "metadata"
+    )
+    parsed = F.from_json(F.decode("payload", "utf-8"), env_schema)
+    hm = parsed["Envelope"]["Payload-Metadata"]["HTML-Metadata"]
+    return recs.select(
+        "target_uri",
+        hm["Head"]["Title"].alias("title"),
+        F.size(hm["Links"]).cast("long").alias("n_links"),
+        F.try_element_at(hm["Links"], F.lit(1))["url"].alias("first_link"),
+    ).orderBy("target_uri")
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing (dataops/mime.py) over 16 payload
+    shapes cycled by doc_id — every container family the kernels route
+    (pdf/rtf/zip/png/gif/jpeg/bmp/webm/warc/wav/avi/mp4/gzip), the HTML
+    tag-marker case, a NUL-free text fallback, and a NUL-bearing
+    octet-stream — each payload built JVM-side as unhex(prefix ||
+    hex(text)) so real document bytes ride behind the magic.  The oracle
+    states the 16 verdicts in closed form; a prefix-table, offset-magic
+    (RIFF fourcc at byte 9, ftyp at byte 5), or text-tail bug flips rows
+    and breaks the hash."""
+    from open_ocr_spark.dataops.mime import sniff_mime_col
+
+    i = F.col("doc_id")
+    filler = F.hex(F.encode(F.coalesce(F.col("text"), F.lit("x")), "utf-8"))
+
+    def mk(prefix_hex: str):
+        return F.unhex(F.concat(F.lit(prefix_hex), filler))
+
+    payload = (
+        F.when(i % 16 == 0, mk("255044462D312E34"))  # %PDF-1.4
+        .when(i % 16 == 1, mk("7B5C72746631"))  # {\rtf1
+        .when(i % 16 == 2, mk("504B0304"))
+        .when(i % 16 == 3, mk("89504E470D0A1A0A"))
+        .when(i % 16 == 4, mk("474946383961"))
+        .when(i % 16 == 5, mk("FFD8FFE0"))
+        .when(i % 16 == 6, mk("424D"))
+        .when(i % 16 == 7, mk("1A45DFA3"))
+        .when(i % 16 == 8, mk("574152432F312E30"))  # WARC/1.0
+        .when(i % 16 == 9, mk("524946461000000057415645"))  # RIFF..WAVE
+        .when(i % 16 == 10, mk("524946461000000041564920"))  # RIFF..AVI
+        .when(i % 16 == 11, mk("000000186674797069736F6D"))  # ....ftypisom
+        .when(i % 16 == 12, mk("1F8B0800"))
+        .when(
+            i % 16 == 13,
+            F.encode(
+                F.concat(
+                    F.lit("<!DOCTYPE html><p>"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ),
+                "utf-8",
+            ),
+        )
+        .when(
+            i % 16 == 14,
+            F.encode(
+                F.concat(
+                    F.lit("plain text "), F.coalesce(F.col("text"), F.lit(""))
+                ),
+                "utf-8",
+            ),
+        )
+        .otherwise(mk("00FF00AA"))  # NUL prefix: octet-stream
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", sniff_mime_col(payload))
+        .orderBy("doc_id")
+    )
+
+
+def q_anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (the web's free target-page labels): pages
+    carry four anchor shapes — mode competition between 'click here' /
+    'read more' / 'site N' texts on the t-hosts, a messy-whitespace
+    unicode text on the u-hosts, a nested-markup anchor (empty capture,
+    dropped), and a relative href (dropped).  One (dst,text) hash agg +
+    one window exchange; the oracle replays the regex pairing with
+    DuckDB's lockstep unnest and the mode tie-break with row_number —
+    a capture-alignment, collapse, count, or tie-break bug breaks the
+    hash."""
+    from open_ocr_spark.dataops.links import anchor_text_stats, extract_anchors
+
+    i = F.col("doc_id")
+    t_dst = F.concat(
+        F.lit("https://t"), (i % 10).cast("string"), F.lit(".example.com/")
+    )
+    u_dst = F.concat(
+        F.lit("https://u"), (i % 7).cast("string"), F.lit(".example.com/x")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        t_dst,
+        F.lit('">'),
+        F.when(i % 3 == 1, F.lit("read more")).otherwise(F.lit("click here")),
+        F.lit('</a> <A HREF="'),
+        t_dst,
+        F.lit('">  site   '),
+        (i % 2).cast("string"),
+        F.lit("\n page</A><a href=\""),
+        u_dst,
+        F.lit('" rel=nofollow>Example — Site '),
+        (i % 13).cast("string"),
+        F.lit('</a><a href="'),
+        t_dst,
+        F.lit('"><b>skip</b></a><a href="/rel">skip too</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (i % 20).cast("string"),
+            F.lit(".example.com/p/"), i.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_text_stats(extract_anchors(pages)).orderBy("dst_url")
+
+
+def _cdx_oracle() -> str:
+    pre = _WRAP_PREFIX.replace("'", "''")
+    suf = _WRAP_SUFFIX.replace("'", "''")
+    return f"""
+        SELECT 'com,example,docs)/doc/' || doc_id::VARCHAR AS surt,
+               TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+               'https://docs.example.com/doc/' || doc_id::VARCHAR AS url,
+               md5('{pre}' || coalesce(text, '') || '{suf}') AS digest
+        FROM documents
+        ORDER BY surt
+    """
+
+
+ORACLES["json_ld"] = """
+        SELECT doc_id, 'Article' AS ld_type,
+               substring(coalesce(text, ''), 1, 40) AS name
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'Product', 'Item ' || doc_id::VARCHAR
+        FROM documents
+        UNION ALL
+        SELECT doc_id, NULL, NULL  -- the @graph container block
+        FROM documents
+        ORDER BY doc_id, ld_type
+    """
+
+
+ORACLES["html_tables"] = """
+        SELECT doc_id,
+               CAST(0 AS BIGINT) AS table_idx,
+               g.r::BIGINT AS row_idx,
+               g.c::BIGINT AS col_idx,
+               CASE WHEN g.r = 0 THEN
+                   CASE g.c WHEN 0 THEN 'name & id'
+                            WHEN 1 THEN 'qty'
+                            ELSE 'price' END
+               ELSE
+                   CASE g.c WHEN 0 THEN 'item-' || doc_id::VARCHAR
+                            WHEN 1 THEN (doc_id % 7)::VARCHAR
+                            ELSE ((doc_id * 3) % 100)::VARCHAR END
+               END AS cell
+        FROM documents,
+             (VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(1,2)) AS g(r, c)
+        ORDER BY doc_id, table_idx, row_idx, col_idx
+    """
+
+
+ORACLES["frontier_schedule"] = """
+        WITH cand AS (
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/' AS src_url,
+                   'https://h' || (doc_id % 10)::VARCHAR
+                       || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                       || '?a=1&b=2' AS url
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/',
+                   'https://h' || (doc_id % 10)::VARCHAR || '.example.com'
+            FROM documents
+            -- /private/ candidates omitted: robots-disallowed, the
+            -- engine must drop every one of them
+        ),
+        agg AS (
+            SELECT url, count(DISTINCT src_url)::BIGINT AS in_degree
+            FROM cand GROUP BY url
+        ),
+        fresh AS (
+            SELECT * FROM agg WHERE url NOT IN (
+                SELECT DISTINCT 'https://h' || (doc_id % 10)::VARCHAR
+                           || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                           || '?a=1&b=2'
+                FROM documents WHERE doc_id % 25 < 5
+            )
+        ),
+        ranked AS (
+            SELECT url,
+                   regexp_extract(url, 'https://([^/?]+)', 1) AS host,
+                   in_degree,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, 'https://([^/?]+)', 1)
+                       ORDER BY in_degree DESC, url
+                   ) AS fetch_order
+            FROM fresh
+        )
+        SELECT url, host, in_degree, fetch_order
+        FROM ranked
+        WHERE fetch_order <= 4
+        ORDER BY host, fetch_order
+    """
+
+
+ORACLES["frontier_polite"] = """
+        WITH cand AS (
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/' AS src_url,
+                   'https://h' || (doc_id % 10)::VARCHAR
+                       || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                       || '?a=1&b=2' AS url
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || doc_id::VARCHAR || '.example.com/',
+                   'https://h' || (doc_id % 10)::VARCHAR || '.example.com'
+            FROM documents
+        ),
+        agg AS (
+            SELECT url, count(DISTINCT src_url)::BIGINT AS in_degree
+            FROM cand GROUP BY url
+        ),
+        fresh AS (
+            SELECT * FROM agg WHERE url NOT IN (
+                SELECT DISTINCT 'https://h' || (doc_id % 10)::VARCHAR
+                           || '.example.com/page/' || (doc_id % 25)::VARCHAR
+                           || '?a=1&b=2'
+                FROM documents WHERE doc_id % 25 < 5
+            )
+        ),
+        ranked AS (
+            SELECT url,
+                   regexp_extract(url, 'https://([^/?]+)', 1) AS host,
+                   in_degree,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, 'https://([^/?]+)', 1)
+                       ORDER BY in_degree DESC, url
+                   ) AS fetch_order
+            FROM fresh
+        ),
+        delays AS (
+            SELECT DISTINCT
+                   'h' || (doc_id % 10)::VARCHAR || '.example.com' AS host,
+                   ((doc_id % 10) * 1000 + 500)::BIGINT AS delay_ms
+            FROM documents
+        )
+        SELECT r.url, r.host, r.in_degree, r.fetch_order, d.delay_ms,
+               ((r.fetch_order - 1) * d.delay_ms)::BIGINT AS fetch_at_ms
+        FROM ranked r JOIN delays d USING (host)
+        WHERE r.fetch_order <= 4
+          AND r.fetch_order <= greatest(10000 // d.delay_ms, 1)
+        ORDER BY host, fetch_order
+    """
+
+
+ORACLES["wet_roundtrip"] = """
+        WITH recs AS (
+            SELECT 'https://crawl.example.com/doc/' || doc_id::VARCHAR AS uri,
+                   coalesce(text, '') AS text
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT (('0x' || substring(md5(uri), 1, 4))::INT % 8)::BIGINT
+                       AS file_id,
+                   uri, text
+            FROM recs
+        ),
+        conv AS (
+            SELECT file_id,
+                   row_number() OVER (
+                       PARTITION BY file_id ORDER BY uri
+                   )::INT AS rec_index,
+                   'conversion' AS warc_type,
+                   uri AS target_uri,
+                   'text/plain' AS content_type,
+                   text
+            FROM bucketed
+        ),
+        info AS (
+            SELECT DISTINCT file_id,
+                   0::INT AS rec_index,
+                   'warcinfo' AS warc_type,
+                   NULL::VARCHAR AS target_uri,
+                   'application/warc-fields' AS content_type,
+                   'software: open-ocr-spark WET/WAT writer' || chr(13)
+                       || chr(10) || 'format: WARC File Format 1.0'
+                       || chr(13) || chr(10) AS text
+            FROM bucketed
+        )
+        SELECT * FROM (
+            SELECT * FROM conv UNION ALL SELECT * FROM info
+        )
+        ORDER BY file_id, rec_index
+    """
+
+
+ORACLES["wat_metadata"] = """
+        SELECT 'https://p.example.com/' || doc_id::VARCHAR AS target_uri,
+               'Doc ' || doc_id::VARCHAR AS title,
+               (CASE WHEN doc_id % 3 = 0 THEN 0
+                     WHEN doc_id % 3 = 1 THEN 1
+                     ELSE 2 END)::BIGINT AS n_links,
+               CASE WHEN doc_id % 3 >= 1
+                    THEN 'https://h' || (doc_id % 20)::VARCHAR
+                         || '.example.com/p/' || doc_id::VARCHAR
+               END AS first_link
+        FROM documents
+        ORDER BY target_uri
+    """
+
+
+ORACLES["mime_sniff"] = """
+        SELECT doc_id,
+               CASE doc_id % 16
+                   WHEN 0 THEN 'application/pdf'
+                   WHEN 1 THEN 'application/rtf'
+                   WHEN 2 THEN 'application/zip'
+                   WHEN 3 THEN 'image/png'
+                   WHEN 4 THEN 'image/gif'
+                   WHEN 5 THEN 'image/jpeg'
+                   WHEN 6 THEN 'image/bmp'
+                   WHEN 7 THEN 'video/webm'
+                   WHEN 8 THEN 'application/warc'
+                   WHEN 9 THEN 'audio/wav'
+                   WHEN 10 THEN 'video/x-msvideo'
+                   WHEN 11 THEN 'video/mp4'
+                   WHEN 12 THEN 'application/gzip'
+                   WHEN 13 THEN 'text/html'
+                   WHEN 14 THEN 'text/plain'
+                   ELSE 'application/octet-stream'
+               END AS mime
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["anchor_text_stats"] = """
+        WITH pages AS (
+            SELECT 'https://h' || (doc_id % 20)::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url,
+                   '<html><body><a href="'
+                       || 'https://t' || (doc_id % 10)::VARCHAR || '.example.com/'
+                       || '">'
+                       || CASE WHEN doc_id % 3 = 1 THEN 'read more'
+                               ELSE 'click here' END
+                       || '</a> <A HREF="'
+                       || 'https://t' || (doc_id % 10)::VARCHAR || '.example.com/'
+                       || '">  site   ' || (doc_id % 2)::VARCHAR
+                       || chr(10) || ' page</A><a href="'
+                       || 'https://u' || (doc_id % 7)::VARCHAR || '.example.com/x'
+                       || '" rel=nofollow>Example — Site '
+                       || (doc_id % 13)::VARCHAR
+                       || '</a><a href="'
+                       || 'https://t' || (doc_id % 10)::VARCHAR || '.example.com/'
+                       || '"><b>skip</b></a><a href="/rel">skip too</a>'
+                       || '</body></html>' AS html
+            FROM documents
+        ),
+        raw AS (
+            SELECT unnest(regexp_extract_all(html,
+                       '(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>',
+                       1)) AS dst_url,
+                   unnest(regexp_extract_all(html,
+                       '(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>',
+                       2)) AS raw_text
+            FROM pages
+        ),
+        a AS (
+            SELECT dst_url,
+                   trim(regexp_replace(raw_text, '[ \t\n\r]+', ' ', 'g'))
+                       AS anchor_text
+            FROM raw
+            WHERE (dst_url LIKE 'http://%' OR dst_url LIKE 'https://%')
+        ),
+        c AS (
+            SELECT dst_url, anchor_text, count(*)::BIGINT AS n
+            FROM a WHERE anchor_text <> ''
+            GROUP BY dst_url, anchor_text
+        )
+        SELECT dst_url, n_anchors, n_unique_texts,
+               anchor_text AS top_anchor_text, n AS top_n
+        FROM (
+            SELECT dst_url, anchor_text, n,
+                   sum(n) OVER (PARTITION BY dst_url)::BIGINT AS n_anchors,
+                   count(*) OVER (PARTITION BY dst_url)::BIGINT
+                       AS n_unique_texts,
+                   row_number() OVER (PARTITION BY dst_url
+                                      ORDER BY n DESC, anchor_text) AS rn
+            FROM c
+        )
+        WHERE rn = 1
+        ORDER BY dst_url
+    """
+
+
+ORACLES["feed_discovery"] = """
+        WITH hosts AS (
+            SELECT DISTINCT (doc_id % 20) AS hid FROM documents
+        ),
+        lm AS (
+            SELECT hid,
+                   'https://h' || hid::VARCHAR || '.example.com'
+                       AS base
+            FROM hosts
+        )
+        SELECT base || '/feed' AS feed_url,
+               CASE WHEN hid % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+               CASE WHEN hid % 2 = 0 THEN
+                   CASE u.i WHEN 0 THEN base || '/p/a'
+                            ELSE base || '/p/b' END
+               ELSE
+                   CASE u.i WHEN 0 THEN base || '/e/1'
+                            ELSE base || '/e/2' END
+               END AS link,
+               CASE WHEN hid % 2 = 0 THEN
+                   CASE u.i WHEN 0
+                       THEN 'News ' || hid::VARCHAR || ' & views'
+                       ELSE 'Deep <dive>' END
+               ELSE
+                   CASE u.i WHEN 0 THEN 'Entry ' || hid::VARCHAR
+                            ELSE 'Plain' END
+               END AS title,
+               CASE WHEN u.i = 0 AND hid % 2 = 0
+                    THEN 'Mon, 17 Aug 2026 0' || (hid % 10)::VARCHAR
+                         || ':00:00 GMT'
+                    WHEN u.i = 0 THEN '2026-08-17T10:00:00Z'
+                    ELSE NULL END AS published
+        FROM lm
+        JOIN (SELECT unnest(range(0, 2)) AS i) u ON true
+        ORDER BY feed_url, link
+    """
+
+
+ORACLES["sitemap_discovery"] = """
+        WITH hosts AS (
+            SELECT DISTINCT (doc_id % 20) AS hid FROM documents
+        ),
+        lm AS (
+            SELECT hid,
+                   'h' || hid::VARCHAR || '.example.com' AS host,
+                   'https://h' || hid::VARCHAR || '.example.com' AS base,
+                   '2026-0' || ((hid % 8) + 1)::VARCHAR || '-15' AS lastmod
+            FROM hosts
+        )
+        SELECT host,
+               CASE WHEN hid % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
+               CASE WHEN hid % 2 = 0 THEN
+                   CASE u.i WHEN 0 THEN base || '/p/a?x=1&y=2'
+                            ELSE base || '/p/b' END
+               ELSE
+                   CASE u.i WHEN 0 THEN base || '/sitemap-0.xml'
+                            ELSE base || '/sitemap-1.xml' END
+               END AS loc,
+               CASE WHEN u.i = 0 THEN lastmod ELSE NULL END AS lastmod
+        FROM lm
+        JOIN (SELECT unnest(range(0, 2)) AS i) u ON true
+        ORDER BY host, loc
+    """
+
+
+ORACLES["robots_gate"] = """
+        SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com'
+                   || CASE doc_id % 6
+                        WHEN 0 THEN '/p/' || (doc_id % 20)::VARCHAR
+                        WHEN 1 THEN '/p/' || (doc_id % 20)::VARCHAR
+                                    || '/pub/x'
+                        WHEN 2 THEN '/tmp/cache/1'
+                        WHEN 3 THEN '/exact'
+                        WHEN 4 THEN '/exactly'
+                        ELSE '/other' END
+                   || '?q=' || doc_id::VARCHAR AS url,
+               doc_id % 6 NOT IN (0, 2, 3) AS allowed
+        FROM documents
+        ORDER BY url
+    """
+
+
+ORACLES["crawl_delta"] = """
+        SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+               CASE WHEN doc_id % 5 = 4 THEN 'added'
+                    WHEN doc_id % 5 = 3 THEN 'removed'
+                    WHEN doc_id % 7 = 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN doc_id % 5 = 4 THEN NULL
+                    ELSE md5('v1-' || doc_id::VARCHAR) END AS old_md5,
+               CASE WHEN doc_id % 5 = 3 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN md5('v2-' || doc_id::VARCHAR)
+                    ELSE md5('v1-' || doc_id::VARCHAR) END AS new_md5
+        FROM documents
+        ORDER BY url
+    """
+
+
+ORACLES["html_meta"] = """
+        SELECT doc_id,
+               'Doc ' || doc_id::VARCHAR AS title,
+               CASE WHEN doc_id % 4 = 2 THEN NULL
+                    ELSE 'desc ' || ((doc_id * 7) % 100)::VARCHAR
+               END AS meta_description,
+               'https://h' || (doc_id % 20)::VARCHAR
+                   || '.example.com/p/' || doc_id::VARCHAR AS canonical_url,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE 'OG ' || doc_id::VARCHAR
+               END AS og_title
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+ORACLES["canonical_url_dedup"] = """
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://www.src'
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.example.com:443/page/' || (doc_id // 4)::VARCHAR
+                          || '?utm_source=feed&b=2&a=1#frag'
+                     WHEN 1 THEN 'HTTPS://SRC'
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.EXAMPLE.COM/page/' || (doc_id // 4)::VARCHAR
+                          || '/?a=1&b=2'
+                     WHEN 2 THEN 'https://src'
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.example.com/page/' || (doc_id // 4)::VARCHAR
+                          || '?b=2&utm_campaign=x&a=1&ref=rss'
+                     ELSE 'https://src'
+                          || ((doc_id // 4) % 20)::VARCHAR
+                          || '.example.com:8080/page/' || (doc_id // 4)::VARCHAR
+                          || '?a=1&b=2'
+                   END AS url
+            FROM documents
+        ),
+        auth AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+                       AS authority
+            FROM urls
+        ),
+        parts AS (
+            SELECT doc_id, scheme,
+                   regexp_replace(regexp_replace(authority,
+                       ':[0-9]+$', ''), '^www\\.', '')
+                   || CASE WHEN regexp_extract(authority,
+                               ':([0-9]+)$', 1) <> ''
+                            AND NOT (scheme = 'https' AND regexp_extract(
+                                authority, ':([0-9]+)$', 1) = '443')
+                            AND NOT (scheme = 'http' AND regexp_extract(
+                                authority, ':([0-9]+)$', 1) = '80')
+                       THEN ':' || regexp_extract(authority, ':([0-9]+)$', 1)
+                       ELSE '' END AS host,
+                   regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                       '/+$', '') AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+            FROM auth
+        )
+        SELECT scheme || '://' || host || path
+               || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                   AS canonical_url,
+               count(*) AS n_variants,
+               min(doc_id) AS rep_doc
+        FROM parts
+        GROUP BY 1
+        ORDER BY canonical_url
+    """
+
+
+ORACLES["host_link_graph"] = """
+        WITH pages AS (
+            SELECT 'https://h' || (doc_id % 20)::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url,
+                   '<html><body><p>intro</p><a href="'
+                       || 'https://h' || ((doc_id * 7 + 1) % 20)::VARCHAR
+                       || '.example.com/x">one</a> <a href='''
+                       || 'https://h' || ((doc_id * 3 + 2) % 20)::VARCHAR
+                       || '.example.com/y''>two</a><a href=/rel>skip</a><a href='
+                       || 'https://h' || ((doc_id * 7 + 1) % 20)::VARCHAR
+                       || '.example.com/bare>three</a><map name=m>'
+                       || '<area shape=rect href="'
+                       || 'https://h' || ((doc_id * 11 + 5) % 20)::VARCHAR
+                       || '.example.com/map"></map></body></html>' AS html
+            FROM documents
+        ),
+        links AS (
+            SELECT url AS src_url,
+                   unnest(
+                       regexp_extract_all(html,
+                           '<[aA](?:[rR][eE][aA])?\\s[^>]*[hH][rR][eE][fF]\\s*=\\s*"([^"]*)"', 1)
+                       || regexp_extract_all(html,
+                           '<[aA](?:[rR][eE][aA])?\\s[^>]*[hH][rR][eE][fF]\\s*=\\s*''([^'']*)''', 1)
+                       || regexp_extract_all(html,
+                           '<[aA](?:[rR][eE][aA])?\\s[^>]*[hH][rR][eE][fF]\\s*=\\s*([^\\s>"''][^\\s>]*)', 1)
+                   ) AS dst_url
+            FROM pages
+        )
+        SELECT lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+                   AS src_host,
+               lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+                   AS dst_host,
+               count(*) AS n_links
+        FROM links
+        WHERE dst_url LIKE 'http://%' OR dst_url LIKE 'https://%'
+        GROUP BY 1, 2
+        ORDER BY src_host, dst_host
+    """
+
+
+ORACLES["host_pagerank"] = """
+        WITH es AS (
+            SELECT DISTINCT (doc_id % 20) AS src,
+                            ((doc_id * 7 + 1) % 20) AS dst
+            FROM documents
+            UNION
+            SELECT DISTINCT (doc_id % 20), ((doc_id * 3 + 2) % 20)
+            FROM documents
+            UNION
+            SELECT DISTINCT (doc_id % 20), ((doc_id * 11 + 5) % 20)
+            FROM documents
+        ),
+        nodes AS (SELECT src AS n FROM es UNION SELECT dst FROM es),
+        dg AS (SELECT src, count(*) AS deg FROM es GROUP BY src),
+        r0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+        r1 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r0 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r2 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r1 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r3 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r2 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r4 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r3 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        ),
+        r5 AS (
+            SELECT n.n, CAST(150000000
+                       + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS n, sum(r.rank // d.deg) AS c
+                FROM es e JOIN r4 r ON r.n = e.src JOIN dg d ON d.src = e.src
+                GROUP BY e.dst) s ON s.n = n.n
+        )
+        SELECT 'h' || n::VARCHAR || '.example.com' AS host, rank
+        FROM r5
+        ORDER BY host
+    """
+
+
+ORACLES["warc_roundtrip"] = """
+        SELECT doc_id // 10 AS file_id,
+               CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                       ORDER BY doc_id) - 1
+                   AS INTEGER) AS rec_index,
+               'response' AS warc_type,
+               'https://crawl.example.com/doc/' || doc_id::VARCHAR
+                   AS target_uri,
+               CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER)
+                   AS n_bytes,
+               coalesce(text, '') AS text
+        FROM documents
+        ORDER BY file_id, rec_index
+    """
+
+
+ORACLES["robots_meta"] = """
+    WITH hosts AS (SELECT DISTINCT (doc_id % 20) AS hid FROM documents)
+    SELECT 'h' || hid::VARCHAR || '.example.com' AS host,
+           CAST(hid * 1000 + 500 AS BIGINT) AS crawl_delay_ms,
+           s.sm_index,
+           'https://h' || hid::VARCHAR || '.example.com/' || s.name
+               AS sitemap
+    FROM hosts, (VALUES (0, 'sitemap.xml'), (1, 'news.xml'))
+        AS s(sm_index, name)
+    ORDER BY host, sm_index
+"""
+
+
+ORACLES["warc_http"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 200 + (doc_id % 2) * 204 END AS http_status,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'text/html; charset=utf-8' END AS http_content_type,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE coalesce(text, '') END AS body_text,
+           CASE WHEN doc_id % 5 = 4 THEN 'truncated chunk data'
+                ELSE NULL END AS http_error
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+ORACLES["cdx_index"] = _cdx_oracle()

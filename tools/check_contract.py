@@ -238,9 +238,11 @@ def check_stale(queries: dict, names: list, in_window_new: list) -> int:
                 if os.path.exists(os.path.join(repo, cand)):
                     deps.add(cand)
                     break
-        # the monolithic registry file changes every round for unrelated
-        # reasons; it stops being excluded once builders live per-domain
-        deps.discard("open_ocr_spark/queries.py")
+        # the registry assembler changes on every window rotation for
+        # reasons unrelated to any single query's plan; builders live in
+        # per-domain modules (their own file IS tracked), so only the
+        # order-keeping __init__ is excluded
+        deps.discard("open_ocr_spark/queries/__init__.py")
         return deps
 
     stale: list[tuple[int, str, str]] = []  # (lag_seconds, name, file)

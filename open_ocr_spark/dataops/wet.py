@@ -43,15 +43,18 @@ _WARCINFO_BODY = (
 
 
 def _record(
-    warc_type: str, uri: Column | None, date: Column, ctype: str,
+    warc_type: str | Column, uri: Column | None, date: Column, ctype: str,
     body: Column, extra: Column | None = None,
 ) -> Column:
     """One spec-shaped WARC record as a string column: version line, CRLF
     headers, Content-Length counted in BYTES (octet_length — a multibyte
     body must not be counted in characters), blank line, body.  The
     record SEPARATOR (two CRLFs) is added by the array_join in
-    `_files`, matching `sources.build_warc`."""
-    parts = [F.lit(f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n")]
+    `_files`, matching `sources.build_warc`.  ``warc_type`` may be a
+    Column for writers that interleave record types (revisit.py)."""
+    if not isinstance(warc_type, Column):
+        warc_type = F.lit(warc_type)
+    parts = [F.lit("WARC/1.0\r\nWARC-Type: "), warc_type, F.lit("\r\n")]
     if uri is not None:
         parts += [F.lit("WARC-Target-URI: "), uri, F.lit("\r\n")]
         parts += [

@@ -66,8 +66,8 @@ from open_ocr_spark.queries.webops import (
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
     q_json_ld, q_mime_sniff, q_robots_gate, q_robots_meta,
-    q_sitemap_discovery, q_warc_http, q_warc_roundtrip, q_wat_metadata,
-    q_wet_roundtrip,
+    q_sitemap_discovery, q_warc_http, q_warc_revisit, q_warc_roundtrip,
+    q_wat_metadata, q_wet_roundtrip,
 )
 from open_ocr_spark.queries.media import (
     q_audio_stats_wav, q_binary_payload_stats, q_image_dhash_dedup,
@@ -94,6 +94,7 @@ DRIVER_WINDOW = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r5-new: never driver-checked, must sit inside the window -------
+    "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,
     "wet_roundtrip": q_wet_roundtrip,

@@ -1534,3 +1534,85 @@ ORACLES["warc_http"] = """
 
 
 ORACLES["cdx_index"] = _cdx_oracle()
+
+
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-storage dedup through the real WARC container
+    (dataops/revisit.py): a deterministic capture history — 1-3 fetches
+    per url on consecutive days, payload collisions both across refetches
+    of the same url and across urls (doc_id % 97 payload classes) — is
+    written as a deduplicated revisit archive, reparsed through
+    `records_from_warc`, and the classification read back off the
+    records' own headers.  The oracle replays the digest-window
+    classification in SQL; the container write+parse is the identity the
+    writer twin pins (same pattern as `wet_roundtrip`/`warc_roundtrip`)."""
+    from open_ocr_spark.dataops.revisit import revisit_warc_files
+    from open_ocr_spark.sources import records_from_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    caps = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p/"), i,
+        ).alias("url"),
+        F.encode(
+            F.concat(F.lit("payload "), (F.col("doc_id") % 97).cast("string")),
+            "utf-8",
+        ).alias("payload"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("cap"),
+    ).select(
+        "url", "payload",
+        F.concat(
+            F.lit("2024-01-0"), (F.col("cap") + 1).cast("string"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+    )
+    files = revisit_warc_files(caps, num_buckets=8)
+    return (
+        records_from_warc(files, "warc")
+        .filter(F.col("warc_type") != "warcinfo")
+        .select(
+            F.col("target_uri").alias("uri"),
+            "warc_date",
+            "warc_type",
+            "payload_digest",
+            "refers_to_uri",
+            F.octet_length("payload").cast("long").alias("stored_len"),
+        )
+        .orderBy("uri", "warc_date")
+    )
+
+
+ORACLES["warc_revisit"] = """
+    WITH caps AS (
+        SELECT 'https://h' || (doc_id % 20)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS uri,
+               'payload ' || (doc_id % 97)::VARCHAR AS payload,
+               unnest(([0,1,2])[1:(doc_id % 3 + 1)]) AS cap
+        FROM documents
+    ), dated AS (
+        SELECT uri, payload,
+               '2024-01-0' || (cap + 1)::VARCHAR || 'T00:00:00Z'
+                   AS warc_date
+        FROM caps
+    ), tagged AS (
+        SELECT uri, warc_date,
+               'md5:' || md5(payload) AS payload_digest,
+               strlen(payload) AS payload_len,
+               row_number() OVER w AS rn,
+               first_value(uri) OVER w AS head_uri
+        FROM dated
+        WINDOW w AS (PARTITION BY md5(payload) ORDER BY warc_date, uri)
+    )
+    SELECT uri, warc_date,
+           CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+           payload_digest,
+           CASE WHEN rn = 1 THEN NULL ELSE head_uri END AS refers_to_uri,
+           CAST(CASE WHEN rn = 1 THEN payload_len ELSE 0 END AS BIGINT)
+               AS stored_len
+    FROM tagged
+    ORDER BY uri, warc_date
+"""

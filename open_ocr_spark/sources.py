@@ -254,7 +254,8 @@ WARC_MAX_DECOMPRESSED = 1 << 30
 
 WARC_RECORD_FIELDS = (
     "rec_index int, warc_type string, target_uri string, warc_date string, "
-    "content_type string, payload binary, error string"
+    "content_type string, payload binary, error string, "
+    "payload_digest string, refers_to_uri string"
 )
 
 
@@ -305,7 +306,7 @@ def parse_warc_bytes(
         recs.append({
             "rec_index": len(recs), "warc_type": None, "target_uri": None,
             "warc_date": None, "content_type": None, "payload": None,
-            "error": msg,
+            "error": msg, "payload_digest": None, "refers_to_uri": None,
         })
         return recs
 
@@ -351,6 +352,11 @@ def parse_warc_bytes(
             "content_type": headers.get("content-type"),
             "payload": raw[body_start:body_start + length],
             "error": None,
+            # revisit-record surface (ISO 28500 §6.7): the digest that
+            # deduplicated this capture and, for revisits, the capture it
+            # points back to
+            "payload_digest": headers.get("warc-payload-digest"),
+            "refers_to_uri": headers.get("warc-refers-to-target-uri"),
         })
         pos = body_start + length
         if pos == len(raw):
@@ -421,7 +427,8 @@ def records_from_warc(
     pass_names = [f.name for f in passthrough]
     rec_names = [
         "rec_index", "warc_type", "target_uri", "warc_date",
-        "content_type", "payload", "error",
+        "content_type", "payload", "error", "payload_digest",
+        "refers_to_uri",
     ]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

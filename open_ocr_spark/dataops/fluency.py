@@ -104,3 +104,64 @@ def fluency_scores(
         F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
         F.coalesce("fluency", F.lit(0).cast("long")).alias("fluency"),
     )
+
+
+def fluency_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    groups: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, fluency, bucket): CCNet's head/middle/tail tiers
+    (Wenzek et al., LREC 2020 §4.4 — the corpus is split per language
+    into perplexity terciles; "head" is the most-fluent third).
+
+    Bucket assignment is VALUE-based, not rank-based, so it needs no
+    per-language global sort: the per-(lang, fluency) histogram (a hash
+    aggregate; distinct integer scores, tiny next to the corpus) gets a
+    descending cumulative count by a window over that SMALL table only,
+    and every document joins its histogram row back on (lang, fluency) —
+    a broadcast join at corpus scale.  Frozen tie policy: a tie group
+    belongs to the bucket its LAST member's descending rank falls in
+    (cum <= ceil(k*n/groups) checked at the group's cumulative count),
+    so ties never straddle buckets and the result is independent of
+    partitioning.  Bucket names for groups=3: head / middle / tail.
+    """
+    names = {3: ["head", "middle", "tail"]}.get(
+        groups, [f"b{i}" for i in range(groups)]
+    )
+    scores = fluency_scores(docs, model, text_col, id_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    hist = scores.groupBy("lang", "fluency").agg(
+        F.count("*").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("fluency"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "fluency",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    bucket = F.lit(names[-1])
+    for k in range(groups - 1, 0, -1):
+        bucket = F.when(
+            F.col("cum") * groups <= k * F.col("n") + (groups - 1),
+            F.lit(names[k - 1]),
+        ).otherwise(bucket)
+    # cum*groups <= k*n + (groups-1)  <=>  cum <= ceil(k*n/groups),
+    # integer-exact (no division).
+    cuts = cum.select("lang", "fluency", bucket.alias("bucket"))
+    return scores.join(F.broadcast(cuts), ["lang", "fluency"]).select(
+        "doc_id", "lang", "fluency", "bucket"
+    )

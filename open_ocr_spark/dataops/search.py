@@ -101,3 +101,56 @@ def bm25_rank(
             F.sum("term_score").alias("score"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rank, term, tf, df, tfidf): each document's top-k
+    keyword terms — the TF-IDF vector head a retrieval/labeling pipeline
+    materializes per document.
+
+    Frozen ranking contract: terms order by (tf DESC, df ASC, term ASC)
+    — integer-only keys, so the top-k set is exact and engine-independent
+    even though the reported tfidf weight is a float.  tfidf uses the
+    smoothed idf ln((1+N)/(1+df)) + 1 (the sklearn TfidfTransformer
+    form, smooth_idf=True), rounded to 4dp under the repo's established
+    cross-engine float contract (see bm25_rank header).
+
+    Scale shape: tf is inverted_index's one uniform-key shuffle; df is a
+    vocab-sized hash aggregate joined back on the term key (Zipf skew
+    collapses map-side); N is a 1-row broadcast; top-k is a row_number
+    window PARTITIONED BY doc_id — uniform key, WindowGroupLimit prunes
+    map-side, never a global sort."""
+    from pyspark.sql import Window
+
+    tf = inverted_index(docs, text_col)
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1) + F.col("n_docs")).cast("double")
+                        / (F.lit(1) + F.col("df")).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )

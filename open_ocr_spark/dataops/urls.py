@@ -175,3 +175,92 @@ def cdx_index(
         .filter(F.col("surt").isNotNull())
         .orderBy("surt", "warc_ts", "url")
     )
+
+
+# --- Registrable domains (public-suffix longest match) ---------------------------
+
+# Frozen mini public-suffix list: enough of the real PSL
+# (publicsuffix.org) to exercise every rule shape — one-label suffixes,
+# multi-label ccTLD trees (co.uk/ac.uk/com.au/co.jp/com.cn/com.br),
+# and a multi-label "private" suffix (github.io) whose owner-level
+# grouping is the whole point of the PSL.  A production deployment
+# swaps in the full published list (it is ~15k entries — still a
+# broadcast-sized constant); every expression below is list-size
+# independent.
+PSL_MINI: tuple[str, ...] = (
+    "com", "org", "net", "edu", "gov", "io", "info", "biz",
+    "de", "fr", "es", "cn", "jp", "au", "br", "us", "ca", "eu", "uk",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "ac.jp",
+    "com.cn", "net.cn", "org.cn",
+    "com.br", "net.br",
+    "github.io",
+)
+
+
+def public_suffix_parts(url: Column | str) -> Column:
+    """struct<host, suffix, registrable>: PSL longest-match decomposition
+    of an http(s) URL's host (publicsuffix.org algorithm over PSL_MINI).
+
+    - suffix = the LONGEST entry in the list that is a label-aligned
+      suffix of the lowercased host; an unlisted TLD falls back to the
+      last label (the PSL's implicit ``*`` rule).
+    - registrable = suffix plus one more label to its left ("example" in
+      www.example.co.uk -> example.co.uk); NULL when the host IS a
+      public suffix or cannot gain a label (single-label host on the
+      fallback path).
+
+    Pure Catalyst: the candidate label-aligned suffixes come from one
+    ``transform(sequence(...))`` over the host's labels and the longest
+    match is ``element_at(filter(...), 1)`` — no explode, no join, no
+    Python; a projection at any scale."""
+    col = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    psl = F.array(*[F.lit(s) for s in PSL_MINI])
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.array_join(F.slice(labels, i, n - i + 1), ".").alias("suf"),
+        ),
+    )
+    best = F.try_element_at(
+        F.filter(cands, lambda c: F.array_contains(psl, c["suf"])), F.lit(1)
+    )
+    start = F.coalesce(best["i"], n)  # fallback: last label is the suffix
+    suffix = F.array_join(F.slice(labels, start, n - start + 1), ".")
+    registrable = F.when(
+        start >= 2,
+        F.array_join(F.slice(labels, start - 1, n - start + 2), "."),
+    )
+    return F.when(
+        host.isNotNull() & (host != ""),
+        F.struct(
+            host.alias("host"),
+            suffix.alias("suffix"),
+            registrable.alias("registrable"),
+        ),
+    )
+
+
+def registrable_domain_stats(
+    pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(registrable, suffix, n_urls, n_hosts): corpus rollup at the
+    OWNER level — the grouping a crawl uses for per-site quotas, spam
+    domains, and domain-diversity stats, where per-host grouping splits
+    one owner across subdomains.  One projection + one hash aggregate on
+    the registrable key (far fewer distinct values than hosts; skew on
+    big owners is the same salting story as hosts, partitioning.py)."""
+    parts = pages.select(public_suffix_parts(F.col(url_col)).alias("p"))
+    return (
+        parts.select("p.host", "p.suffix", "p.registrable")
+        .groupBy("registrable", "suffix")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )

@@ -243,6 +243,14 @@ def extract_document(
                     text = ocr_image(payload)
                 except ValueError as exc:
                     return "", "error:ocr-unsupported", str(exc)
+            elif args.markdown_output:
+                # the "md" output format (options.py markdown_output):
+                # structure-preserving extraction for the HTML branch only
+                from open_ocr_spark.kernels.html_markdown import (
+                    html_to_markdown,
+                )
+
+                text = html_to_markdown(payload, aggressive=aggressive)
             else:
                 text = extract_main_text(payload, aggressive=aggressive)
 

@@ -85,6 +85,16 @@ class EngineArgs:
         plain text."""
         return self.config_vars.get("tessedit_create_hocr") == "1"
 
+    @property
+    def markdown_output(self) -> bool:
+        """Markdown-mode switch: config var output_format == "md" — the
+        engine-surface extension of the reference's output-format list
+        (["txt","hocr"], tesseract_engine.go:194-262): HTML payloads emit
+        structure-preserving markdown (kernels/html_markdown.py) instead
+        of flattened main text. Non-HTML branches (PDF/OOXML/OCR) are
+        unaffected: their extractors have no DOM to preserve."""
+        return self.config_vars.get("output_format") == "md"
+
     def export(self) -> list[str]:
         """CLI-flag export, field order as tesseract_engine.go:79-96:
         config vars first (sorted for determinism — Go map iteration is

@@ -24,10 +24,11 @@ from open_ocr_spark.queries._shared import (
 from open_ocr_spark.queries.extraction import (
     q_base64_roundtrip, q_engine_dispatch, q_extract_docx_text,
     q_extract_epub_text, q_extract_glyph_ocr, q_extract_main_text,
-    q_extract_odt_text, q_extract_pdf_cmap, q_extract_pdf_flate,
-    q_extract_pdf_text, q_extract_pdf_tj, q_extract_pptx_text,
-    q_extract_rtf_text, q_extract_status_rollup, q_extract_structured_spans,
-    q_extract_xlsx_text, q_multipart_roundtrip, q_url_fetch_roundtrip,
+    q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
+    q_extract_pdf_flate, q_extract_pdf_text, q_extract_pdf_tj,
+    q_extract_pptx_text, q_extract_rtf_text, q_extract_status_rollup,
+    q_extract_structured_spans, q_extract_xlsx_text, q_multipart_roundtrip,
+    q_url_fetch_roundtrip,
 )
 from open_ocr_spark.queries.relational import (
     q_agg_pricing_summary, q_anti_join_resume, q_approx_distinct_users,
@@ -55,17 +56,19 @@ from open_ocr_spark.queries.embeddings import (
 )
 from open_ocr_spark.queries.textquality import (
     q_bm25_search, q_bpe_encode_docs, q_bpe_token_counts, q_bpe_train,
-    q_c4_line_clean, q_char_entropy, q_chunk_documents, q_classifier_train,
+    q_c4_line_clean, q_ccnet_buckets, q_char_entropy, q_chunk_documents,
+    q_classifier_train,
     q_doc_fingerprints, q_gopher_gate, q_lang_id, q_lang_id_fixture,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
     q_quality_scores, q_readability_scores, q_repetition_stats,
-    q_token_counts, q_top_bigrams, q_unicode_nfc,
+    q_tfidf_top_terms, q_token_counts, q_top_bigrams, q_unicode_nfc,
 )
 from open_ocr_spark.queries.webops import (
     q_anchor_text_stats, q_canonical_url_dedup, q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
-    q_json_ld, q_mime_sniff, q_robots_gate, q_robots_meta,
+    q_json_ld, q_mime_sniff, q_registrable_domain, q_robots_gate,
+    q_robots_meta,
     q_sitemap_discovery, q_warc_http, q_warc_revisit, q_warc_roundtrip,
     q_wat_metadata, q_wet_roundtrip,
 )
@@ -77,11 +80,11 @@ from open_ocr_spark.queries.media import (
     q_media_resize_jpeg_progressive, q_media_resize_png,
 )
 from open_ocr_spark.queries.sampling import (
-    q_bloom_prune_stats, q_decontaminate_docs, q_hll_distinct_md5,
-    q_host_quota_sample, q_key_skew_gini, q_pack_multimodal,
-    q_pack_training_sequences, q_prepare_corpus, q_prepare_corpus_full,
-    q_stratified_sample, q_stratified_sample_md5, q_temperature_sample,
-    q_train_test_split,
+    q_bloom_prune_stats, q_decontaminate_docs, q_dsir_resample,
+    q_hll_distinct_md5, q_host_quota_sample, q_key_skew_gini,
+    q_pack_multimodal, q_pack_training_sequences, q_prepare_corpus,
+    q_prepare_corpus_full, q_stratified_sample, q_stratified_sample_md5,
+    q_temperature_sample, q_train_test_split,
 )
 # re-exported: tests/test_dataops.py builds the near-dup fixture corpus
 from open_ocr_spark.queries.embeddings import _near_dup_embedding_corpus
@@ -94,6 +97,11 @@ DRIVER_WINDOW = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r5-new: never driver-checked, must sit inside the window -------
+    "extract_markdown": q_extract_markdown,
+    "dsir_resample": q_dsir_resample,
+    "ccnet_buckets": q_ccnet_buckets,
+    "registrable_domain": q_registrable_domain,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -737,6 +737,69 @@ def q_extract_structured_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "md" output format (r5, kernels/html_markdown.py): the engine's
+    output_format config var extended past the reference's ["txt","hocr"]
+    list (tesseract_engine.go:194-262) with structure-preserving markdown.
+    The fixture page exercises every frozen-policy block and inline form —
+    h1/h2, emphasis+link paragraph, bullet list with a link item,
+    blockquote, fenced code, hr, pipe table — and the oracle is the writer
+    twin: it reassembles the exact markdown from the same documents
+    columns, so heading levels, list markers, quote prefixes, fences and
+    the table separator row all value-hash."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("<h1>Doc "), did, F.lit("</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" with <strong>bold</strong> and <em>emphasis</em> and a "
+              '<a href="https://example.com/ref/'), did,
+        F.lit('">link '), did, F.lit("</a>.</p>"),
+        F.lit("<h2>Details</h2><ul><li>lang "), F.col("lang"),
+        F.lit("</li><li>source "), F.col("source"),
+        F.lit('</li><li><a href="https://example.com/src/'),
+        F.col("source"), F.lit('">origin</a></li></ul>'),
+        F.lit("<blockquote><p>Quoted summary "),
+        F.col("n_chars").cast("string"),
+        F.lit(" chars.</p></blockquote>"),
+        F.lit("<pre><code>doc_id = "), did, F.lit("</code></pre><hr>"),
+        F.lit("<table><tr><th>key</th><th>value</th></tr>"
+              "<tr><td>id</td><td>"), did,
+        F.lit("</td></tr></table>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.com/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><head><script>q()</script></head><body>'
+                      '<nav><ul><li><a href="/">Home</a></li></ul></nav>'
+                      "<article>"),
+                body,
+                F.lit("</article><footer><p>(c) footer</p></footer>"
+                      "</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit("eng").alias("lang"),
+        F.col("doc_id"),
+    ).withColumn(
+        "engine_args_json",
+        F.lit('{"config_vars": {"output_format": "md"}}'),
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select(
+            "doc_id",
+            F.col("extracted_text").alias("markdown"),
+            "status",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/A13 parity, oracle-checked: a per-row `engine` column routes
     each document through the kernel dispatch — every 10th doc uses the
@@ -754,6 +817,37 @@ def q_engine_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "extracted_text", "status")
         .orderBy("doc_id")
     )
+
+
+ORACLES["extract_markdown"] = """
+        SELECT doc_id,
+               '# Doc ' || doc_id::VARCHAR
+               || chr(10) || chr(10)
+               || trim(regexp_replace(
+                      coalesce(text, '')
+                      || ' with **bold** and *emphasis* and a [link '
+                      || doc_id::VARCHAR || '](https://example.com/ref/'
+                      || doc_id::VARCHAR || ').',
+                      '[ \t\n\r]+', ' ', 'g'))
+               || chr(10) || chr(10) || '## Details'
+               || chr(10) || chr(10)
+               || '- lang ' || lang || chr(10)
+               || '- source ' || source || chr(10)
+               || '- [origin](https://example.com/src/' || source || ')'
+               || chr(10) || chr(10)
+               || '> Quoted summary ' || n_chars::VARCHAR || ' chars.'
+               || chr(10) || chr(10)
+               || '```' || chr(10) || 'doc_id = ' || doc_id::VARCHAR
+               || chr(10) || '```'
+               || chr(10) || chr(10) || '---'
+               || chr(10) || chr(10)
+               || '| key | value |' || chr(10) || '| --- | --- |'
+               || chr(10) || '| id | ' || doc_id::VARCHAR || ' |'
+                   AS markdown,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
 
 
 ORACLES["extract_main_text"] = """

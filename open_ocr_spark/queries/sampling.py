@@ -271,6 +271,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (r5, dataops/dsir.py; Xie NeurIPS'23):
+    hashed unigram+bigram features (512 md5 buckets), add-one-smoothed
+    target-vs-raw log-likelihood-ratio weights frozen to 6dp int64 fixed
+    point, per-doc score = integer sum, top-100 by (score_fp desc,
+    doc_id) — the data-selection stage of a pretraining pipeline. Target
+    domain = lang='en' (the in-corpus target, CCNet shape). The oracle
+    REPLAYS the whole model fit in SQL — tokenization, bucket hash, both
+    multinomials, the fixed-point ln ratio, the scoring join — so the
+    feature space and every weight value hash-check."""
+    from open_ocr_spark.dataops.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, is_target=F.col("lang") == "en", k=100, buckets=512
+    ).select("doc_id", "n_grams", "score_fp")
+
+
+ORACLES["dsir_resample"] = """
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+                   list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS tl
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_target, unnest(tl) AS gram FROM toks
+            UNION ALL
+            SELECT doc_id, is_target, tl[g.i] || ' ' || tl[g.i + 1] AS gram
+            FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS g(i)
+        ),
+        bucketed AS (
+            SELECT doc_id, is_target,
+                   ('0x' || substring(md5(gram), 1, 8))::BIGINT % 512
+                       AS bucket
+            FROM grams
+        ),
+        per_bucket AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT
+                       AS t_cnt,
+                   count(*)::BIGINT AS r_cnt
+            FROM bucketed GROUP BY bucket
+        ),
+        tot AS (
+            SELECT sum(t_cnt)::BIGINT AS t_total,
+                   sum(r_cnt)::BIGINT AS r_total
+            FROM per_bucket
+        ),
+        weights AS (
+            SELECT bucket,
+                   CAST(round(1000000 * (
+                       ln((t_cnt + 1)::DOUBLE / (t_total + 512))
+                       - ln((r_cnt + 1)::DOUBLE / (r_total + 512))
+                   )) AS BIGINT) AS weight_fp
+            FROM per_bucket, tot
+        ),
+        scores AS (
+            SELECT b.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(w.weight_fp)::BIGINT AS score_fp
+            FROM bucketed b JOIN weights w USING (bucket)
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_grams, score_fp
+        FROM scores
+        ORDER BY score_fp DESC, doc_id
+        LIMIT 100
+    """
+
+
 ORACLES["prepare_corpus"] = """
         WITH base AS (
             SELECT doc_id, text,

@@ -114,6 +114,29 @@ def q_ngram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fluency_scores(docs, model).orderBy("doc_id")
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers (r5, dataops/fluency.py
+    fluency_buckets): per-language perplexity terciles over the
+    ngram_fluency scores — Wenzek et al. LREC 2020 §4.4, the step that
+    turns the LM score into the corpus's quality tiers.  Assignment is
+    VALUE-based via the (lang, fluency) histogram's descending cumulative
+    count (no per-language corpus sort; the window runs on the tiny
+    histogram only), ceil boundaries kept integer-exact as
+    cum*3 <= k*n + 2.  The oracle retrains the model, rescores, rebuilds
+    the histogram and replays the same cum/ceil arithmetic in SQL — a
+    rank-vs-value slip, a tie group straddling buckets, or a float ceil
+    moves documents across tiers and breaks the hash."""
+    from open_ocr_spark.dataops.fluency import (
+        fluency_buckets,
+        train_bigram_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    model = train_bigram_model(ref)
+    return fluency_buckets(docs, model).orderBy("doc_id")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding chunking (dataops/chunking.py): every document fans
     out to overlapping 16-token windows at stride 12 (the last window is
@@ -342,6 +365,21 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword heads (r5, dataops/search.py
+    tfidf_top_terms): top-3 terms per document under the frozen
+    integer-only ranking (tf DESC, df ASC, term ASC), with the sklearn
+    smooth-idf weight ln((1+N)/(1+df))+1 reported at 4dp.  The oracle
+    rebuilds tf/df/N and replays the same row_number ranking — a
+    ranking-key slip (float in the sort, wrong tie-break), an
+    unsmoothed idf, or a df computed over postings instead of documents
+    all break the hash."""
+    from open_ocr_spark.dataops.search import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,6 +1107,96 @@ ORACLES["ngram_fluency"] = """
                CAST(coalesce(a.fluency, 0) AS BIGINT) AS fluency
         FROM docs2 d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+    """
+
+
+ORACLES["tfidf_top_terms"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(
+                       lower(coalesce(text, '')), '[ \t\n\r]+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM toks WHERE term != '' GROUP BY term, doc_id
+        ),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.term ASC
+                   ) AS rank
+            FROM tf t JOIN dft d USING (term)
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               round(tf * (ln((1 + (SELECT n_docs FROM n))::DOUBLE
+                               / (1 + df)::DOUBLE) + 1.0), 4) AS tfidf
+        FROM ranked
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """
+
+
+ORACLES["ccnet_buckets"] = """
+        WITH docs2 AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+            FROM documents
+        ),
+        bound AS (SELECT max(len(w)) AS mx FROM docs2),
+        pairs AS (
+            SELECT d.doc_id, u.i AS pos, w[u.i+1] AS w1, w[u.i+2] AS w2
+            FROM docs2 d
+            JOIN (SELECT unnest(range(0, (SELECT mx FROM bound))) AS i) u
+              ON u.i <= len(d.w) - 2
+        ),
+        ref AS (
+            SELECT w1, w2, count(*) AS c2
+            FROM pairs WHERE doc_id % 10 = 0 GROUP BY w1, w2
+        ),
+        c1t AS (SELECT w1, sum(c2) AS c1 FROM ref GROUP BY w1),
+        model AS (
+            SELECT r.w1, r.w2, 1000000 * r.c2 AS num, c.c1
+            FROM ref r JOIN c1t c USING (w1)
+        ),
+        scored AS (
+            SELECT p.doc_id, coalesce(m.num // m.c1, 0) AS s
+            FROM pairs p
+            LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+        ),
+        agg AS (
+            SELECT doc_id, sum(s) // count(*) AS fluency
+            FROM scored GROUP BY doc_id
+        ),
+        scores AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(coalesce(a.fluency, 0) AS BIGINT) AS fluency
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        ),
+        hist AS (
+            SELECT lang, fluency, count(*) AS cnt
+            FROM scores GROUP BY lang, fluency
+        ),
+        cum AS (
+            SELECT lang, fluency,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY fluency DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM hist
+        ),
+        cuts AS (
+            SELECT lang, fluency,
+                   CASE WHEN cum * 3 <= 1 * n + 2 THEN 'head'
+                        WHEN cum * 3 <= 2 * n + 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cum
+        )
+        SELECT s.doc_id, s.lang, s.fluency, c.bucket
+        FROM scores s JOIN cuts c USING (lang, fluency)
+        ORDER BY s.doc_id
     """
 
 

@@ -1616,3 +1616,105 @@ ORACLES["warc_revisit"] = """
     FROM tagged
     ORDER BY uri, warc_date
 """
+
+
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Owner-level domain rollup (r5, dataops/urls.py
+    public_suffix_parts): PSL longest-match over a fixture URL set that
+    exercises every rule shape — two subdomain spellings of one co.uk
+    owner (must merge: 2 hosts, 1 registrable), a nested .com subdomain,
+    a multi-label private suffix (github.io, where the OWNER is
+    team.github.io, not github.io), a host that IS a public suffix
+    (registrable NULL), an unlisted TLD on the implicit-* fallback, and
+    a single-label fallback host (NULL).  The oracle replays the
+    longest-match scan with DuckDB list lambdas over the same unrolled
+    PSL — an off-by-one in the label slice, a shortest-match slip, or a
+    wrong fallback all move rows across groups and break the hash."""
+    from open_ocr_spark.dataops.urls import registrable_domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    urls = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://www.shop"), s(5),
+                         F.lit(".co.uk/p/"), d.cast("string")),
+                F.concat(F.lit("http://blog.shop"), s(5),
+                         F.lit(".co.uk/"), d.cast("string")),
+                F.concat(F.lit("https://a"), s(3), F.lit(".b.site"), s(7),
+                         F.lit(".com/x")),
+                F.concat(F.lit("https://team"), s(4),
+                         F.lit(".github.io/"), d.cast("string")),
+                F.lit("https://CO.UK/"),
+                F.concat(F.lit("https://node"), s(4), F.lit(".internal/x")),
+                F.lit("https://localhost/x"),
+            )
+        ).alias("url")
+    )
+    return registrable_domain_stats(urls).orderBy(
+        F.asc("suffix"), F.asc_nulls_first("registrable")
+    )
+
+
+def _registrable_domain_oracle() -> str:
+    from open_ocr_spark.dataops.urls import PSL_MINI
+
+    psl = ", ".join(f"'{s}'" for s in PSL_MINI)
+    return f"""
+        WITH urls AS (
+            SELECT unnest([
+                'https://www.shop' || (doc_id % 5)::VARCHAR
+                    || '.co.uk/p/' || doc_id::VARCHAR,
+                'http://blog.shop' || (doc_id % 5)::VARCHAR
+                    || '.co.uk/' || doc_id::VARCHAR,
+                'https://a' || (doc_id % 3)::VARCHAR || '.b.site'
+                    || (doc_id % 7)::VARCHAR || '.com/x',
+                'https://team' || (doc_id % 4)::VARCHAR
+                    || '.github.io/' || doc_id::VARCHAR,
+                'https://CO.UK/',
+                'https://node' || (doc_id % 4)::VARCHAR || '.internal/x',
+                'https://localhost/x'
+            ]) AS url
+            FROM documents
+        ),
+        hosts AS (
+            SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))
+                       AS host
+            FROM urls
+        ),
+        parts AS (
+            SELECT host, string_split(host, '.') AS labels,
+                   len(string_split(host, '.')) AS n
+            FROM hosts
+        ),
+        matched AS (
+            SELECT host, labels, n,
+                   coalesce(
+                       list_filter(
+                           range(1, n + 1),
+                           i -> array_to_string(labels[i:n], '.')
+                                    IN ({psl})
+                       )[1],
+                       n
+                   ) AS start
+            FROM parts
+        ),
+        decomp AS (
+            SELECT host,
+                   array_to_string(labels[start:n], '.') AS suffix,
+                   CASE WHEN start >= 2
+                        THEN array_to_string(labels[start-1:n], '.')
+                   END AS registrable
+            FROM matched
+        )
+        SELECT registrable, suffix,
+               count(*) AS n_urls,
+               count(DISTINCT host) AS n_hosts
+        FROM decomp
+        GROUP BY registrable, suffix
+        ORDER BY suffix ASC, registrable ASC NULLS FIRST
+    """
+
+
+ORACLES["registrable_domain"] = _registrable_domain_oracle()

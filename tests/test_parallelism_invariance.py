@@ -15,6 +15,11 @@ CHAINS = [
     "pack_training_sequences",
     "ngram_fluency",        # train + score in one plan
     "host_quota_sample",    # per-group hash top-k
+    "dsir_resample",        # fixed-point importance model + top-k (r5)
+    "extract_markdown",     # structured md extraction kernel (r5)
+    "ccnet_buckets",        # value-based perplexity terciles (r5)
+    "registrable_domain",   # PSL longest-match rollup (r5)
+    "tfidf_top_terms",      # integer-ranked tf-idf heads (r5)
 ]
 
 
@@ -24,11 +29,12 @@ def test_chain_invariant_across_shuffle_partitions(spark, name):
 
     q = QUERIES[name]
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731 null-safe
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "2")
-        a = sorted(map(tuple, q(spark, SF).collect()))
+        a = sorted(map(tuple, q(spark, SF).collect()), key=key)
         spark.conf.set("spark.sql.shuffle.partitions", "32")
-        b = sorted(map(tuple, q(spark, SF).collect()))
+        b = sorted(map(tuple, q(spark, SF).collect()), key=key)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b

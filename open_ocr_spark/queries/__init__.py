@@ -73,7 +73,8 @@ from open_ocr_spark.queries.webops import (
     q_wat_metadata, q_wet_roundtrip,
 )
 from open_ocr_spark.queries.media import (
-    q_audio_stats_wav, q_binary_payload_stats, q_image_dhash_dedup,
+    q_audio_stats_wav, q_binary_payload_stats, q_exif_metadata,
+    q_image_dhash_dedup,
     q_media_features, q_media_frame_sample, q_media_frame_sample_avi,
     q_media_frame_sample_mp4, q_media_frame_sample_webm, q_media_resize,
     q_media_resize_gif, q_media_resize_jpeg, q_media_resize_jpeg_arith,
@@ -102,6 +103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "registrable_domain": q_registrable_domain,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "exif_metadata": q_exif_metadata,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

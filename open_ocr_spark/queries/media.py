@@ -860,3 +860,81 @@ ORACLES["media_frame_sample_webm"] = """
         JOIN (SELECT unnest(range(0, 3)) AS i) u ON u.i <= d.doc_id % 3
         ORDER BY doc_id, frame_idx
     """
+
+
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF capture metadata (r5, dataops/exif.py): each document becomes
+    a JPEG whose Exif APP1 carries formula-derived tags, ALTERNATING TIFF
+    byte order per row (II even doc_ids, MM odd) so both endiannesses sit
+    in one hashed surface; every 10th payload is non-JPEG garbage and
+    must surface as an all-null row (the error-as-value contract, not an
+    aborted job).  The oracle recomputes every tag closed-form — a
+    byte-order slip, an inline-vs-offset value bug, a wrong IFD walk, or
+    a dropped error row all break the hash."""
+    import pandas as pd
+
+    def _jpeg_wrap(batches):
+        from open_ocr_spark.dataops.exif import build_exif_jpeg
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 10 == 9:
+                    out.append((i, bytearray(b"not a jpeg %d" % i)))
+                    continue
+                payload = build_exif_jpeg(
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    make=f"Make{i % 3}",
+                    model=f"Cam{i % 7}",
+                    orientation=1 + i % 8,
+                    x_resolution=(72 + i % 4, 1),
+                    datetime=f"2024:01:0{1 + i % 9} 12:00:00",
+                    exposure_time=(1, 60 + i % 200),
+                    iso=100 * (1 + i % 32),
+                    pixel_x=640 + i % 1024,
+                )
+                out.append((i, bytearray(payload)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    from open_ocr_spark.dataops.exif import exif_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_jpeg_wrap, "media_id long, payload binary")
+    return (
+        exif_metadata(media, strict=False)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["exif_metadata"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   AS byte_order,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE 'Make' || (doc_id % 3)::VARCHAR END AS make,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE 'Cam' || (doc_id % 7)::VARCHAR END AS model,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(72 + doc_id % 4 AS BIGINT) END AS x_res_num,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(1 AS BIGINT) END AS x_res_den,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE '2024:01:0' || (1 + doc_id % 9)::VARCHAR
+                         || ' 12:00:00' END AS datetime,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(1 AS BIGINT) END AS exposure_num,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(60 + doc_id % 200 AS BIGINT) END
+                   AS exposure_den,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(100 * (1 + doc_id % 32) AS INTEGER) END AS iso,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE CAST(640 + doc_id % 1024 AS BIGINT) END AS pixel_x
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -43,6 +43,11 @@ TAG_EXIF_IFD = 0x8769
 TAG_EXPOSURE_TIME = 0x829A
 TAG_ISO = 0x8827
 TAG_PIXEL_X = 0xA002
+TAG_GPS_IFD = 0x8825
+TAG_GPS_LAT_REF = 0x0001
+TAG_GPS_LAT = 0x0002
+TAG_GPS_LON_REF = 0x0003
+TAG_GPS_LON = 0x0004
 
 _MAX_ENTRIES = 4096  # hostile-input cap: one IFD cannot claim 64k entries
 
@@ -90,9 +95,13 @@ def build_tiff_exif(
     exposure_time: tuple[int, int] = (1, 60),
     iso: int = 100,
     pixel_x: int = 0,
+    gps: dict | None = None,
 ) -> bytes:
     """The TIFF stream of an Exif APP1 payload: IFD0 with the five
-    baseline tags plus an Exif sub-IFD (exposure, ISO, pixel width)."""
+    baseline tags plus an Exif sub-IFD (exposure, ISO, pixel width) and,
+    when ``gps`` is given, a GPS sub-IFD.  ``gps`` keys: lat_ref/lon_ref
+    ("N"/"S"/"E"/"W") and lat/lon as three (num, den) rationals each
+    (degrees, minutes, seconds)."""
     order = "<" if byte_order == "II" else ">"
     ifd0_fields = [
         (TAG_MAKE, 2, make),
@@ -100,29 +109,36 @@ def build_tiff_exif(
         (TAG_ORIENTATION, 3, [orientation]),
         (TAG_X_RESOLUTION, 5, [x_resolution]),
         (TAG_DATETIME, 2, datetime),
-        (TAG_EXIF_IFD, 4, None),  # patched below
     ]
     exif_fields = [
         (TAG_EXPOSURE_TIME, 5, [exposure_time]),
         (TAG_ISO, 3, [iso]),
         (TAG_PIXEL_X, 4, [pixel_x]),
     ]
+    gps_fields = []
+    if gps is not None:
+        gps_fields = [
+            (TAG_GPS_LAT_REF, 2, gps["lat_ref"]),
+            (TAG_GPS_LAT, 5, list(gps["lat"])),
+            (TAG_GPS_LON_REF, 2, gps["lon_ref"]),
+            (TAG_GPS_LON, 5, list(gps["lon"])),
+        ]
+    n_pointers = 1 + (1 if gps_fields else 0)
     # layout: header(8) | IFD0 | IFD0 heap | ExifIFD | Exif heap
-    ifd0_size = 2 + 12 * len(ifd0_fields) + 4
+    #         | [GPS IFD | GPS heap]
+    ifd0_size = 2 + 12 * (len(ifd0_fields) + n_pointers) + 4
     ifd0_off = 8
     heap0_off = ifd0_off + ifd0_size
     heap0 = bytearray()
     entries0 = [
         _entry(order, t, typ, v, heap0_off, heap0)
         for (t, typ, v) in ifd0_fields
-        if t != TAG_EXIF_IFD
     ]
     exif_off = heap0_off + len(heap0)
     entries0.append(
         struct.pack(order + "HHI", TAG_EXIF_IFD, 4, 1)
         + struct.pack(order + "I", exif_off)
     )
-    entries0.sort(key=lambda e: struct.unpack(order + "H", e[:2])[0])
     exif_size = 2 + 12 * len(exif_fields) + 4
     heap1_off = exif_off + exif_size
     heap1 = bytearray()
@@ -130,6 +146,26 @@ def build_tiff_exif(
         _entry(order, t, typ, v, heap1_off, heap1)
         for (t, typ, v) in exif_fields
     ]
+    gps_ifd = b""
+    heap2 = bytearray()
+    if gps_fields:
+        gps_off = heap1_off + len(heap1)
+        entries0.append(
+            struct.pack(order + "HHI", TAG_GPS_IFD, 4, 1)
+            + struct.pack(order + "I", gps_off)
+        )
+        gps_size = 2 + 12 * len(gps_fields) + 4
+        heap2_off = gps_off + gps_size
+        entries2 = [
+            _entry(order, t, typ, v, heap2_off, heap2)
+            for (t, typ, v) in gps_fields
+        ]
+        gps_ifd = (
+            struct.pack(order + "H", len(entries2))
+            + b"".join(entries2)
+            + struct.pack(order + "I", 0)
+        )
+    entries0.sort(key=lambda e: struct.unpack(order + "H", e[:2])[0])
     header = byte_order.encode("ascii") + struct.pack(
         order + "HI", 42, ifd0_off
     )
@@ -143,7 +179,15 @@ def build_tiff_exif(
         + b"".join(entries1)
         + struct.pack(order + "I", 0)
     )
-    return header + ifd0 + bytes(heap0) + exif_ifd + bytes(heap1)
+    return (
+        header
+        + ifd0
+        + bytes(heap0)
+        + exif_ifd
+        + bytes(heap1)
+        + gps_ifd
+        + bytes(heap2)
+    )
 
 
 def build_exif_jpeg(**fields) -> bytes:
@@ -214,6 +258,18 @@ def _rational(entry, order: str) -> tuple[int, int] | None:
     return n, d
 
 
+def _dms(entry, order: str) -> str | None:
+    """GPS coordinate as the exact rational triple "dn/dd,mn/md,sn/sd" —
+    no float arithmetic, so the value survives any engine bit-for-bit."""
+    if entry is None or entry[0] != 5 or entry[1] < 3:
+        return None
+    parts = []
+    for i in range(3):
+        n, d = struct.unpack_from(order + "II", entry[2], 8 * i)
+        parts.append(f"{n}/{d}")
+    return ",".join(parts)
+
+
 def parse_exif(payload: bytes) -> dict:
     """The selected-tag dict of a JPEG's Exif APP1 (make, model,
     orientation, x_resolution num/den, datetime, exposure num/den, iso,
@@ -259,6 +315,10 @@ def parse_exif(payload: bytes) -> dict:
     ptr = _uint(ifd0.get(TAG_EXIF_IFD), order)
     if ptr is not None:
         exif_ifd = _read_ifd(tiff, order, ptr)
+    gps_ifd: dict[int, tuple] = {}
+    gptr = _uint(ifd0.get(TAG_GPS_IFD), order)
+    if gptr is not None:
+        gps_ifd = _read_ifd(tiff, order, gptr)
     xres = _rational(ifd0.get(TAG_X_RESOLUTION), order)
     expo = _rational(exif_ifd.get(TAG_EXPOSURE_TIME), order)
     return {
@@ -273,7 +333,67 @@ def parse_exif(payload: bytes) -> dict:
         "exposure_den": expo[1] if expo else None,
         "iso": _uint(exif_ifd.get(TAG_ISO), order),
         "pixel_x": _uint(exif_ifd.get(TAG_PIXEL_X), order),
+        "has_gps": bool(gps_ifd),
+        "gps_lat_ref": _ascii(gps_ifd.get(TAG_GPS_LAT_REF)),
+        "gps_lat_dms": _dms(gps_ifd.get(TAG_GPS_LAT), order),
+        "gps_lon_ref": _ascii(gps_ifd.get(TAG_GPS_LON_REF)),
+        "gps_lon_dms": _dms(gps_ifd.get(TAG_GPS_LON), order),
     }
+
+
+def scrub_gps(payload: bytes) -> bytes:
+    """GPS-free canonical re-encode of a JPEG's Exif metadata — the
+    image-PII scrub stage.
+
+    Contract: ALLOWLIST RE-ENCODE, the strongest scrub posture — the
+    output APP1 is rebuilt from scratch carrying only the parsed
+    allowlisted tags (make/model/orientation/resolution/datetime/
+    exposure/ISO/pixel width); GPS and every unrecognized tag (maker
+    notes, serial numbers, embedded thumbnails) are gone by construction
+    rather than by enumeration.  Byte order is preserved.  Segments
+    outside APP1 (the actual image data) pass through untouched.
+    Raises ValueError on unparseable input (strict/null contract at the
+    kernel layer)."""
+    meta = parse_exif(payload)
+
+    def keep(key, default):
+        # explicit None check: 0 / "" are real tag values, not absences
+        return default if meta[key] is None else meta[key]
+
+    tiff = build_tiff_exif(
+        byte_order=meta["byte_order"],
+        make=keep("make", ""),
+        model=keep("model", ""),
+        orientation=keep("orientation", 1),
+        x_resolution=(keep("x_res_num", 72), keep("x_res_den", 1)),
+        datetime=keep("datetime", ""),
+        exposure_time=(keep("exposure_num", 0), keep("exposure_den", 1)),
+        iso=keep("iso", 0),
+        pixel_x=keep("pixel_x", 0),
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    # splice: copy every segment, replacing the Exif APP1 body
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            out += b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+        else:
+            out += payload[pos : pos + 2 + seg_len]
+        if marker == 0xDA:
+            # entropy-coded data + EOI follow unframed: pass through
+            out += payload[pos + 2 + seg_len :]
+            return bytes(out)
+        pos += 2 + seg_len
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 _SCHEMA = (
@@ -320,3 +440,56 @@ def exif_metadata(media: DataFrame, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=_COLS)
 
     return media.select("media_id", "payload").mapInPandas(kernel, _SCHEMA)
+
+
+_GPS_SCHEMA = (
+    "media_id long, had_gps boolean, gps_lat_ref string, "
+    "gps_lat_dms string, gps_lon_ref string, gps_lon_dms string, "
+    "scrub_has_gps boolean, make_after string"
+)
+
+
+def gps_scrub_report(media: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, had_gps, gps_lat_ref/dms, gps_lon_ref/dms,
+    scrub_has_gps, make_after): run the GPS allowlist scrub over every
+    JPEG payload and REVERIFY by re-parsing the scrubbed bytes — the
+    audit surface a privacy pipeline hash-checks (found coordinates,
+    post-scrub GPS absence, allowlisted-tag survival).  Unparseable
+    payloads: strict raises, default emits nulls (row kept)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    before = parse_exif(bytes(payload or b""))
+                    after = parse_exif(scrub_gps(bytes(payload)))
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append((media_id,) + (None,) * 7)
+                    continue
+                rows.append(
+                    (
+                        media_id,
+                        before["has_gps"],
+                        before["gps_lat_ref"],
+                        before["gps_lat_dms"],
+                        before["gps_lon_ref"],
+                        before["gps_lon_dms"],
+                        after["has_gps"],
+                        after["make"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "had_gps", "gps_lat_ref", "gps_lat_dms",
+                    "gps_lon_ref", "gps_lon_dms", "scrub_has_gps",
+                    "make_after",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, _GPS_SCHEMA
+    )

@@ -73,7 +73,8 @@ from open_ocr_spark.queries.webops import (
     q_wat_metadata, q_wet_roundtrip,
 )
 from open_ocr_spark.queries.media import (
-    q_audio_stats_wav, q_binary_payload_stats, q_exif_metadata,
+    q_audio_stats_wav, q_binary_payload_stats, q_exif_gps_scrub,
+    q_exif_metadata,
     q_image_dhash_dedup,
     q_media_features, q_media_frame_sample, q_media_frame_sample_avi,
     q_media_frame_sample_mp4, q_media_frame_sample_webm, q_media_resize,
@@ -104,6 +105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registrable_domain": q_registrable_domain,
     "tfidf_top_terms": q_tfidf_top_terms,
     "exif_metadata": q_exif_metadata,
+    "exif_gps_scrub": q_exif_gps_scrub,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

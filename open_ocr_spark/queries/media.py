@@ -938,3 +938,82 @@ ORACLES["exif_metadata"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-PII scrub audit (r5, dataops/exif.py gps_scrub_report):
+    two-thirds of the fixture JPEGs carry a GPS sub-IFD with
+    formula-derived rational coordinates (both byte orders), the scrub
+    is an ALLOWLIST RE-ENCODE (GPS and unknown tags gone by
+    construction), and the kernel re-parses its own output — the hashed
+    surface checks the found coordinates, the post-scrub GPS absence,
+    and that an allowlisted tag (make) survived.  Every 10th payload is
+    garbage and must surface as a null row."""
+    import pandas as pd
+
+    def _jpeg_wrap(batches):
+        from open_ocr_spark.dataops.exif import build_exif_jpeg
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 10 == 9:
+                    out.append((i, bytearray(b"JFIF? no. %d" % i)))
+                    continue
+                gps = None
+                if i % 3 != 2:
+                    gps = {
+                        "lat_ref": "N" if i % 2 == 0 else "S",
+                        "lat": [(i % 90, 1), (i % 60, 1), (i % 6000, 100)],
+                        "lon_ref": "E" if i % 4 < 2 else "W",
+                        "lon": [(i % 180, 1), ((i * 7) % 60, 1),
+                                ((i * 11) % 6000, 100)],
+                    }
+                payload = build_exif_jpeg(
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    make=f"Make{i % 3}",
+                    iso=100 + i % 700,
+                    gps=gps,
+                )
+                out.append((i, bytearray(payload)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    from open_ocr_spark.dataops.exif import gps_scrub_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(_jpeg_wrap, "media_id long, payload binary")
+    return (
+        gps_scrub_report(media, strict=False)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["exif_gps_scrub"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE doc_id % 3 != 2 END AS had_gps,
+               CASE WHEN doc_id % 10 = 9 OR doc_id % 3 = 2 THEN NULL
+                    WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END
+                   AS gps_lat_ref,
+               CASE WHEN doc_id % 10 = 9 OR doc_id % 3 = 2 THEN NULL
+                    ELSE (doc_id % 90)::VARCHAR || '/1,'
+                         || (doc_id % 60)::VARCHAR || '/1,'
+                         || (doc_id % 6000)::VARCHAR || '/100' END
+                   AS gps_lat_dms,
+               CASE WHEN doc_id % 10 = 9 OR doc_id % 3 = 2 THEN NULL
+                    WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END
+                   AS gps_lon_ref,
+               CASE WHEN doc_id % 10 = 9 OR doc_id % 3 = 2 THEN NULL
+                    ELSE (doc_id % 180)::VARCHAR || '/1,'
+                         || ((doc_id * 7) % 60)::VARCHAR || '/1,'
+                         || ((doc_id * 11) % 6000)::VARCHAR || '/100' END
+                   AS gps_lon_dms,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE FALSE END AS scrub_has_gps,
+               CASE WHEN doc_id % 10 = 9 THEN NULL
+                    ELSE 'Make' || (doc_id % 3)::VARCHAR END AS make_after
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -106,3 +106,78 @@ def test_ifd_entry_cap():
     )
     with pytest.raises(ValueError):
         parse_exif(blob)
+
+
+_GPS = st.fixed_dictionaries(
+    {
+        "lat_ref": st.sampled_from(["N", "S"]),
+        "lat": st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**32 - 1),
+                st.integers(min_value=1, max_value=2**32 - 1),
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        "lon_ref": st.sampled_from(["E", "W"]),
+        "lon": st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**32 - 1),
+                st.integers(min_value=1, max_value=2**32 - 1),
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+    }
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_FIELDS, _GPS)
+def test_gps_roundtrip_and_scrub(fields, gps):
+    from open_ocr_spark.dataops.exif import scrub_gps
+
+    blob = build_exif_jpeg(gps=gps, **fields)
+    meta = parse_exif(blob)
+    assert meta["has_gps"]
+    assert meta["gps_lat_ref"] == gps["lat_ref"]
+    assert meta["gps_lat_dms"] == ",".join(
+        f"{n}/{d}" for (n, d) in gps["lat"]
+    )
+    assert meta["gps_lon_dms"] == ",".join(
+        f"{n}/{d}" for (n, d) in gps["lon"]
+    )
+    after = parse_exif(scrub_gps(blob))
+    assert not after["has_gps"]
+    assert after["gps_lat_dms"] is None
+    # every allowlisted tag survives the re-encode bit-exactly
+    for k in ("byte_order", "make", "model", "orientation", "datetime",
+              "iso", "pixel_x", "x_res_num", "x_res_den",
+              "exposure_num", "exposure_den"):
+        assert after[k] == meta[k], k
+
+
+@settings(max_examples=50, deadline=None)
+@given(_FIELDS)
+def test_scrub_without_gps_is_semantically_identity(fields):
+    from open_ocr_spark.dataops.exif import scrub_gps
+
+    blob = build_exif_jpeg(**fields)
+    assert parse_exif(scrub_gps(blob)) == parse_exif(blob)
+
+
+def test_scrub_preserves_non_exif_segments():
+    """APP0 before and COM after the Exif APP1 must pass through; only
+    the APP1 body is rebuilt."""
+    from open_ocr_spark.dataops.exif import scrub_gps
+
+    gps = {"lat_ref": "N", "lat": [(1, 1), (2, 1), (3, 1)],
+           "lon_ref": "E", "lon": [(4, 1), (5, 1), (6, 1)]}
+    inner = build_exif_jpeg(byte_order="II", make="K", gps=gps)
+    app0 = b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 6) + b"keep"
+    blob = b"\xff\xd8" + app0 + inner[2:-2] + com + b"\xff\xd9"
+    out = scrub_gps(blob)
+    assert out.startswith(b"\xff\xd8" + app0)
+    assert com in out
+    assert not parse_exif(out)["has_gps"]

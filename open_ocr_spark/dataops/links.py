@@ -176,3 +176,40 @@ def anchor_text_stats(anchors: DataFrame) -> DataFrame:
         F.col("anchor_text").alias("top_anchor_text"),
         F.col("n").alias("top_n"),
     )
+
+
+def extract_links_resolved(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url): every href occurrence — relative OR absolute —
+    resolved against the page URL per the RFC 3986 policy
+    (dataops/resolveurl.py).  This is what extract_links should feed a
+    real frontier: most of the web's link graph is relative hrefs, which
+    the absolute-only filter drops.  Foreign-scheme targets (mailto:,
+    javascript:) resolve to themselves and are filtered to http(s) at
+    the end; still one pure projection — no join, no shuffle beyond the
+    explode."""
+    from open_ocr_spark.dataops.resolveurl import resolve_url
+
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    hrefs = F.concat(
+        F.regexp_extract_all(html, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_SQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_BARE), F.lit(1)),
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(hrefs).alias("href"),
+        )
+        .select(
+            "src_url",
+            resolve_url(F.col("src_url"), F.col("href")).alias("dst_url"),
+        )
+        .filter(
+            F.col("dst_url").startswith("http://")
+            | F.col("dst_url").startswith("https://")
+        )
+    )

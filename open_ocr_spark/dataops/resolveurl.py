@@ -1,0 +1,143 @@
+"""RFC 3986 relative-reference resolution, pure Catalyst.
+
+A crawler meets far more relative hrefs than absolute ones; link
+extraction without reference resolution silently drops most of the link
+graph.  This implements the RFC 3986 §5.2 algorithm (strict mode) for
+the crawl case — the BASE is always an absolute http(s) URL with an
+authority — as a frozen branch-by-first-character policy:
+
+- ref has a scheme           -> ref verbatim (strict mode: ``http:g``
+                                stays ``http:g``, per §5.4.2)
+- ref starts ``//``          -> base scheme + ``:`` + ref
+- ref starts ``/``           -> origin + remove_dot_segments(ref path)
+                                + ref query/fragment
+- ref starts ``?``           -> origin + base path + ref
+- ref starts ``#``           -> base (incl. query) + ref
+- ref == ''                  -> base minus fragment (§5.2.2 last row)
+- otherwise (relative path)  -> origin + remove_dot_segments(base dir
+                                merged with ref path) + ref qf
+
+Dot-segment removal (§5.2.4) runs as a bounded regex-rewrite chain —
+``/./`` collapse, trailing ``/.``, then ``/<seg>/../`` where ``<seg>``
+is a RE2-expressible "not exactly ``..``" class, iterated ``_DEPTH``
+times, then leading ``/../`` stripping.  The chain uses NO lookaround,
+so the SAME patterns run under Spark (Java regex) and DuckDB (RE2): the
+oracle is a mechanical re-rendering of the same spec, emitted by
+``duckdb_resolve_sql`` from the same pattern constants, and the whole
+RFC 3986 §5.4 example table (normal + abnormal) passes verbatim
+(tests/test_resolveurl.py).
+
+Bounded policy: ``../`` nesting deeper than ``_DEPTH`` levels resolves
+approximately (leftover ``..`` segments survive); real crawl paths are
+nowhere near it, and the bound is what keeps the operator a pure
+projection — no UDF, no loop, no driver round trip, at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# "any path segment except exactly '..'" without lookaround:
+# 3+ chars | 2 chars with a non-dot in either position | 1 non-dot char.
+_ND = "(?:[^/]{3,}|[^/.][^/]|[^/][^/.]|[^/.])"
+
+_DEPTH = 8  # max ../ nesting removed exactly
+
+# (pattern, replacement, repeat) — applied in order to a path string.
+_DOT_RULES: tuple[tuple[str, str, int], ...] = (
+    (r"/\./", "/", 4),          # /a/./b -> /a/b (two passes per overlap)
+    (r"/\.$", "/", 1),          # /a/.   -> /a/
+    (rf"/{_ND}/\.\./", "/", _DEPTH),   # /a/../ -> /
+    (rf"/{_ND}/\.\.$", "/", _DEPTH),   # /a/..  -> /
+    (r"^/\.\./", "/", _DEPTH // 2),    # /../a  -> /a (root cap, §5.4.2)
+    (r"^/\.\.$", "/", 1),
+)
+
+_SCHEME = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+_SCHEME_G = "^([a-zA-Z][a-zA-Z0-9+.-]*):"          # capture the scheme
+_ORIGIN_G = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"  # capture scheme+auth
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """§5.2.4 over an absolute path ('/'-leading), as the frozen
+    regex-rewrite chain."""
+    out = path
+    for pat, rep, times in _DOT_RULES:
+        for _ in range(times):
+            out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def resolve_url(base: Column | str, ref: Column | str) -> Column:
+    """The resolved absolute URL of ``ref`` against absolute http(s)
+    ``base`` (frozen policy, module header)."""
+    b = F.col(base) if isinstance(base, str) else base
+    r = F.col(ref) if isinstance(ref, str) else ref
+    scheme = F.regexp_extract(b, _SCHEME_G, 1)
+    origin = F.regexp_extract(b, _ORIGIN_G, 1)
+    bpath = F.regexp_extract(b, _SCHEME + "//[^/?#]*([^?#]*)", 1)
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+    base_pq = F.regexp_replace(b, "#.*$", "")  # §5.2.2 fragment swap
+    refpath = F.regexp_extract(r, "^([^?#]*)", 1)
+    refqf = F.regexp_extract(r, "([?#].*)$", 1)
+    merged = F.when(bpath == "", F.concat(F.lit("/"), refpath)).otherwise(
+        F.concat(bdir, refpath)
+    )
+    return (
+        F.when(r.rlike(_SCHEME), r)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(
+            r.startswith("/"),
+            F.concat(origin, remove_dot_segments(refpath), refqf),
+        )
+        .when(r.startswith("?"), F.concat(origin, bpath, r))
+        .when(r.startswith("#"), F.concat(base_pq, r))
+        .when(r == "", base_pq)
+        .otherwise(F.concat(origin, remove_dot_segments(merged), refqf))
+    )
+
+
+# --- oracle twin -----------------------------------------------------------------
+
+
+def duckdb_resolve_sql(base: str, ref: str) -> str:
+    """The SAME frozen policy rendered as a DuckDB SQL expression over
+    the SQL expressions ``base`` and ``ref`` — emitted from the shared
+    pattern constants so the two engines cannot drift silently.  DuckDB
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all; patterns contain no single quotes, so plain quoting is
+    safe."""
+
+    def rrep(s: str, pat: str, rep: str) -> str:
+        return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+
+    def rext(s: str, pat: str) -> str:
+        return f"regexp_extract({s}, '{pat}', 1)"
+
+    def dots(s: str) -> str:
+        for pat, rep, times in _DOT_RULES:
+            for _ in range(times):
+                s = rrep(s, pat, rep)
+        return s
+
+    scheme = rext(base, _SCHEME_G)
+    origin = rext(base, _ORIGIN_G)
+    bpath = rext(base, _SCHEME + "//[^/?#]*([^?#]*)")
+    bdir = rrep(bpath, "[^/]*$", "")
+    base_pq = rrep(base, "#.*$", "")
+    refpath = rext(ref, "^([^?#]*)")
+    refqf = rext(ref, "([?#].*)$")
+    merged = (
+        f"CASE WHEN {bpath} = '' THEN '/' || {refpath} "
+        f"ELSE {bdir} || {refpath} END"
+    )
+    return (
+        f"CASE WHEN regexp_matches({ref}, '{_SCHEME}') THEN {ref} "
+        f"WHEN {ref} LIKE '//%' THEN {scheme} || ':' || {ref} "
+        f"WHEN {ref} LIKE '/%' THEN {origin} || {dots(refpath)} || {refqf} "
+        f"WHEN {ref} LIKE '?%' THEN {origin} || {bpath} || {ref} "
+        f"WHEN {ref} LIKE '#%' THEN {base_pq} || {ref} "
+        f"WHEN {ref} = '' THEN {base_pq} "
+        f"ELSE {origin} || {dots(merged)} || {refqf} END"
+    )

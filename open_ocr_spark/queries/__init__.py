@@ -67,7 +67,8 @@ from open_ocr_spark.queries.webops import (
     q_anchor_text_stats, q_canonical_url_dedup, q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
-    q_json_ld, q_mime_sniff, q_registrable_domain, q_robots_gate,
+    q_json_ld, q_mime_sniff, q_registrable_domain,
+    q_resolve_relative_urls, q_resolved_link_graph, q_robots_gate,
     q_robots_meta,
     q_sitemap_discovery, q_warc_http, q_warc_revisit, q_warc_roundtrip,
     q_wat_metadata, q_wet_roundtrip,
@@ -106,6 +107,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "exif_metadata": q_exif_metadata,
     "exif_gps_scrub": q_exif_gps_scrub,
+    "resolve_relative_urls": q_resolve_relative_urls,
+    "resolved_link_graph": q_resolved_link_graph,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -1718,3 +1718,145 @@ def _registrable_domain_oracle() -> str:
 
 
 ORACLES["registrable_domain"] = _registrable_domain_oracle()
+
+
+_RESOLVE_REFS = [
+    "g", "./g", "../g", "../../up", "/root/x",
+    "//cdn.example.org/lib.js", "?y=2", "#frag", "",
+    "img/./a.png", "img/../b.png", "mailto:u@example.com",
+]
+
+
+def q_resolve_relative_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 reference resolution (r5, dataops/resolveurl.py): every
+    document page fans out to twelve crawl-shaped refs — plain/dotted
+    relative paths, parent traversal past the directory, absolute path,
+    protocol-relative, query-only, fragment-only, empty, in-path dot
+    segments, and a foreign scheme — resolved against a per-doc base.
+    The oracle runs the SAME frozen policy through its DuckDB rendering
+    (duckdb_resolve_sql, emitted from the shared pattern constants), so
+    any drift between the two renderings, not just outright bugs, breaks
+    the hash.  Pure projection: no join, no shuffle (plan test)."""
+    from open_ocr_spark.dataops.resolveurl import resolve_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://h"), (d % 20).cast("string"),
+        F.lit(".example.com/s"), (d % 5).cast("string"),
+        F.lit("/t"), (d % 3).cast("string"),
+        F.lit("/page.html?q="), (d % 7).cast("string"),
+    )
+    pairs = docs.select(
+        "doc_id",
+        base.alias("base"),
+        F.posexplode(F.array(*[F.lit(r) for r in _RESOLVE_REFS])).alias(
+            "ref_idx", "ref"
+        ),
+    )
+    return pairs.select(
+        "doc_id",
+        F.col("ref_idx").cast("long").alias("ref_idx"),
+        "ref",
+        resolve_url("base", "ref").alias("resolved"),
+    ).orderBy("doc_id", "ref_idx")
+
+
+def _resolve_relative_urls_oracle() -> str:
+    from open_ocr_spark.dataops.resolveurl import duckdb_resolve_sql
+
+    values = ", ".join(
+        f"({i}, '{r}')" for i, r in enumerate(_RESOLVE_REFS)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT d.doc_id,
+                   'https://h' || (d.doc_id % 20)::VARCHAR
+                   || '.example.com/s' || (d.doc_id % 5)::VARCHAR
+                   || '/t' || (d.doc_id % 3)::VARCHAR
+                   || '/page.html?q=' || (d.doc_id % 7)::VARCHAR AS base,
+                   r.ref_idx, r.ref
+            FROM documents d, (VALUES {values}) AS r(ref_idx, ref)
+        )
+        SELECT doc_id, CAST(ref_idx AS BIGINT) AS ref_idx, ref,
+               {duckdb_resolve_sql("base", "ref")} AS resolved
+        FROM pairs
+        ORDER BY doc_id, ref_idx
+    """
+
+
+ORACLES["resolve_relative_urls"] = _resolve_relative_urls_oracle()
+
+
+def q_resolved_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction with RFC 3986 resolution (r5,
+    dataops/links.py extract_links_resolved): each fixture page carries
+    seven hrefs across all three quoting classes — dotted relative,
+    parent traversal, absolute path, protocol-relative, fragment-only,
+    absolute external, and a mailto: that must drop at the http(s)
+    filter.  Spark extracts them with the real regex passes and resolves
+    against the page URL; the oracle takes the KNOWN href list and
+    replays only the resolution policy through its DuckDB rendering — a
+    dropped quoting class, a regex ordering change, or any resolution
+    drift breaks the hash."""
+    from open_ocr_spark.dataops.links import extract_links_resolved
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://h"), s(20), F.lit(".example.com/dir"), s(3),
+        F.lit("/page"), s(7), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="p/'), s(4),
+        F.lit('">one</a><a href="../up'), s(3),
+        F.lit('">two</a><a href="/abs/'), s(5),
+        F.lit("\">three</a><a href='//cdn"), s(2),
+        F.lit(".example.net/j'>four</a><a href=#frag>five</a>"),
+        F.lit('<a href="https://ext'), s(6),
+        F.lit('.example.org/x">six</a>'),
+        F.lit('<a href="mailto:u@example.com">seven</a></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_links_resolved(pages).orderBy("src_url", "dst_url")
+
+
+def _resolved_link_graph_oracle() -> str:
+    from open_ocr_spark.dataops.resolveurl import duckdb_resolve_sql
+
+    # the fixture's hrefs, in their formula forms (d = doc_id)
+    hrefs = [
+        "'p/' || (doc_id % 4)::VARCHAR",
+        "'../up' || (doc_id % 3)::VARCHAR",
+        "'/abs/' || (doc_id % 5)::VARCHAR",
+        "'//cdn' || (doc_id % 2)::VARCHAR || '.example.net/j'",
+        "'#frag'",
+        "'https://ext' || (doc_id % 6)::VARCHAR || '.example.org/x'",
+        "'mailto:u@example.com'",
+    ]
+    arms = " ".join(
+        f"WHEN {i} THEN {h}" for i, h in enumerate(hrefs)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT 'https://h' || (doc_id % 20)::VARCHAR
+                   || '.example.com/dir' || (doc_id % 3)::VARCHAR
+                   || '/page' || (doc_id % 7)::VARCHAR || '.html' AS base,
+                   CASE u.i {arms} END AS ref
+            FROM documents d,
+                 (SELECT unnest(range(0, {len(hrefs)})) AS i) u
+        ),
+        resolved AS (
+            SELECT base AS src_url,
+                   {duckdb_resolve_sql("base", "ref")} AS dst_url
+            FROM pairs
+        )
+        SELECT src_url, dst_url
+        FROM resolved
+        WHERE dst_url LIKE 'http://%' OR dst_url LIKE 'https://%'
+        ORDER BY src_url, dst_url
+    """
+
+
+ORACLES["resolved_link_graph"] = _resolved_link_graph_oracle()

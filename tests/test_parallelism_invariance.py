@@ -20,6 +20,7 @@ CHAINS = [
     "ccnet_buckets",        # value-based perplexity terciles (r5)
     "registrable_domain",   # PSL longest-match rollup (r5)
     "tfidf_top_terms",      # integer-ranked tf-idf heads (r5)
+    "resolved_link_graph",  # regex extract + RFC 3986 resolve (r5)
 ]
 
 

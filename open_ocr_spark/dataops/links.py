@@ -188,7 +188,9 @@ def extract_links_resolved(
     the absolute-only filter drops.  Foreign-scheme targets (mailto:,
     javascript:) resolve to themselves and are filtered to http(s) at
     the end; still one pure projection — no join, no shuffle beyond the
-    explode."""
+    explode.  Honors ``<base href>`` (WHATWG §4.2.3) via effective_base:
+    the page's first base tag, itself resolved against the page URL,
+    replaces the page URL as the resolution base."""
     from open_ocr_spark.dataops.resolveurl import resolve_url
 
     html = F.col(html_col)
@@ -202,14 +204,45 @@ def extract_links_resolved(
     return (
         pages.select(
             F.col(url_col).alias("src_url"),
+            effective_base(pages, url_col, html_col).alias("base"),
             F.explode(hrefs).alias("href"),
         )
         .select(
             "src_url",
-            resolve_url(F.col("src_url"), F.col("href")).alias("dst_url"),
+            resolve_url(F.col("base"), F.col("href")).alias("dst_url"),
         )
         .filter(
             F.col("dst_url").startswith("http://")
             | F.col("dst_url").startswith("https://")
         )
+    )
+
+
+# <base href> wins over the page URL as the resolution base (WHATWG HTML
+# §4.2.3: the FIRST base element with an href; itself resolved against
+# the page URL since it may be relative).
+_BASE_HREF = (
+    r"(?i)<base(?:[^>]*\s)?href\s*=\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'][^\s>]*))"
+)
+
+
+def effective_base(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> Column:
+    """The document base URL: the first ``<base href>`` resolved against
+    the page URL, else the page URL itself.  Pure projection."""
+    from open_ocr_spark.dataops.resolveurl import resolve_url
+
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    raw = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(html, _BASE_HREF, g), F.lit(""))
+            for g in (1, 2, 3)
+        ]
+    )
+    return F.when(raw.isNull(), F.col(url_col)).otherwise(
+        resolve_url(F.col(url_col), raw)
     )

@@ -64,11 +64,13 @@ from open_ocr_spark.queries.textquality import (
     q_tfidf_top_terms, q_token_counts, q_top_bigrams, q_unicode_nfc,
 )
 from open_ocr_spark.queries.webops import (
-    q_anchor_text_stats, q_canonical_url_dedup, q_cdx_index, q_crawl_delta,
+    q_anchor_text_stats, q_base_href_links, q_canonical_url_dedup,
+    q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
     q_json_ld, q_mime_sniff, q_registrable_domain,
-    q_resolve_relative_urls, q_resolved_link_graph, q_robots_gate,
+    q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
+    q_robots_gate,
     q_robots_meta,
     q_sitemap_discovery, q_warc_http, q_warc_revisit, q_warc_roundtrip,
     q_wat_metadata, q_wet_roundtrip,
@@ -110,6 +112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exif_gps_scrub": q_exif_gps_scrub,
     "resolve_relative_urls": q_resolve_relative_urls,
     "resolved_link_graph": q_resolved_link_graph,
+    "base_href_links": q_base_href_links,
+    "redirect_chains": q_redirect_chains,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

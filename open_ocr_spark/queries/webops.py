@@ -1860,3 +1860,150 @@ def _resolved_link_graph_oracle() -> str:
 
 
 ORACLES["resolved_link_graph"] = _resolved_link_graph_oracle()
+
+
+def q_base_href_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<base href> honoring (r5, dataops/links.py effective_base): a
+    third of the pages carry no base tag, a third a relative-to-origin
+    absolute-path base (double-quoted), a third an absolute cross-host
+    base (single-quoted) — the same three hrefs on every page must
+    resolve against the page URL, the origin+path base, and the foreign
+    host respectively.  The oracle computes each effective base
+    closed-form and replays resolution through the DuckDB rendering — a
+    wrong quote class, a base applied to the src_url identity column, or
+    a base-tag regex matching <a> tags would all break the hash."""
+    from open_ocr_spark.dataops.links import extract_links_resolved
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://site"), s(8), F.lit(".example.com/a/b/page.html")
+    )
+    base_tag = (
+        F.when(d % 3 == 0, F.lit(""))
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit('<base href="/cdn/v'), s(4), F.lit('/">')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<base href='https://static"), s(5),
+                F.lit(".example.net/lib/'>"),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>"), base_tag,
+        F.lit('</head><body><a href="img/x.png">i</a>'
+              '<a href="../up.css">u</a>'
+              '<a href="/rooted.js">r</a></body></html>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_links_resolved(pages).orderBy("src_url", "dst_url")
+
+
+def _base_href_links_oracle() -> str:
+    from open_ocr_spark.dataops.resolveurl import duckdb_resolve_sql
+
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   'https://site' || (doc_id % 8)::VARCHAR
+                   || '.example.com/a/b/page.html' AS src_url,
+                   CASE doc_id % 3
+                       WHEN 0 THEN 'https://site' || (doc_id % 8)::VARCHAR
+                                   || '.example.com/a/b/page.html'
+                       WHEN 1 THEN 'https://site' || (doc_id % 8)::VARCHAR
+                                   || '.example.com/cdn/v'
+                                   || (doc_id % 4)::VARCHAR || '/'
+                       ELSE 'https://static' || (doc_id % 5)::VARCHAR
+                            || '.example.net/lib/'
+                   END AS base
+            FROM documents
+        ),
+        pairs AS (
+            SELECT src_url, base, r.ref
+            FROM pages,
+                 (VALUES ('img/x.png'), ('../up.css'), ('/rooted.js'))
+                     AS r(ref)
+        ),
+        resolved AS (
+            SELECT src_url,
+                   {duckdb_resolve_sql("base", "ref")} AS dst_url
+            FROM pairs
+        )
+        SELECT src_url, dst_url FROM resolved
+        WHERE dst_url LIKE 'http://%' OR dst_url LIKE 'https://%'
+        ORDER BY src_url, dst_url
+    """
+
+
+ORACLES["base_href_links"] = _base_href_links_oracle()
+
+
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (r5, dataops/redirects.py): doc_ids form
+    8-long 301 chains (each node's RELATIVE Location points at its
+    predecessor; node 8k is the 200 terminal), and every 7th doc adds a
+    2-cycle 302 loop pair.  Pointer doubling must land every chain node
+    on its terminal with exact hop counts and mark the loop rows looped
+    at exactly max_hops=8 (even cycle: final = self).  The oracle states
+    the closed form INDEPENDENTLY of the doubling — final = node d-d%8,
+    hops = d%8 — so it verifies the algorithm, not merely replays it; a
+    short-circuit bug, a hop-accounting slip, or Location resolution
+    against the wrong base all break the hash."""
+    from open_ocr_spark.dataops.redirects import resolve_redirect_chains
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    chain = docs.select(
+        F.concat(F.lit("https://r.example.com/u/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.when(d % 8 == 0, F.lit(200)).otherwise(F.lit(301)).alias("status"),
+        F.when(
+            d % 8 != 0, F.concat(F.lit("/u/"), (d - 1).cast("string"))
+        ).alias("location"),
+    )
+    loop_docs = docs.filter(d % 7 == 0)
+    loop_a = loop_docs.select(
+        F.concat(F.lit("https://r.example.com/loop/"), d.cast("string"),
+                 F.lit("/a")).alias("url"),
+        F.lit(302).alias("status"),
+        F.concat(F.lit("/loop/"), d.cast("string"), F.lit("/b")).alias(
+            "location"
+        ),
+    )
+    loop_b = loop_docs.select(
+        F.concat(F.lit("https://r.example.com/loop/"), d.cast("string"),
+                 F.lit("/b")).alias("url"),
+        F.lit(302).alias("status"),
+        F.concat(F.lit("/loop/"), d.cast("string"), F.lit("/a")).alias(
+            "location"
+        ),
+    )
+    captures = chain.unionAll(loop_a).unionAll(loop_b)
+    return resolve_redirect_chains(captures, max_hops=8).orderBy("url")
+
+
+ORACLES["redirect_chains"] = """
+        WITH rows AS (
+            SELECT 'https://r.example.com/u/' || doc_id::VARCHAR AS url,
+                   'https://r.example.com/u/'
+                       || (doc_id - doc_id % 8)::VARCHAR AS final_url,
+                   CAST(doc_id % 8 AS BIGINT) AS hops,
+                   FALSE AS looped
+            FROM documents
+            UNION ALL
+            SELECT 'https://r.example.com/loop/' || doc_id::VARCHAR
+                       || '/' || s.side AS url,
+                   'https://r.example.com/loop/' || doc_id::VARCHAR
+                       || '/' || s.side AS final_url,
+                   CAST(8 AS BIGINT) AS hops,
+                   TRUE AS looped
+            FROM documents, (VALUES ('a'), ('b')) AS s(side)
+            WHERE doc_id % 7 = 0
+        )
+        SELECT url, final_url, hops, looped FROM rows ORDER BY url
+    """

@@ -21,6 +21,8 @@ CHAINS = [
     "registrable_domain",   # PSL longest-match rollup (r5)
     "tfidf_top_terms",      # integer-ranked tf-idf heads (r5)
     "resolved_link_graph",  # regex extract + RFC 3986 resolve (r5)
+    "base_href_links",      # <base href> override resolution (r5)
+    "redirect_chains",      # pointer-doubling with pinned rounds (r5)
 ]
 
 

@@ -64,7 +64,8 @@ from open_ocr_spark.queries.textquality import (
     q_tfidf_top_terms, q_token_counts, q_top_bigrams, q_unicode_nfc,
 )
 from open_ocr_spark.queries.webops import (
-    q_anchor_text_stats, q_base_href_links, q_canonical_url_dedup,
+    q_anchor_text_stats, q_base_href_links, q_canonical_assignment,
+    q_canonical_url_dedup,
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
@@ -114,6 +115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolved_link_graph": q_resolved_link_graph,
     "base_href_links": q_base_href_links,
     "redirect_chains": q_redirect_chains,
+    "canonical_assignment": q_canonical_assignment,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -2007,3 +2007,73 @@ ORACLES["redirect_chains"] = """
         )
         SELECT url, final_url, hops, looped FROM rows ORDER BY url
     """
+
+
+def q_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-key assignment (r5, dataops/canonical.py): the frozen
+    priority rel-canonical > redirect-final > self over a five-class
+    fixture — rel=canonical pages (relative href), meta-refresh pages
+    (both attribute orders), HTTP-301 captures (relative Location,
+    dangling target), and plain pages.  The oracle states each class's
+    canonical key closed-form — a priority inversion, a refresh target
+    parsed from the wrong attribute order, an HTTP edge losing to a
+    refresh edge, or recursion through the target's own signals would
+    all break the hash."""
+    from open_ocr_spark.dataops.canonical import assign_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://c.example.com/p/"), d.cast("string"))
+    refresh_fwd = F.concat(
+        F.lit('<meta http-equiv="refresh" content="0; url=/p/'),
+        (d - 1).cast("string"), F.lit('">'),
+    )
+    refresh_rev = F.concat(
+        F.lit('<meta content="0; url=/p/'), (d - 1).cast("string"),
+        F.lit('" http-equiv="refresh">'),
+    )
+    head = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('<link rel="canonical" href="/canon/'),
+                     (d % 10).cast("string"), F.lit('">')),
+        )
+        .when(d % 5 == 1, F.when(d % 2 == 1, refresh_rev)
+              .otherwise(refresh_fwd))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), head,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    captures = docs.filter(d % 5 == 2).select(
+        url.alias("url"),
+        F.lit(301).alias("status"),
+        F.concat(F.lit("/final/"), (d % 7).cast("string")).alias(
+            "location"
+        ),
+    )
+    return assign_canonical(pages, captures).orderBy("url")
+
+
+ORACLES["canonical_assignment"] = """
+        SELECT 'https://c.example.com/p/' || doc_id::VARCHAR AS url,
+               CASE doc_id % 5
+                   WHEN 0 THEN 'https://c.example.com/canon/'
+                               || (doc_id % 10)::VARCHAR
+                   WHEN 1 THEN 'https://c.example.com/p/'
+                               || (doc_id - 1)::VARCHAR
+                   WHEN 2 THEN 'https://c.example.com/final/'
+                               || (doc_id % 7)::VARCHAR
+                   ELSE 'https://c.example.com/p/' || doc_id::VARCHAR
+               END AS canonical_key,
+               CASE doc_id % 5
+                   WHEN 0 THEN 'rel_canonical'
+                   WHEN 1 THEN 'redirect'
+                   WHEN 2 THEN 'redirect'
+                   ELSE 'self'
+               END AS signal
+        FROM documents
+        ORDER BY url
+    """

@@ -23,6 +23,7 @@ CHAINS = [
     "resolved_link_graph",  # regex extract + RFC 3986 resolve (r5)
     "base_href_links",      # <base href> override resolution (r5)
     "redirect_chains",      # pointer-doubling with pinned rounds (r5)
+    "canonical_assignment", # rel-canonical > redirect > self (r5)
 ]
 
 

@@ -192,6 +192,9 @@ HEADLINE = [
     "decontaminate_docs",
     "bm25_search",  # (r4) inverted-index/search workload class
     "kmeans_clusters",  # (r4) iterative-clustering workload class
+    "dsir_resample",  # (r5) fixed-point importance-model workload class
+    "resolved_link_graph",  # (r5) regex extract + RFC 3986 resolution
+    "redirect_chains",  # (r5) pointer-doubling join-iteration class
 ]
 
 

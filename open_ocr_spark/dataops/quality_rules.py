@@ -232,3 +232,50 @@ def phrase_gate(
         n.cast("long").alias("n_hits"),
         (n > 0).alias("blocked"),
     )
+
+
+# --- soft-404 detection -------------------------------------------------------------
+
+# Title phrases that mark an HTTP-200 page as a disguised error page.
+# (?i) case-fold; the list is the frozen policy, extendable per corpus.
+_SOFT404_TITLE_RE = (
+    "(?i)(page not found|404 not found|404 error|does not exist"
+    "|no longer available|page unavailable)"
+)
+
+_SOFT404_THIN_CHARS = 32  # a 200 with less text than this is suspect
+
+
+def soft_404_gate(
+    pages: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    title_col: str = "title",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, status, is_soft_404, reason): flag HTTP-200 captures that
+    are error pages in disguise — CDNs and CMSes routinely serve their
+    not-found page with a 200, and an unfiltered crawl fills the corpus
+    with thousands of near-identical "Page not found" documents.
+
+    Frozen rule: status 200 AND (title matches the error-phrase list ->
+    reason 'title', else trimmed text shorter than 32 chars -> reason
+    'thin').  Non-200 rows and healthy 200s pass with is_soft_404 false
+    and a NULL reason.  Pure Catalyst projection — the gate adds zero
+    shuffles to an ingest plan."""
+    title_hit = F.coalesce(F.col(title_col), F.lit("")).rlike(
+        _SOFT404_TITLE_RE
+    )
+    thin = (
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+        < _SOFT404_THIN_CHARS
+    )
+    is200 = F.col(status_col) == 200
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("int").alias("status"),
+        (is200 & (title_hit | thin)).alias("is_soft_404"),
+        F.when(is200 & title_hit, F.lit("title"))
+        .when(is200 & thin, F.lit("thin"))
+        .alias("reason"),
+    )

@@ -264,3 +264,52 @@ def registrable_domain_stats(
             F.countDistinct("host").alias("n_hosts"),
         )
     )
+
+
+# --- URL shape features ------------------------------------------------------------
+
+
+def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, host_labels, path_depth, n_query_params, digit_permille,
+    url_len, has_tracking): the classic URL-shape feature vector crawl
+    prioritizers and spam filters feed a classifier (long auto-generated
+    paths, numeric-soup hosts, and tracking-laden URLs all score as
+    spam signals).
+
+    All integers — digit_permille is the repo's fixed-point convention
+    (1000 * digits / length over host+path, 0 for empty) — so the whole
+    row is engine-exact.  Pure Catalyst projection: regexp to strip, a
+    split/filter HOF to count, no explode, no shuffle."""
+    url = F.col(url_col)
+    host = F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    hp = F.concat(host, path)
+    digits = F.length(F.regexp_replace(hp, r"[^0-9]", ""))
+    n_params = F.size(
+        F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    )
+    return pages.select(
+        url.alias("url"),
+        F.size(F.filter(F.split(host, r"\."), lambda s: s != F.lit("")))
+        .cast("long")
+        .alias("host_labels"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+        .cast("long")
+        .alias("path_depth"),
+        n_params.cast("long").alias("n_query_params"),
+        # floor((1000*digits)/len): exact for integer operands < 2^53
+        # (the quotient-is-integer case divides exactly in IEEE double,
+        # so floor never misrounds); the oracle uses the same floor()
+        F.when(
+            F.length(hp) > 0,
+            F.floor(F.lit(1000) * digits / F.length(hp)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("digit_permille"),
+        F.length(url).cast("long").alias("url_len"),
+        query.rlike("(^|&)(utm_[^=]*|fbclid|gclid|ref)=").alias(
+            "has_tracking"
+        ),
+    )

@@ -2077,3 +2077,124 @@ ORACLES["canonical_assignment"] = """
         FROM documents
         ORDER BY url
     """
+
+
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape spam features (r5, dataops/urls.py url_features): four
+    fixture classes — a digit-heavy tracking-laden deep URL, a bare
+    origin with an empty path, a constant deep multi-param co.uk URL,
+    and a short article URL.  All-integer outputs (digit_permille is
+    floor fixed-point); the oracle re-derives host/path/query with
+    regexes and replays every count — a parse_url-vs-regex drift, an
+    off-by-one in the empty-segment filters, or a float ratio would all
+    break the hash."""
+    from open_ocr_spark.dataops.urls import url_features
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("https://a1b2.sub"), (d % 3).cast("string"),
+                     F.lit(".example.com/p"), ds, F.lit("/x2y/item"), ds,
+                     F.lit("?utm_source=feed&id="), (d % 9).cast("string")),
+        )
+        .when(d % 4 == 1, F.lit("https://example.com/"))
+        .when(d % 4 == 2,
+              F.lit("https://deep.example.co.uk/a/b/c/d/e?x=1&y=2&z=3"))
+        .otherwise(
+            F.concat(F.lit("https://h"), (d % 5).cast("string"),
+                     F.lit(".example.net/art-"), ds)
+        )
+    )
+    return url_features(docs.select(url.alias("url"))).orderBy("url")
+
+
+ORACLES["url_features"] = """
+        WITH urls AS (
+            SELECT CASE doc_id % 4
+                WHEN 0 THEN 'https://a1b2.sub' || (doc_id % 3)::VARCHAR
+                    || '.example.com/p' || doc_id::VARCHAR || '/x2y/item'
+                    || doc_id::VARCHAR || '?utm_source=feed&id='
+                    || (doc_id % 9)::VARCHAR
+                WHEN 1 THEN 'https://example.com/'
+                WHEN 2 THEN 'https://deep.example.co.uk/a/b/c/d/e?x=1&y=2&z=3'
+                ELSE 'https://h' || (doc_id % 5)::VARCHAR
+                    || '.example.net/art-' || doc_id::VARCHAR
+            END AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT url,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                       AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM urls
+        )
+        SELECT url,
+               CAST(len(list_filter(string_split(host, '.'),
+                                    x -> x != '')) AS BIGINT)
+                   AS host_labels,
+               CAST(len(list_filter(string_split(path, '/'),
+                                    x -> x != '')) AS BIGINT)
+                   AS path_depth,
+               CAST(len(list_filter(string_split(query, '&'),
+                                    x -> x != '')) AS BIGINT)
+                   AS n_query_params,
+               CAST(CASE WHEN length(host || path) > 0
+                    THEN floor(1000 * length(regexp_replace(
+                             host || path, '[^0-9]', '', 'g'))
+                         / length(host || path))
+                    ELSE 0 END AS BIGINT) AS digit_permille,
+               CAST(length(url) AS BIGINT) AS url_len,
+               regexp_matches(query, '(^|&)(utm_[^=]*|fbclid|gclid|ref)=')
+                   AS has_tracking
+        FROM parts
+        ORDER BY url
+    """
+
+
+def q_soft_404_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (r5, dataops/quality_rules.py soft_404_gate):
+    fixture captures mix error-phrase titles (two spellings), thin
+    bodies, REAL 404 statuses (which must pass the gate untouched — the
+    rule only distrusts 200s), and healthy pages; title beats thin in
+    the reason column.  Closed-form oracle."""
+    from open_ocr_spark.dataops.quality_rules import soft_404_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("https://s.example.com/p/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.when(d % 10 == 3, F.lit(404)).otherwise(F.lit(200)).alias(
+            "status"
+        ),
+        F.when(d % 6 == 0, F.lit("Page Not Found - Site"))
+        .when(d % 6 == 1, F.lit("404 Error"))
+        .otherwise(F.concat(F.lit("Doc "), d.cast("string")))
+        .alias("title"),
+        F.when(d % 5 == 4, F.lit("tiny"))
+        .otherwise(F.rpad(F.coalesce(F.col("text"), F.lit("")), 40, "x"))
+        .alias("text"),
+    )
+    return soft_404_gate(pages).orderBy("url")
+
+
+ORACLES["soft_404_gate"] = """
+        SELECT 'https://s.example.com/p/' || doc_id::VARCHAR AS url,
+               CAST(CASE WHEN doc_id % 10 = 3 THEN 404 ELSE 200 END
+                   AS INTEGER) AS status,
+               (doc_id % 10 != 3)
+                   AND (doc_id % 6 IN (0, 1) OR doc_id % 5 = 4)
+                   AS is_soft_404,
+               CASE WHEN doc_id % 10 = 3 THEN NULL
+                    WHEN doc_id % 6 IN (0, 1) THEN 'title'
+                    WHEN doc_id % 5 = 4 THEN 'thin'
+               END AS reason
+        FROM documents
+        ORDER BY url
+    """

@@ -93,6 +93,18 @@ def _spans_json(text: str) -> str:
     return json.dumps({"spans": spans}, ensure_ascii=False, sort_keys=True)
 
 
+def _apply_charset(payload: bytes, args) -> bytes | str:
+    """Transport-layer charset: a valid ``charset`` config var decodes
+    the HTML payload HERE (errors=replace, matching the sniff's
+    degradation contract) so the downstream parser receives str and
+    never re-sniffs; absent/unknown labels pass the bytes through to the
+    normal BOM/meta sniff."""
+    codec = args.charset_override
+    if codec is None:
+        return payload
+    return payload.decode(codec, errors="replace")
+
+
 def extract_document(
     html: bytes | None,
     lang: str | None = None,
@@ -250,9 +262,13 @@ def extract_document(
                     html_to_markdown,
                 )
 
-                text = html_to_markdown(payload, aggressive=aggressive)
+                text = html_to_markdown(
+                    _apply_charset(payload, args), aggressive=aggressive
+                )
             else:
-                text = extract_main_text(payload, aggressive=aggressive)
+                text = extract_main_text(
+                    _apply_charset(payload, args), aggressive=aggressive
+                )
 
         if args.structured_output:
             return _spans_json(text), STATUS_OK, ""

@@ -90,6 +90,21 @@ def decode_html_bytes(raw: bytes | bytearray | memoryview) -> str:
     return raw.decode(sniff_charset(raw), errors="replace")
 
 
+def codec_for_label(label: str) -> str | None:
+    """Python codec for a TRANSPORT-layer charset label (the HTTP
+    Content-Type parameter), normalized through the same WHATWG label
+    classes the meta prescan uses — per the spec the transport layer
+    sits ABOVE the sniff, so a valid header label wins over BOM/meta.
+    Unknown labels return None: the caller falls back to sniffing (the
+    spec's behavior for an unrecognized label), never errors."""
+    norm = _CHARSET_ALIASES.get(label.strip().lower(), label.strip().lower())
+    try:
+        codecs.lookup(norm)
+        return norm
+    except LookupError:
+        return None
+
+
 # Elements whose entire subtree carries no extractable text.
 SKIP_TAGS = frozenset(
     {"script", "style", "noscript", "template", "head", "svg", "iframe",

@@ -86,6 +86,23 @@ class EngineArgs:
         return self.config_vars.get("tessedit_create_hocr") == "1"
 
     @property
+    def charset_override(self) -> str | None:
+        """Transport-layer charset: config var ``charset`` carries the
+        HTTP Content-Type charset parameter down to the HTML decode,
+        where it OUTRANKS the BOM/meta sniff (WHATWG encoding sniffing
+        step 1: "the user agent has information on the likely encoding
+        ... from the transport layer").  Normalized through the same
+        label classes as the sniff (htmltree.codec_for_label); an
+        unknown label returns None and the sniff runs as if no header
+        existed."""
+        label = self.config_vars.get("charset")
+        if not label:
+            return None
+        from open_ocr_spark.kernels.htmltree import codec_for_label
+
+        return codec_for_label(label)
+
+    @property
     def markdown_output(self) -> bool:
         """Markdown-mode switch: config var output_format == "md" — the
         engine-surface extension of the reference's output-format list

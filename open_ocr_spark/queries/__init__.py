@@ -22,7 +22,8 @@ from open_ocr_spark.queries._shared import (
     _WRAP_PREFIX, _WRAP_SUFFIX, _t, pages_from_documents,
 )
 from open_ocr_spark.queries.extraction import (
-    q_base64_roundtrip, q_engine_dispatch, q_extract_docx_text,
+    q_base64_roundtrip, q_charset_transport, q_engine_dispatch,
+    q_extract_docx_text,
     q_extract_epub_text, q_extract_glyph_ocr, q_extract_main_text,
     q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
     q_extract_pdf_flate, q_extract_pdf_text, q_extract_pdf_tj,
@@ -119,6 +120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_assignment": q_canonical_assignment,
     "url_features": q_url_features,
     "soft_404_gate": q_soft_404_gate,
+    "charset_transport": q_charset_transport,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -1058,3 +1058,64 @@ ORACLES["engine_dispatch"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_charset_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transport-layer charset override (r5, options.py charset_override
+    + dispatch._apply_charset): every fixture page is windows-1252 BYTES
+    (Café {d} façade — 0xE9/0xE7 are invalid UTF-8) with no BOM and no
+    meta declaration.  A third of the rows carry the HTTP header's
+    charset as the ``charset`` config var spelled ISO-8859-1 (the WHATWG
+    label class must normalize it to cp1252) and must extract the
+    accented text intact; a third carry an unknown label (x-weird) and a
+    third carry none — both of those fall to the BOM/meta sniff, whose
+    utf-8 errors=replace turns each accented byte into U+FFFD.  The
+    oracle states all three outcomes closed-form."""
+    import pandas as pd
+
+    def _cp1252_wrap(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = f"<html><body><p>Café {i} façade</p></body></html>"
+                out.append((i, bytearray(html.encode("cp1252"))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_cp1252_wrap, "doc_id long, payload binary")
+    d = F.col("doc_id")
+    pages = raw.select(
+        F.concat(F.lit("https://cs.example.com/p/"), d.cast("string")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+        F.when(
+            d % 3 == 0,
+            F.lit('{"config_vars": {"charset": "ISO-8859-1"}}'),
+        )
+        .when(d % 3 == 1, F.lit('{"config_vars": {"charset": "x-weird"}}'))
+        .otherwise(F.lit("{}"))
+        .alias("engine_args_json"),
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["charset_transport"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Café ' || doc_id::VARCHAR || ' façade'
+                    ELSE 'Caf' || chr(65533) || ' ' || doc_id::VARCHAR
+                         || ' fa' || chr(65533) || 'ade'
+               END AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

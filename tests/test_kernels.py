@@ -785,3 +785,49 @@ def test_pdf_font_without_tounicode_falls_back():
         b"BT /F9 12 Tf (plain bytes) Tj ET\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == "plain bytes"
+
+
+# --- transport-layer charset override (r5) ----------------------------------
+
+
+def _extract_with_charset(label, payload):
+    from open_ocr_spark.kernels.dispatch import extract_document
+
+    args = {"config_vars": {"charset": label}} if label else None
+    return extract_document(payload, engine_args=args)
+
+
+def test_charset_header_beats_sniff():
+    payload = "<html><body><p>Café façade</p></body></html>".encode(
+        "cp1252"
+    )
+    text, status, _ = _extract_with_charset("ISO-8859-1", payload)
+    assert status == "ok" and text == "Café façade"
+
+
+def test_charset_absent_falls_to_sniff_with_replacement():
+    payload = "<html><body><p>Café</p></body></html>".encode("cp1252")
+    text, status, _ = _extract_with_charset(None, payload)
+    assert status == "ok" and text == "Caf�"
+
+
+def test_charset_unknown_label_falls_to_sniff():
+    payload = "<html><body><p>Café</p></body></html>".encode("cp1252")
+    text, status, _ = _extract_with_charset("x-weird", payload)
+    assert status == "ok" and text == "Caf�"
+
+
+def test_charset_header_loses_nothing_on_utf8_pages():
+    payload = "<html><body><p>Café</p></body></html>".encode("utf-8")
+    # a cp1252 header on real utf-8 bytes degrades (Ã©) — the frozen
+    # policy trusts the transport layer, as the spec prescribes
+    text, status, _ = _extract_with_charset("windows-1252", payload)
+    assert status == "ok" and text == "CafÃ©"
+
+
+def test_charset_utf16_label_normalizes_to_utf8():
+    # the WHATWG class maps utf-16 labels to utf-8 for the prescan; the
+    # transport layer shares the label table
+    payload = "<html><body><p>ok</p></body></html>".encode("utf-8")
+    text, status, _ = _extract_with_charset("UTF-16", payload)
+    assert status == "ok" and text == "ok"

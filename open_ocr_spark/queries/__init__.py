@@ -74,7 +74,8 @@ from open_ocr_spark.queries.webops import (
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
     q_robots_gate,
     q_robots_meta,
-    q_sitemap_discovery, q_soft_404_gate, q_url_features, q_warc_http,
+    q_sitemap_discovery, q_soft_404_gate, q_url_features,
+    q_warc_charset_extract, q_warc_http,
     q_warc_revisit, q_warc_roundtrip,
     q_wat_metadata, q_wet_roundtrip,
 )
@@ -121,6 +122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_features": q_url_features,
     "soft_404_gate": q_soft_404_gate,
     "charset_transport": q_charset_transport,
+    "warc_charset_extract": q_warc_charset_extract,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -2198,3 +2198,94 @@ ORACLES["soft_404_gate"] = """
         FROM documents
         ORDER BY url
     """
+
+
+def q_warc_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ingest-to-text chain with transport charset (r5):
+    WARC container → records_from_warc → http_responses → the header's
+    Content-Type charset parameter feeds the extraction kernel's
+    ``charset`` config var → extract_stage.  Even doc_ids are served as
+    windows-1252 with ``charset=ISO-8859-1`` in the header (the label
+    class must normalize) and must extract accented text intact; odd
+    doc_ids send the same cp1252 bytes with a parameter-less
+    Content-Type, so the sniff's utf-8 errors=replace degrades each
+    accented byte to U+FFFD.  One chain, four layers (container,
+    envelope, charset policy, extraction), one closed-form oracle."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.sources import build_http_response, build_warc
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = (
+                    f"<html><body><p>Café {i} façade</p></body></html>"
+                ).encode("cp1252")
+                ct = (
+                    "text/html; charset=ISO-8859-1"
+                    if i % 2 == 0
+                    else "text/html"
+                )
+                raw = build_http_response(
+                    html, status=200, content_type=ct, chunked=i % 3 == 0
+                )
+                warc = build_warc(
+                    [(f"https://cs{i % 9}.example.com/{i}", raw)],
+                    gzip_members=True,
+                )
+                out.append((i, bytearray(warc)))
+            yield pd.DataFrame(out, columns=["doc_id", "warc"])
+
+    from open_ocr_spark.queries.extraction import extract_stage
+    from open_ocr_spark.sources import http_responses, records_from_warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    files = docs.mapInPandas(_wrap, "doc_id long, warc binary")
+    recs = records_from_warc(files).select(
+        "doc_id", "target_uri", "payload"
+    )
+    resp = http_responses(recs)
+    charset = F.nullif(
+        F.regexp_extract(
+            F.coalesce(F.col("http_content_type"), F.lit("")),
+            r"(?i);\s*charset=([^;\s]+)",
+            1,
+        ),
+        F.lit(""),
+    )
+    pages = resp.select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("body").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+        F.when(
+            charset.isNotNull(),
+            F.concat(
+                F.lit('{"config_vars": {"charset": "'), charset,
+                F.lit('"}}'),
+            ),
+        )
+        .otherwise(F.lit("{}"))
+        .alias("engine_args_json"),
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["warc_charset_extract"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'Café ' || doc_id::VARCHAR || ' façade'
+                    ELSE 'Caf' || chr(65533) || ' ' || doc_id::VARCHAR
+                         || ' fa' || chr(65533) || 'ade'
+               END AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -58,6 +58,7 @@ from open_ocr_spark.queries.embeddings import (
 from open_ocr_spark.queries.textquality import (
     q_bm25_search, q_bpe_encode_docs, q_bpe_token_counts, q_bpe_train,
     q_c4_line_clean, q_ccnet_buckets, q_char_entropy, q_chunk_documents,
+    q_cms_term_counts,
     q_classifier_train,
     q_doc_fingerprints, q_gopher_gate, q_lang_id, q_lang_id_fixture,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
@@ -123,6 +124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_404_gate": q_soft_404_gate,
     "charset_transport": q_charset_transport,
     "warc_charset_extract": q_warc_charset_extract,
+    "cms_term_counts": q_cms_term_counts,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

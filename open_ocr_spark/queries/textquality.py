@@ -1231,3 +1231,77 @@ ORACLES["phrase_gate"] = _phrase_gate_oracle()
 
 
 ORACLES["lang_id_fixture"] = _lang_id_fixture_oracle()
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (r5, dataops/cms.py): build a 4×16 md5
+    sketch over the corpus token stream (width far below the vocab, so
+    collisions are guaranteed and the min-over-rows estimate is what the
+    hash checks), estimate every distinct term,
+    and report (term, true_cnt, cms_est) side by side.  The oracle
+    rebuilds the identical sketch in SQL — every collision reproduces,
+    so the estimates (not just the ≥-truth invariant) are value-hashed;
+    a hash-salt slip, a min-over-rows bug, or a missing-bucket coalesce
+    breaks it."""
+    from open_ocr_spark.dataops.cms import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                        r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("key")
+    )
+    truth = tokens.groupBy("key").agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    # width 16 << vocab: collisions are GUARANTEED, so the min-over-rows
+    # logic (not just the happy path) is what the hash checks
+    sketch = cms_build(tokens, depth=4, width=16)
+    est = cms_estimate(sketch, truth.select("key"), depth=4, width=16)
+    return (
+        truth.join(est, "key")
+        .select(F.col("key").alias("term"), "true_cnt", "cms_est")
+        .orderBy("term")
+    )
+
+
+ORACLES["cms_term_counts"] = """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(
+                       lower(coalesce(text, '')), '[ \t\n\r]+')) AS key
+            FROM documents
+        ),
+        clean AS (SELECT key FROM toks WHERE key != ''),
+        truth AS (
+            SELECT key, count(*) AS true_cnt FROM clean GROUP BY key
+        ),
+        sketch AS (
+            SELECT i.i AS row,
+                   ('0x' || substr(md5(i.i::VARCHAR || ':' || key), 1, 8))
+                       ::BIGINT % 16 AS bucket,
+                   count(*) AS cnt
+            FROM clean, (SELECT unnest(range(0, 4)) AS i) i
+            GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT t.key, i.i AS row,
+                   ('0x' || substr(md5(i.i::VARCHAR || ':' || t.key), 1, 8))
+                       ::BIGINT % 16 AS bucket
+            FROM truth t, (SELECT unnest(range(0, 4)) AS i) i
+        ),
+        est AS (
+            SELECT p.key, min(coalesce(s.cnt, 0)) AS cms_est
+            FROM probes p
+            LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+            GROUP BY p.key
+        )
+        SELECT t.key AS term,
+               CAST(t.true_cnt AS BIGINT) AS true_cnt,
+               CAST(e.cms_est AS BIGINT) AS cms_est
+        FROM truth t JOIN est e USING (key)
+        ORDER BY term
+    """

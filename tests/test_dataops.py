@@ -1376,3 +1376,22 @@ def test_cdx_index_order_and_digest(spark):
     assert [r.surt for r in rows] == ["com,a)/y", "com,a)/y", "com,b)/x"]
     assert rows[0].warc_ts < rows[1].warc_ts  # captures in time order
     assert rows[0].digest == rows[1].digest == hashlib.md5(b"two").hexdigest()
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-Min's one-sided error: est >= truth for every key, with
+    width deliberately far below the key cardinality."""
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.cms import cms_build, cms_estimate
+
+    items = spark.range(2000).select(
+        F.concat(F.lit("k"), (F.col("id") % 97).cast("string")).alias("key")
+    )
+    truth = items.groupBy("key").agg(F.count("*").alias("true_cnt"))
+    sketch = cms_build(items, depth=4, width=8)
+    est = cms_estimate(sketch, truth.select("key"), depth=4, width=8)
+    rows = truth.join(est, "key").collect()
+    assert len(rows) == 97
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+    assert any(r["cms_est"] > r["true_cnt"] for r in rows)  # collisions

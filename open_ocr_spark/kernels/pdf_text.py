@@ -654,6 +654,15 @@ def extract_pdf_text(raw: bytes) -> str:
     raw = bytes(raw)
     if not is_pdf(raw):
         raise ValueError("not a PDF payload")
+    if b"/Encrypt" in raw:
+        # §7.6: an /Encrypt entry in any trailer dictionary means the
+        # strings and streams are enciphered (RC4/AES per the handler);
+        # scanning them would yield ciphertext soup, so this is an
+        # error VALUE up front, not garbage text.  (A literal string
+        # containing "/Encrypt" inside a content stream could
+        # false-positive; an enciphered document cannot be told apart
+        # without decryption, so the conservative read is frozen.)
+        raise ValueError("pdf: encrypted (/Encrypt in trailer)")
     if b"stream" in raw:
         raw = _inflate_streams(raw)
 

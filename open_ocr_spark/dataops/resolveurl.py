@@ -61,12 +61,21 @@ _ORIGIN_G = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"  # capture scheme+auth
 
 def remove_dot_segments(path: Column) -> Column:
     """§5.2.4 over an absolute path ('/'-leading), as the frozen
-    regex-rewrite chain."""
+    regex-rewrite chain.
+
+    Fast path: every dot-segment form (``/./``, ``/../``, trailing
+    ``/.``/``/..``, leading ``/..``) contains the 2-char substring
+    ``/.``, and absolute paths place ``..``/``.`` only after a slash —
+    so paths without ``/.`` skip the ~26-regexp chain entirely (the
+    overwhelming majority of real hrefs; CASE branches evaluate lazily
+    under codegen).  The DuckDB oracle rendering deliberately does NOT
+    mirror the guard: if the guard were ever wrong, the value hash
+    would catch it."""
     out = path
     for pat, rep, times in _DOT_RULES:
         for _ in range(times):
             out = F.regexp_replace(out, pat, rep)
-    return out
+    return F.when(path.contains("/."), out).otherwise(path)
 
 
 def resolve_url(base: Column | str, ref: Column | str) -> Column:

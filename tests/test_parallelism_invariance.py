@@ -24,6 +24,7 @@ CHAINS = [
     "base_href_links",      # <base href> override resolution (r5)
     "redirect_chains",      # pointer-doubling with pinned rounds (r5)
     "canonical_assignment", # rel-canonical > redirect > self (r5)
+    "cms_term_counts",      # sketch build + broadcast estimate (r5)
 ]
 
 

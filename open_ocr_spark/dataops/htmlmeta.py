@@ -109,3 +109,59 @@ def extract_json_ld(
             F.get_json_object("block", "$.name").alias("name"),
         )
     )
+
+
+# --- publication date -------------------------------------------------------------
+
+# Source priority for a page's publication date, highest first: the
+# page's structured data (JSON-LD datePublished), then the social-graph
+# meta tag (article:published_time), then a /YYYY/MM/DD/ URL path
+# segment.  The date-bearing string is truncated to its ISO calendar
+# prefix (the first 10 chars of an ISO 8601 timestamp) and cast with
+# try_to_date semantics — an unparseable value falls through to the
+# next source rather than erroring.
+_JSONLD_DATE = r'"datePublished"\s*:\s*"(\d{4}-\d{2}-\d{2})'
+_META_PUBTIME = (
+    r"(?is)<meta\s[^>]*property\s*=\s*[\"']article:published_time[\"']"
+    r"[^>]*content\s*=\s*[\"'](\d{4}-\d{2}-\d{2})"
+)
+_URL_DATE = r"/((?:19|20)\d{2})/(\d{2})/(\d{2})/"
+
+
+def extract_publish_date(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, publish_date, date_source): the page's publication date
+    under the frozen source priority (module comment) — the recency
+    signal a training pipeline slices and filters on.  date_source names
+    the winner ('json_ld' / 'meta' / 'url_path'); pages with none yield
+    NULL/NULL.  Pure Catalyst projection."""
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    url = F.col(url_col)
+    jl = F.try_to_date(
+        F.nullif(F.regexp_extract(html, _JSONLD_DATE, 1), F.lit(""))
+    )
+    mt = F.try_to_date(
+        F.nullif(F.regexp_extract(html, _META_PUBTIME, 1), F.lit(""))
+    )
+    up = F.try_to_date(
+        F.nullif(
+            F.concat_ws(
+                "-",
+                F.regexp_extract(url, _URL_DATE, 1),
+                F.regexp_extract(url, _URL_DATE, 2),
+                F.regexp_extract(url, _URL_DATE, 3),
+            ),
+            F.lit("--"),
+        )
+    )
+    return pages.select(
+        url.alias("url"),
+        F.coalesce(jl, mt, up).alias("publish_date"),
+        F.when(jl.isNotNull(), F.lit("json_ld"))
+        .when(mt.isNotNull(), F.lit("meta"))
+        .when(up.isNotNull(), F.lit("url_path"))
+        .alias("date_source"),
+    )

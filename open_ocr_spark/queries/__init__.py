@@ -71,7 +71,7 @@ from open_ocr_spark.queries.webops import (
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
-    q_json_ld, q_mime_sniff, q_registrable_domain,
+    q_json_ld, q_mime_sniff, q_publish_dates, q_registrable_domain,
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
     q_robots_gate,
     q_robots_meta,
@@ -125,6 +125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_transport": q_charset_transport,
     "warc_charset_extract": q_warc_charset_extract,
     "cms_term_counts": q_cms_term_counts,
+    "publish_dates": q_publish_dates,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -2289,3 +2289,86 @@ ORACLES["warc_charset_extract"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_publish_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction (r5, dataops/htmlmeta.py
+    extract_publish_date): four fixture classes — JSON-LD datePublished
+    WITH a conflicting meta tag on the same page (priority must pick
+    JSON-LD), meta article:published_time alone, a /YYYY/MM/DD/ URL
+    path, and dateless pages (NULL/NULL).  Closed-form oracle with real
+    DATE-typed values."""
+    from open_ocr_spark.dataops.htmlmeta import extract_publish_date
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mm = F.lpad((1 + d % 12).cast("string"), 2, "0")
+    dd = F.lpad((1 + d % 28).cast("string"), 2, "0")
+    url = (
+        F.when(
+            d % 4 == 2,
+            F.concat(F.lit("https://n.example.com/2021/"), mm, F.lit("/"),
+                     dd, F.lit("/story-"), d.cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://n.example.com/a/"), d.cast("string"))
+        )
+    )
+    head = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type": "Article", "datePublished": "2023-'),
+                mm, F.lit("-"), dd,
+                F.lit('T08:00:00Z"}</script>'
+                      '<meta property="article:published_time" '
+                      'content="1999-01-01T00:00:00Z">'),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<meta property="article:published_time" '
+                      'content="2022-'), mm, F.lit("-"), dd,
+                F.lit('T12:30:00+02:00">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), head,
+        F.lit("</head><body><p>story</p></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_publish_date(pages).orderBy("url")
+
+
+ORACLES["publish_dates"] = """
+        WITH rows AS (
+            SELECT doc_id,
+                   lpad((1 + doc_id % 12)::VARCHAR, 2, '0') AS mm,
+                   lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS dd,
+                   CASE WHEN doc_id % 4 = 2
+                        THEN 'https://n.example.com/2021/'
+                             || lpad((1 + doc_id % 12)::VARCHAR, 2, '0')
+                             || '/' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                             || '/story-' || doc_id::VARCHAR
+                        ELSE 'https://n.example.com/a/' || doc_id::VARCHAR
+                   END AS url
+            FROM documents
+        )
+        SELECT url,
+               CASE doc_id % 4
+                   WHEN 0 THEN CAST('2023-' || mm || '-' || dd AS DATE)
+                   WHEN 1 THEN CAST('2022-' || mm || '-' || dd AS DATE)
+                   WHEN 2 THEN CAST('2021-' || mm || '-' || dd AS DATE)
+               END AS publish_date,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'json_ld'
+                   WHEN 1 THEN 'meta'
+                   WHEN 2 THEN 'url_path'
+               END AS date_source
+        FROM rows
+        ORDER BY url
+    """

@@ -48,3 +48,61 @@ def crawl_delta(
         "old_md5",
         "new_md5",
     )
+
+
+def crawl_delta_near(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    minor_max: int = 6,
+) -> DataFrame:
+    """(url, status, hamming): crawl_delta refined for the 'changed'
+    class — recrawl schedulers treat a template tweak very differently
+    from a rewrite.  Exact equality (content md5) still decides
+    'unchanged'; a changed page's OLD and NEW 62-bit md5-SimHash
+    fingerprints (dedup.simhash_fingerprints, hashing='md5' — the
+    oracle-replayable form) are XOR'd and popcounted, and the Hamming
+    distance splits 'minor_edit' (<= minor_max) from 'rewrite'.
+    added/removed rows carry NULL hamming; note SimHash hashes the
+    DISTINCT token set, so a pure reordering scores distance 0 — a
+    minor_edit, which is exactly what a recrawl scheduler wants.
+
+    Scale shape: the fingerprint pipeline is the existing
+    exact-collapsed 62-vote hash aggregate per snapshot; the delta
+    itself is ONE full-outer join on the url key (bucketable
+    exchange-free, same argument as crawl_delta)."""
+    from open_ocr_spark.dataops.dedup import simhash_fingerprints
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        base = df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        fp = simhash_fingerprints(base, hashing="md5")
+        md = base.select(
+            "doc_id",
+            F.md5(
+                F.trim(F.regexp_replace("text", r"[ \t\n\r]+", " "))
+            ).alias("md"),
+        )
+        return md.join(fp, "doc_id").select(
+            F.col("doc_id").alias("url"),
+            F.col("md").alias(f"{tag}_md5"),
+            F.col("simhash").alias(f"{tag}_sh"),
+        )
+
+    joined = side(old, "old").join(side(new, "new"), "url", "full_outer")
+    changed = F.col("old_md5") != F.col("new_md5")
+    hamming = F.bit_count(
+        F.col("old_sh").bitwiseXOR(F.col("new_sh"))
+    ).cast("long")
+    return joined.select(
+        "url",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(~changed, F.lit("unchanged"))
+        .when(hamming <= minor_max, F.lit("minor_edit"))
+        .otherwise(F.lit("rewrite"))
+        .alias("status"),
+        F.when(changed, hamming).alias("hamming"),
+    )

@@ -67,7 +67,7 @@ from open_ocr_spark.queries.textquality import (
 )
 from open_ocr_spark.queries.webops import (
     q_anchor_text_stats, q_base_href_links, q_canonical_assignment,
-    q_canonical_url_dedup,
+    q_canonical_url_dedup, q_crawl_delta_near,
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
@@ -126,6 +126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_charset_extract": q_warc_charset_extract,
     "cms_term_counts": q_cms_term_counts,
     "publish_dates": q_publish_dates,
+    "crawl_delta_near": q_crawl_delta_near,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -2372,3 +2372,137 @@ ORACLES["publish_dates"] = """
         FROM rows
         ORDER BY url
     """
+
+
+def q_crawl_delta_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-change revisit classification (r5, dataops/delta.py
+    crawl_delta_near): the old snapshot is the documents corpus; the new
+    snapshot keeps a quarter unchanged, appends a token to a quarter
+    (small SimHash distance), rewrites a quarter with unrelated
+    vocabulary (large distance), drops a quarter (removed), and adds
+    fresh urls for every fifth doc.  The oracle rebuilds BOTH snapshots'
+    62-bit md5-SimHash fingerprints with the unrolled 62-vote SQL and
+    applies the same md5-equality + Hamming-threshold rules — the
+    classification is fully value-derived, not closed-form asserted, so
+    a popcount/xor slip or a threshold off-by-one breaks the hash."""
+    from open_ocr_spark.dataops.delta import crawl_delta_near
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://d.example.com/p/"), d.cast("string"))
+    old = docs.select(url.alias("url"), F.col("text"))
+    base_new = docs.filter(d % 4 != 3).select(
+        url.alias("url"),
+        F.when(d % 4 == 0, F.col("text"))
+        .when(d % 4 == 1, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(
+            F.concat(
+                F.lit("totally different rewrite content block "),
+                d.cast("string"),
+                F.lit(" with unrelated vocabulary terms"),
+            )
+        )
+        .alias("text"),
+    )
+    added = docs.filter(d % 5 == 0).select(
+        F.concat(url, F.lit("-new")).alias("url"),
+        F.concat(F.lit("fresh page "), d.cast("string")).alias("text"),
+    )
+    return crawl_delta_near(old, base_new.unionAll(added)).orderBy("url")
+
+
+def _crawl_delta_near_oracle(bits: int = 62, minor_max: int = 6) -> str:
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((h62 >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    assemble = "\n             + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH olds AS (
+            SELECT 'https://d.example.com/p/' || doc_id::VARCHAR AS url,
+                   text
+            FROM documents
+        ),
+        news AS (
+            SELECT 'https://d.example.com/p/' || doc_id::VARCHAR AS url,
+                   CASE doc_id % 4
+                       WHEN 0 THEN text
+                       WHEN 1 THEN text || ' edited'
+                       ELSE 'totally different rewrite content block '
+                            || doc_id::VARCHAR
+                            || ' with unrelated vocabulary terms'
+                   END AS text
+            FROM documents WHERE doc_id % 4 != 3
+            UNION ALL
+            SELECT 'https://d.example.com/p/' || doc_id::VARCHAR || '-new',
+                   'fresh page ' || doc_id::VARCHAR
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        sides AS (
+            SELECT url, 0 AS side, text FROM olds
+            UNION ALL
+            SELECT url, 1 AS side, text FROM news
+        ),
+        norm AS (
+            SELECT url, side,
+                   trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS t
+            FROM sides WHERE text IS NOT NULL
+        ),
+        md AS (SELECT url, side, md5(t) AS md FROM norm),
+        toks AS (
+            SELECT DISTINCT url, side, unnest(string_split(t, ' ')) AS tok
+            FROM norm
+        ),
+        h AS (
+            SELECT url, side,
+                   (('0x' || substring(md5(tok), 1, 8))::BIGINT % 2147483648)
+                       * 2147483648
+                   + (('0x' || substring(md5(tok), 9, 8))::BIGINT
+                       % 2147483648) AS h62
+            FROM toks
+        ),
+        votes AS (
+            SELECT url, side,
+                   {votes}
+            FROM h GROUP BY url, side
+        ),
+        fp AS (
+            SELECT url, side,
+                   {assemble} AS sh
+            FROM votes
+        ),
+        o AS (
+            SELECT m.url, m.md AS old_md5, f.sh AS old_sh
+            FROM md m JOIN fp f ON f.url = m.url AND f.side = 0
+            WHERE m.side = 0
+        ),
+        n AS (
+            SELECT m.url, m.md AS new_md5, f.sh AS new_sh
+            FROM md m JOIN fp f ON f.url = m.url AND f.side = 1
+            WHERE m.side = 1
+        ),
+        j AS (
+            SELECT coalesce(o.url, n.url) AS url,
+                   o.old_md5, o.old_sh, n.new_md5, n.new_sh
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        )
+        SELECT url,
+               CASE WHEN old_md5 IS NULL THEN 'added'
+                    WHEN new_md5 IS NULL THEN 'removed'
+                    WHEN old_md5 = new_md5 THEN 'unchanged'
+                    WHEN bit_count(xor(old_sh, new_sh)) <= {minor_max}
+                        THEN 'minor_edit'
+                    ELSE 'rewrite' END AS status,
+               CASE WHEN old_md5 IS NOT NULL AND new_md5 IS NOT NULL
+                         AND old_md5 != new_md5
+                    THEN CAST(bit_count(xor(old_sh, new_sh)) AS BIGINT)
+               END AS hamming
+        FROM j
+        ORDER BY url
+    """
+
+
+ORACLES["crawl_delta_near"] = _crawl_delta_near_oracle()

@@ -25,6 +25,7 @@ CHAINS = [
     "redirect_chains",      # pointer-doubling with pinned rounds (r5)
     "canonical_assignment", # rel-canonical > redirect > self (r5)
     "cms_term_counts",      # sketch build + broadcast estimate (r5)
+    "crawl_delta_near",     # two-snapshot simhash delta (r5)
 ]
 
 

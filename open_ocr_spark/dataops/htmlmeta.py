@@ -165,3 +165,33 @@ def extract_publish_date(
         .when(up.isNotNull(), F.lit("url_path"))
         .alias("date_source"),
     )
+
+
+# --- declared language ---------------------------------------------------------
+
+_HTML_LANG = r"(?is)<html\s[^>]*lang\s*=\s*[\"']?([a-zA-Z0-9_-]+)"
+
+
+def declared_lang(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, lang_attr, lang_primary): the page's self-declared language
+    — the <html lang> attribute, normalized to its BCP-47 PRIMARY
+    subtag (lowercased, '_' tolerated for '-', first subtag taken:
+    en-US / EN / fr_FR all yield en / en / fr).  Pages without the
+    attribute yield NULL/NULL.  A corpus audit joins this against the
+    content-model language to find mislabeled pages (the declared
+    attribute is wrong often enough that CLD-style pipelines treat it as
+    a hint, never a label).  Pure Catalyst projection."""
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    raw = F.nullif(F.regexp_extract(html, _HTML_LANG, 1), F.lit(""))
+    primary = F.element_at(
+        F.split(F.lower(F.replace(raw, F.lit("_"), F.lit("-"))), "-"), 1
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        raw.alias("lang_attr"),
+        primary.alias("lang_primary"),
+    )

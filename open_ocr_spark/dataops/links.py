@@ -246,3 +246,42 @@ def effective_base(
     return F.when(raw.isNull(), F.col(url_col)).otherwise(
         resolve_url(F.col(url_col), raw)
     )
+
+
+_REL_PREV = (
+    r"(?is)<link\s[^>]*rel\s*=\s*[\"']?prev[\"']?[^>]*"
+    r"href\s*=\s*[\"']([^\"']*)[\"']"
+)
+
+
+def pagination_first_page(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, first_page, page_idx, looped): collapse rel=prev pagination
+    chains so every page of a multi-page article maps to its FIRST page
+    — the key a dedup/extraction pipeline groups page-2..N fragments
+    under before stitching.  The rel=prev href (resolved per RFC 3986)
+    is exactly a redirect edge, so the pointer-doubling resolver
+    (dataops/redirects.py) does the walk: page_idx is the hop count
+    (0-based: the first page of a sequence, and any page without a prev
+    link, is its own first_page at idx 0), and pathological prev-cycles
+    surface as looped=true instead of an infinite walk."""
+    from open_ocr_spark.dataops.redirects import resolve_redirect_chains
+
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    prev = F.nullif(F.regexp_extract(html, _REL_PREV, 1), F.lit(""))
+    edges = pages.select(
+        F.col(url_col).alias("url"),
+        F.when(prev.isNotNull(), F.lit(301)).otherwise(F.lit(200)).alias(
+            "status"
+        ),
+        prev.alias("location"),
+    )
+    return resolve_redirect_chains(edges).select(
+        "url",
+        F.col("final_url").alias("first_page"),
+        F.col("hops").alias("page_idx"),
+        "looped",
+    )

@@ -67,11 +67,12 @@ from open_ocr_spark.queries.textquality import (
 )
 from open_ocr_spark.queries.webops import (
     q_anchor_text_stats, q_base_href_links, q_canonical_assignment,
-    q_canonical_url_dedup, q_crawl_delta_near,
+    q_canonical_url_dedup, q_crawl_delta_near, q_declared_lang_audit,
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
-    q_json_ld, q_mime_sniff, q_publish_dates, q_registrable_domain,
+    q_json_ld, q_mime_sniff, q_pagination_chains, q_publish_dates,
+    q_registrable_domain,
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
     q_robots_gate,
     q_robots_meta,
@@ -127,6 +128,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_term_counts": q_cms_term_counts,
     "publish_dates": q_publish_dates,
     "crawl_delta_near": q_crawl_delta_near,
+    "declared_lang_audit": q_declared_lang_audit,
+    "pagination_chains": q_pagination_chains,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

@@ -2506,3 +2506,118 @@ def _crawl_delta_near_oracle(bits: int = 62, minor_max: int = 6) -> str:
 
 
 ORACLES["crawl_delta_near"] = _crawl_delta_near_oracle()
+
+
+def q_declared_lang_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-corpus language audit (r5, dataops/htmlmeta.py
+    declared_lang): fixture pages cycle five lang-attribute spellings —
+    region-tagged (en-US-style built from the corpus label), bare
+    UPPERCASE, malformed underscore (fr_FR form), script-tagged
+    (zh-Hant form), and MISSING — and a fifth of the labeled pages lie
+    (declare 'de' whatever the corpus says).  The audit normalizes to
+    the primary subtag and reports agreement with the corpus label;
+    NULL attribute rows agree with nothing (NULL agrees flag).
+    Closed-form oracle."""
+    from open_ocr_spark.dataops.htmlmeta import declared_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    lie = d % 5 == 0
+    decl = F.when(lie, F.lit("de")).otherwise(F.col("lang"))
+    attr = (
+        F.when(d % 4 == 0, F.concat(decl, F.lit("-XX")))
+        .when(d % 4 == 1, F.upper(decl))
+        .when(d % 4 == 2, F.concat(decl, F.lit("_YY")))
+        .otherwise(F.concat(decl, F.lit("-Hant")))
+    )
+    html = F.when(
+        d % 7 == 6,
+        F.lit("<html><body><p>no lang attr</p></body></html>"),
+    ).otherwise(
+        F.concat(
+            F.lit('<html lang="'), attr,
+            F.lit('"><body><p>x</p></body></html>'),
+        )
+    )
+    url = F.concat(F.lit("https://l.example.com/p/"), d.cast("string"))
+    pages = docs.select(url.alias("url"), html.alias("html"),
+                        F.col("lang"), "doc_id")
+    out = declared_lang(pages)
+    return (
+        out.join(pages.select("url", "lang", "doc_id"), "url")
+        .select(
+            "doc_id",
+            "lang_attr",
+            "lang_primary",
+            F.col("lang").alias("corpus_lang"),
+            F.when(
+                F.col("lang_primary").isNotNull(),
+                F.col("lang_primary") == F.col("lang"),
+            ).alias("agrees"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["declared_lang_audit"] = """
+        WITH rows AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 5 = 0 THEN 'de' ELSE lang END AS decl
+            FROM documents
+        ),
+        attrs AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 6 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN decl || '-XX'
+                        WHEN doc_id % 4 = 1 THEN upper(decl)
+                        WHEN doc_id % 4 = 2 THEN decl || '_YY'
+                        ELSE decl || '-Hant'
+                   END AS lang_attr,
+                   CASE WHEN doc_id % 7 = 6 THEN NULL ELSE decl END
+                       AS lang_primary
+            FROM rows
+        )
+        SELECT doc_id, lang_attr, lang_primary,
+               lang AS corpus_lang,
+               CASE WHEN lang_primary IS NOT NULL
+                    THEN lang_primary = lang END AS agrees
+        FROM attrs
+        ORDER BY doc_id
+    """
+
+
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination collapse (r5, dataops/links.py pagination_first_page):
+    docs form rel=prev chains of length 6 (doc d links to d-1 unless
+    d%6==0, which is its own first page), with RELATIVE prev hrefs; the
+    pointer doubling must land every page on its sequence's first page
+    with the exact 0-based page index.  Closed-form oracle: first_page =
+    doc d - d%6, page_idx = d%6."""
+    from open_ocr_spark.dataops.links import pagination_first_page
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://m.example.com/a/"), d.cast("string"))
+    html = F.when(
+        d % 6 == 0,
+        F.lit("<html><body><p>first page</p></body></html>"),
+    ).otherwise(
+        F.concat(
+            F.lit('<html><head><link rel="prev" href="/a/'),
+            (d - 1).cast("string"),
+            F.lit('"></head><body><p>page</p></body></html>'),
+        )
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return pagination_first_page(pages).orderBy("url")
+
+
+ORACLES["pagination_chains"] = """
+        SELECT 'https://m.example.com/a/' || doc_id::VARCHAR AS url,
+               'https://m.example.com/a/'
+                   || (doc_id - doc_id % 6)::VARCHAR AS first_page,
+               CAST(doc_id % 6 AS BIGINT) AS page_idx,
+               FALSE AS looped
+        FROM documents
+        ORDER BY url
+    """

@@ -194,6 +194,17 @@ def extract_document(
                     text = extract_rtf_text(payload)
                 except ValueError as exc:
                     return "", "error:rtf-unsupported", str(exc)
+            elif payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                # Word 97-2003 binary: CFB magic routes to the
+                # piece-table extractor (r5, kernels/doc_text.py)
+                from open_ocr_spark.kernels.doc_text import (
+                    extract_doc_text,
+                )
+
+                try:
+                    text = extract_doc_text(payload)
+                except ValueError as exc:
+                    return "", "error:doc-unsupported", str(exc)
             elif payload[:4] == b"PK\x03\x04":
                 # Office containers: same magic-byte routing as PDF
                 # (r4) — OOXML (.docx) and ODF (.odt). ZIPs that are

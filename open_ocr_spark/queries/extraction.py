@@ -1119,3 +1119,59 @@ ORACLES["charset_transport"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 97-2003 binary extraction (r5, kernels/doc_text.py): each
+    document becomes a REAL .doc — CFB container with FAT, directory,
+    mini FAT and mini stream, a Word FIB, and a two-piece piece table
+    whose first piece is compressed cp1252 and second UTF-16LE (with a
+    character cp1252 cannot hold, so a wrong fCompressed read cannot
+    pass).  The which-table FIB bit alternates per row (0Table/1Table
+    both exercised).  Routed by CFB magic through the standard engine
+    dispatch; closed-form oracle."""
+    import pandas as pd
+
+    def _doc_wrap(batches):
+        from open_ocr_spark.kernels.doc_text import build_doc
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                doc = build_doc(
+                    [
+                        (f"Doc {i} café intro.\r", True),
+                        (f"Pièce № {i % 7} finale.\r", False),
+                    ],
+                    which_table=i % 2,
+                )
+                out.append((i, bytearray(doc)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_doc_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://docs.example.com/w/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_doc_text"] = """
+        SELECT doc_id,
+               'Doc ' || doc_id::VARCHAR || ' café intro.' || chr(10)
+               || 'Pièce № ' || (doc_id % 7)::VARCHAR || ' finale.'
+               || chr(10) AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

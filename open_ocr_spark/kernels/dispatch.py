@@ -195,14 +195,15 @@ def extract_document(
                 except ValueError as exc:
                     return "", "error:rtf-unsupported", str(exc)
             elif payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-                # Word 97-2003 binary: CFB magic routes to the
-                # piece-table extractor (r5, kernels/doc_text.py)
+                # Legacy Office binaries: CFB magic, then the container
+                # directory picks Word/PowerPoint/Excel (r5,
+                # kernels/doc_text.py extract_cfb_text)
                 from open_ocr_spark.kernels.doc_text import (
-                    extract_doc_text,
+                    extract_cfb_text,
                 )
 
                 try:
-                    text = extract_doc_text(payload)
+                    text = extract_cfb_text(payload)
                 except ValueError as exc:
                     return "", "error:doc-unsupported", str(exc)
             elif payload[:4] == b"PK\x03\x04":

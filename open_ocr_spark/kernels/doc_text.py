@@ -368,3 +368,188 @@ def build_doc(pieces: list[tuple[str, bool]], which_table: int = 1) -> bytes:
     return _build_cfb(
         [("WordDocument", bytes(word)), (f"{which_table}Table", table)]
     )
+
+
+# --- PowerPoint 97-2003 (.ppt) ----------------------------------------------------
+# MS-PPT: the 'PowerPoint Document' stream is a tree of 8-byte-header
+# records (recVerAndInstance u16, recType u16, recLen u32); a record
+# with recVer 0xF is a container whose body is more records.  Slide
+# text lives in TextCharsAtom (0x0FA0, UTF-16LE) and TextBytesAtom
+# (0x0FA8, single-byte cp1252); PPT uses \r line breaks, normalized by
+# the same _clean policy as Word.
+
+_PPT_TEXT_CHARS = 0x0FA0
+_PPT_TEXT_BYTES = 0x0FA8
+
+
+def extract_ppt_text(raw: bytes) -> str:
+    """Concatenated slide text of a binary .ppt, atoms in stream order,
+    one line per text atom.  Raises ValueError on structural damage."""
+    cfb = _Cfb(bytes(raw))
+    buf = cfb.stream("PowerPoint Document")
+    texts: list[str] = []
+
+    def walk(b: bytes, depth: int) -> None:
+        if depth > 32:
+            raise ValueError("ppt: record tree too deep")
+        pos = 0
+        while pos + 8 <= len(b):
+            ver_inst = _u16(b, pos)
+            rec_type = _u16(b, pos + 2)
+            rec_len = _u32(b, pos + 4)
+            body = b[pos + 8 : pos + 8 + rec_len]
+            if len(body) != rec_len:
+                raise ValueError("ppt: record past stream end")
+            if (ver_inst & 0xF) == 0xF:
+                walk(body, depth + 1)
+            elif rec_type == _PPT_TEXT_CHARS:
+                texts.append(body.decode("utf-16-le", "strict"))
+            elif rec_type == _PPT_TEXT_BYTES:
+                texts.append(body.decode("cp1252"))
+            pos += 8 + rec_len
+
+    walk(buf, 0)
+    return _clean("\r".join(texts) + ("\r" if texts else ""))
+
+
+def build_ppt(texts: list[tuple[str, bool]]) -> bytes:
+    """Encoder twin: a .ppt whose extract_ppt_text output is the texts
+    joined as lines.  Each entry is (text, wide): wide=True emits a
+    TextCharsAtom (UTF-16), False a TextBytesAtom (cp1252).  Atoms nest
+    inside a Document container to exercise the tree walk."""
+    atoms = bytearray()
+    for text, wide in texts:
+        if wide:
+            body = text.encode("utf-16-le")
+            rec_type = _PPT_TEXT_CHARS
+        else:
+            body = text.encode("cp1252")
+            rec_type = _PPT_TEXT_BYTES
+        atoms += struct.pack("<HHI", 0x0000, rec_type, len(body)) + body
+    document = struct.pack("<HHI", 0x000F, 0x03E8, len(atoms)) + atoms
+    return _build_cfb(
+        [
+            ("PowerPoint Document", bytes(document)),
+            ("Current User", b"\x00" * 24),
+        ]
+    )
+
+
+# --- Excel 97-2003 (.xls) ---------------------------------------------------------
+# MS-XLS (BIFF8): the 'Workbook' stream is a flat run of (type u16,
+# len u16, body) records.  Document text lives in the SST shared-string
+# table (0x00FC): cstTotal, cstUnique, then XLUnicodeRichExtendedString
+# entries — cch u16, grbit u8 (bit0 fHighByte: 0 = compressed 8-bit
+# latin, 1 = UTF-16LE; bit2 fExtSt; bit3 fRichSt), optional cRun u16 /
+# cbExtRst u32, the characters, then the skipped rich-run/ext blocks.
+# Frozen subset: SST entries split across CONTINUE records raise (the
+# writer twin never splits; real giant SSTs would need the continuation
+# grammar) — error-as-value, never silent truncation.
+
+_XLS_BOF = 0x0809
+_XLS_SST = 0x00FC
+
+
+def extract_xls_text(raw: bytes) -> str:
+    """The shared-string-table text of a binary .xls, one line per SST
+    entry, in table order.  Raises ValueError on structural damage or a
+    CONTINUE-split SST (declared out of the frozen subset)."""
+    cfb = _Cfb(bytes(raw))
+    try:
+        buf = cfb.stream("Workbook")
+    except ValueError:
+        buf = cfb.stream("Book")  # BIFF5 naming
+    pos = 0
+    first = True
+    out: list[str] = []
+    while pos + 4 <= len(buf):
+        rec_type = _u16(buf, pos)
+        rec_len = _u16(buf, pos + 2)
+        body = buf[pos + 4 : pos + 4 + rec_len]
+        if len(body) != rec_len:
+            raise ValueError("xls: record past stream end")
+        if first:
+            if rec_type != _XLS_BOF or rec_len < 4 or _u16(body, 0) != 0x0600:
+                raise ValueError("xls: stream does not begin with BIFF8 BOF")
+            first = False
+        if rec_type == _XLS_SST:
+            if rec_len < 8:
+                raise ValueError("xls: SST header truncated")
+            n_unique = _u32(body, 4)
+            p = 8
+            for _ in range(n_unique):
+                if p + 3 > len(body):
+                    raise ValueError(
+                        "xls: SST spans CONTINUE records (unsupported)"
+                    )
+                cch = _u16(body, p)
+                grbit = body[p + 2]
+                p += 3
+                c_run = 0
+                cb_ext = 0
+                if grbit & 0x08:  # fRichSt
+                    c_run = _u16(body, p)
+                    p += 2
+                if grbit & 0x04:  # fExtSt
+                    cb_ext = _u32(body, p)
+                    p += 4
+                width = 2 if (grbit & 0x01) else 1
+                chars = body[p : p + width * cch]
+                if len(chars) != width * cch:
+                    raise ValueError(
+                        "xls: SST spans CONTINUE records (unsupported)"
+                    )
+                p += width * cch
+                out.append(
+                    chars.decode("utf-16-le")
+                    if width == 2
+                    else chars.decode("latin-1")
+                )
+                p += 4 * c_run + cb_ext
+                if p > len(body):
+                    raise ValueError("xls: SST rich/ext block truncated")
+        pos += 4 + rec_len
+    return _clean("\r".join(out) + ("\r" if out else ""))
+
+
+def build_xls(strings: list[tuple[str, bool]]) -> bytes:
+    """Encoder twin: a .xls whose extract_xls_text output is the
+    strings as lines.  Each entry is (text, wide): wide=True stores
+    UTF-16, False compressed 8-bit latin-1.  One string gets a fake
+    rich-run block to exercise the skip arithmetic."""
+    sst = bytearray(struct.pack("<II", len(strings), len(strings)))
+    for idx, (text, wide) in enumerate(strings):
+        rich = idx == 0 and len(strings) > 1
+        grbit = (0x01 if wide else 0x00) | (0x08 if rich else 0x00)
+        data = text.encode("utf-16-le") if wide else text.encode("latin-1")
+        sst += struct.pack("<HB", len(text), grbit)
+        if rich:
+            sst += struct.pack("<H", 2)  # cRun
+        sst += data
+        if rich:
+            sst += b"\x00" * 8  # 2 FormatRun entries, skipped
+    bof = struct.pack("<HH", 0x0600, 0x0005) + b"\x00" * 12
+    workbook = (
+        struct.pack("<HH", _XLS_BOF, len(bof)) + bof
+        + struct.pack("<HH", _XLS_SST, len(sst)) + bytes(sst)
+        + struct.pack("<HH", 0x000A, 0)  # EOF
+    )
+    return _build_cfb([("Workbook", workbook)])
+
+
+def extract_cfb_text(raw: bytes) -> str:
+    """Route a CFB payload by its directory: WordDocument -> .doc,
+    PowerPoint Document -> .ppt, Workbook/Book -> .xls.  A CFB that is
+    none of the three raises (error-as-value upstream) rather than
+    guessing."""
+    cfb = _Cfb(bytes(raw))
+    names = {e["name"] for e in cfb.entries if e["type"] == 2}
+    if "WordDocument" in names:
+        return extract_doc_text(raw)
+    if "PowerPoint Document" in names:
+        return extract_ppt_text(raw)
+    if "Workbook" in names or "Book" in names:
+        return extract_xls_text(raw)
+    raise ValueError(
+        "doc: CFB container holds no Word/PowerPoint/Excel stream"
+    )

@@ -1175,3 +1175,109 @@ ORACLES["extract_doc_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_ppt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PowerPoint 97-2003 binary extraction (r5, kernels/doc_text.py
+    extract_ppt_text): real CFB + record-tree walk; each fixture deck
+    nests one cp1252 TextBytesAtom and one UTF-16 TextCharsAtom (holding
+    a non-cp1252 character) inside a Document container.  Routed by CFB
+    magic + directory through the standard dispatch."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.doc_text import build_ppt
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_ppt(
+                    [
+                        (f"Slide {i} café title", False),
+                        (f"Body № {i % 9} text", True),
+                    ]
+                )
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://docs.example.com/s/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_ppt_text"] = """
+        SELECT doc_id,
+               'Slide ' || doc_id::VARCHAR || ' café title' || chr(10)
+               || 'Body № ' || (doc_id % 9)::VARCHAR || ' text'
+               || chr(10) AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+def q_extract_xls_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel 97-2003 binary extraction (r5, kernels/doc_text.py
+    extract_xls_text): real CFB + BIFF8 record scan; the SST carries a
+    rich-run-annotated latin string (the skip arithmetic must be exact),
+    a UTF-16 string with a non-cp1252 character, and a plain tail.
+    Routed by CFB magic + directory through the standard dispatch."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.doc_text import build_xls
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_xls(
+                    [
+                        (f"Cell {i} café", False),
+                        (f"Wide № {i % 5}", True),
+                        (f"tail {i % 3}", False),
+                    ]
+                )
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://docs.example.com/x/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_xls_text"] = """
+        SELECT doc_id,
+               'Cell ' || doc_id::VARCHAR || ' café' || chr(10)
+               || 'Wide № ' || (doc_id % 5)::VARCHAR || chr(10)
+               || 'tail ' || (doc_id % 3)::VARCHAR
+               || chr(10) AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

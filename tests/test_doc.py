@@ -95,3 +95,66 @@ def test_dispatch_routes_cfb_magic():
     bad = doc[:512]  # header without sectors
     text, status, err = extract_document(bad)
     assert status == "error:doc-unsupported" and text == ""
+
+
+# --- PowerPoint / Excel binary siblings --------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(_CP1252, st.just(False)),
+            st.tuples(_UNI, st.just(True)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_ppt_roundtrip(texts):
+    from open_ocr_spark.kernels.doc_text import build_ppt, extract_ppt_text
+
+    got = extract_ppt_text(build_ppt(texts))
+    assert got == "".join(t + "\n" for t, _ in texts).replace("\r", "\n")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.text(alphabet="ab cd1", max_size=40),
+                      st.just(False)),
+            st.tuples(_UNI, st.just(True)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_xls_roundtrip(strings):
+    from open_ocr_spark.kernels.doc_text import build_xls, extract_xls_text
+
+    got = extract_xls_text(build_xls(strings))
+    assert got == "".join(t + "\n" for t, _ in strings).replace("\r", "\n")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1500))
+def test_ppt_xls_totality(blob):
+    from open_ocr_spark.kernels.doc_text import (
+        extract_ppt_text,
+        extract_xls_text,
+    )
+
+    for fn in (extract_ppt_text, extract_xls_text):
+        try:
+            fn(blob)
+        except ValueError:
+            pass
+
+
+def test_cfb_router_rejects_unknown_family():
+    from open_ocr_spark.kernels.doc_text import _build_cfb, extract_cfb_text
+
+    blob = _build_cfb([("Mystery", b"?" * 64)])
+    with pytest.raises(ValueError, match="no Word/PowerPoint/Excel"):
+        extract_cfb_text(blob)

@@ -550,6 +550,55 @@ def extract_cfb_text(raw: bytes) -> str:
         return extract_ppt_text(raw)
     if "Workbook" in names or "Book" in names:
         return extract_xls_text(raw)
+    if any(n.startswith("__substg1.0_") for n in names):
+        return extract_msg_text(raw)
     raise ValueError(
-        "doc: CFB container holds no Word/PowerPoint/Excel stream"
+        "doc: CFB container holds no Word/PowerPoint/Excel/Outlook stream"
+    )
+
+
+# --- Outlook (.msg) ---------------------------------------------------------------
+# MS-OXMSG: an Outlook item is a CFB whose property streams are named
+# ``__substg1.0_TTTTIIII`` — TTTT the property tag (0x0037 subject,
+# 0x1000 body), IIII the type (001F UTF-16LE, 001E 8-bit cp1252).  The
+# frozen text contract is subject, blank line, body.
+
+_MSG_SUBJECT = "0037"
+_MSG_BODY = "1000"
+
+
+def _msg_prop(cfb: _Cfb, tag: str) -> str | None:
+    for typ, codec in (("001F", "utf-16-le"), ("001E", "cp1252")):
+        name = f"__substg1.0_{tag}{typ}"
+        try:
+            return cfb.stream(name).decode(codec)
+        except ValueError:
+            continue
+    return None
+
+
+def extract_msg_text(raw: bytes) -> str:
+    """Subject + body of an Outlook .msg (either string type per
+    property).  Raises ValueError when neither property exists (not a
+    message) or on container damage."""
+    cfb = _Cfb(bytes(raw))
+    subject = _msg_prop(cfb, _MSG_SUBJECT)
+    body = _msg_prop(cfb, _MSG_BODY)
+    if subject is None and body is None:
+        raise ValueError("msg: no subject or body property stream")
+    parts = [p for p in (subject, body) if p]
+    return _clean("\r\r".join(parts) + ("\r" if parts else ""))
+
+
+def build_msg(subject: str, body: str, wide: bool = True) -> bytes:
+    """Encoder twin: a .msg whose extract_msg_text output is
+    'subject\\n\\nbody\\n'.  wide picks the 001F (UTF-16) or 001E
+    (cp1252) property type for both streams."""
+    typ = "001F" if wide else "001E"
+    codec = "utf-16-le" if wide else "cp1252"
+    return _build_cfb(
+        [
+            (f"__substg1.0_{_MSG_SUBJECT}{typ}", subject.encode(codec)),
+            (f"__substg1.0_{_MSG_BODY}{typ}", body.encode(codec)),
+        ]
     )

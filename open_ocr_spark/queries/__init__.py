@@ -23,8 +23,8 @@ from open_ocr_spark.queries._shared import (
 )
 from open_ocr_spark.queries.extraction import (
     q_base64_roundtrip, q_charset_transport, q_engine_dispatch,
-    q_extract_doc_text, q_extract_docx_text, q_extract_ppt_text,
-    q_extract_xls_text,
+    q_extract_doc_text, q_extract_docx_text, q_extract_msg_text,
+    q_extract_ppt_text, q_extract_xls_text,
     q_extract_epub_text, q_extract_glyph_ocr, q_extract_main_text,
     q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
     q_extract_pdf_flate, q_extract_pdf_text, q_extract_pdf_tj,
@@ -134,6 +134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_doc_text": q_extract_doc_text,
     "extract_ppt_text": q_extract_ppt_text,
     "extract_xls_text": q_extract_xls_text,
+    "extract_msg_text": q_extract_msg_text,
     "warc_revisit": q_warc_revisit,
     "extract_pdf_cmap": q_extract_pdf_cmap,
     "classifier_train": q_classifier_train,

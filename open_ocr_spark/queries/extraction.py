@@ -1281,3 +1281,58 @@ ORACLES["extract_xls_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_msg_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlook .msg extraction (r5, kernels/doc_text.py
+    extract_msg_text): real CFB property streams — even doc_ids store
+    UTF-16 (001F) subject/body with a non-cp1252 character, odd ones the
+    8-bit 001E form — and the frozen subject/blank/body contract routes
+    through the standard CFB dispatch."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.doc_text import build_msg
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                wide = i % 2 == 0
+                mark = "№" if wide else "No"
+                blob = build_msg(
+                    f"Re: item {mark} {i % 11}",
+                    f"Body for doc {i} café.\rSecond line.",
+                    wide=wide,
+                )
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://docs.example.com/m/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_msg_text"] = """
+        SELECT doc_id,
+               'Re: item '
+               || CASE WHEN doc_id % 2 = 0 THEN '№' ELSE 'No' END
+               || ' ' || (doc_id % 11)::VARCHAR || chr(10) || chr(10)
+               || 'Body for doc ' || doc_id::VARCHAR || ' café.'
+               || chr(10) || 'Second line.' || chr(10) AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

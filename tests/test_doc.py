@@ -158,3 +158,29 @@ def test_cfb_router_rejects_unknown_family():
     blob = _build_cfb([("Mystery", b"?" * 64)])
     with pytest.raises(ValueError, match="no Word/PowerPoint/Excel"):
         extract_cfb_text(blob)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="Sub jéct19", min_size=1, max_size=40),
+    st.text(alphabet="bo dy çontent.\r", max_size=120),
+    st.booleans(),
+)
+def test_msg_roundtrip(subject, body, wide):
+    from open_ocr_spark.kernels.doc_text import build_msg, extract_msg_text
+
+    got = extract_msg_text(build_msg(subject, body, wide=wide))
+    parts = [p for p in (subject, body) if p]
+    want = ("\r\r".join(parts) + ("\r" if parts else "")).replace("\r", "\n")
+    assert got == want
+
+
+def test_msg_without_properties_rejected():
+    from open_ocr_spark.kernels.doc_text import (
+        _build_cfb,
+        extract_msg_text,
+    )
+
+    blob = _build_cfb([("__substg1.0_0C1A001F", "sender".encode("utf-16-le"))])
+    with pytest.raises(ValueError, match="no subject or body"):
+        extract_msg_text(blob)

@@ -80,6 +80,22 @@ def _is_image_payload(payload: bytes) -> bool:
     return bool(_re.match(rb"P6\s+\d+\s+\d+\s+255\s", payload[:40]))
 
 
+def _mbox_sniff(payload: bytes) -> bool:
+    from open_ocr_spark.kernels.eml_text import is_mbox
+
+    return is_mbox(payload)
+
+
+def _eml_sniff(payload: bytes) -> bool:
+    """Lazy wrapper so the eml module only imports when a payload could
+    plausibly be mail (first byte is a printable header-name char)."""
+    if not payload or not (33 <= payload[0] <= 126) or payload[0] == ord("<"):
+        return False
+    from open_ocr_spark.kernels.eml_text import is_eml
+
+    return is_eml(payload)
+
+
 def _spans_json(text: str) -> str:
     """hOCR-recast structured output: one span per paragraph with
     deterministic char offsets into the plain-text form."""
@@ -256,6 +272,31 @@ def extract_document(
                         "zip container is not WordprocessingML, ODF text,"
                         " PresentationML, SpreadsheetML, or EPUB",
                     )
+            elif payload[:5] == b"From " and _mbox_sniff(payload):
+                # Unix mbox mail archive (r5, kernels/eml_text.py): the
+                # envelope line "From <addr> <date>" can't be an RFC
+                # 5322 header (space, not colon) nor HTML
+                from open_ocr_spark.kernels.eml_text import (
+                    extract_mbox_text,
+                )
+
+                try:
+                    text = extract_mbox_text(payload)
+                except ValueError as exc:
+                    return "", "error:mbox-unsupported", str(exc)
+            elif _eml_sniff(payload):
+                # RFC 5322 / MIME e-mail (r5, kernels/eml_text.py): a
+                # header-block structural sniff that HTML can never
+                # satisfy routes mail payloads away from the HTML
+                # tokenizer
+                from open_ocr_spark.kernels.eml_text import (
+                    extract_eml_text,
+                )
+
+                try:
+                    text = extract_eml_text(payload)
+                except ValueError as exc:
+                    return "", "error:eml-unsupported", str(exc)
             elif _is_image_payload(payload):
                 # raster payloads route to the pixel-domain OCR branch —
                 # the reference's literal image->text contract

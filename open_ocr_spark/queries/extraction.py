@@ -1336,3 +1336,121 @@ ORACLES["extract_msg_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5322 / MIME e-mail extraction (r5, kernels/eml_text.py): the
+    SAME expected text rides four wire encodings by doc_id % 4 — plain
+    utf-8, quoted-printable windows-1252 with an RFC 2047 Q subject,
+    base64 utf-8 with a B subject, and multipart/alternative where the
+    text/plain part must win over the HTML rendering — so one closed-form
+    oracle checks every decode path at once."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.eml_text import build_eml
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_eml(
+                    f"Re: café item {i % 7}",
+                    f"Body line one for {i} café.\nSecond line — dash.",
+                    variant=i % 4,
+                )
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://mail.example.com/m/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_eml_text"] = """
+        SELECT doc_id,
+               'Re: café item ' || (doc_id % 7)::VARCHAR
+               || chr(10) || chr(10)
+               || 'Body line one for ' || doc_id::VARCHAR || ' café.'
+               || chr(10) || 'Second line — dash.'
+               || chr(10) AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+def q_extract_mbox_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix mbox archive extraction (r5, kernels/eml_text.py
+    extract_mbox_text): three messages per document, each on a different
+    MIME wire variant, with a body line starting "From " so the mboxrd
+    >From-quoting round-trip is exercised on every row."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.eml_text import build_mbox
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_mbox([
+                    (
+                        f"Msg {j} of {i % 5}",
+                        f"Mbox body {i} part {j} café.\n"
+                        "From here the quoting must survive.",
+                        (i + j) % 4,
+                    )
+                    for j in range(3)
+                ])
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://mail.example.com/box/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_mbox_text"] = """
+        WITH msg AS (
+            SELECT d.doc_id, j.j,
+                   'Msg ' || j.j::VARCHAR || ' of '
+                   || (d.doc_id % 5)::VARCHAR
+                   || chr(10) || chr(10)
+                   || 'Mbox body ' || d.doc_id::VARCHAR || ' part '
+                   || j.j::VARCHAR || ' café.' || chr(10)
+                   || 'From here the quoting must survive.'
+                   || chr(10) AS t
+            FROM documents d, (SELECT unnest([0, 1, 2]) AS j) j
+        )
+        SELECT doc_id,
+               string_agg(t, chr(10) ORDER BY j) AS extracted_text,
+               'ok' AS status
+        FROM msg
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

@@ -128,6 +128,7 @@ def extract_document(
     engine_args: dict | None = None,
     preprocessors: list[str] | None = None,
     preprocessor_args: dict | None = None,
+    _depth: int = 0,
 ) -> tuple[str, str, str]:
     """Extract one document. Returns (extracted_text, status, error).
 
@@ -272,6 +273,45 @@ def extract_document(
                         "zip container is not WordprocessingML, ODF text,"
                         " PresentationML, SpreadsheetML, or EPUB",
                     )
+            elif len(payload) >= 512 and payload[257:262] == b"ustar":
+                # tar archive (r5, kernels/archive.py): each regular-file
+                # member routes back through this dispatch; the archive
+                # text is the member texts in order. One recursion level
+                # only — an archive inside an archive is an error value.
+                from open_ocr_spark.kernels.archive import is_tar, split_tar
+
+                if not is_tar(payload):
+                    return ("", "error:tar-unsupported",
+                            "ustar magic with invalid header checksum")
+                if _depth >= 1:
+                    return ("", "error:tar-unsupported",
+                            "nested archive (depth > 1)")
+                try:
+                    members = split_tar(payload)
+                except ValueError as exc:
+                    return "", "error:tar-unsupported", str(exc)
+                if not members:
+                    return "", "error:tar-unsupported", "archive has no file members"
+                # members render plain; the outer structured switch (if
+                # any) wraps the joined archive text exactly once
+                member_args = dict(engine_args or {})
+                cv = dict(member_args.get("config_vars") or {})
+                cv.pop("tessedit_create_hocr", None)
+                if cv:
+                    member_args["config_vars"] = cv
+                else:
+                    member_args.pop("config_vars", None)
+                texts = []
+                for name, data in members:
+                    t, s, e = extract_document(
+                        data, lang, engine, member_args or None,
+                        preprocessors, preprocessor_args,
+                        _depth=_depth + 1,
+                    )
+                    if s != STATUS_OK:
+                        return "", "error:tar-member", f"{name}: {e or s}"
+                    texts.append(t)
+                text = "\n".join(texts)
             elif payload[:5] == b"From " and _mbox_sniff(payload):
                 # Unix mbox mail archive (r5, kernels/eml_text.py): the
                 # envelope line "From <addr> <date>" can't be an RFC

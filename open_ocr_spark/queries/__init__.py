@@ -24,7 +24,7 @@ from open_ocr_spark.queries._shared import (
 from open_ocr_spark.queries.extraction import (
     q_base64_roundtrip, q_charset_transport, q_engine_dispatch,
     q_extract_doc_text, q_extract_docx_text, q_extract_eml_text,
-    q_extract_mbox_text, q_extract_msg_text,
+    q_extract_mbox_text, q_extract_msg_text, q_extract_tar_text,
     q_extract_ppt_text, q_extract_xls_text,
     q_extract_epub_text, q_extract_glyph_ocr, q_extract_main_text,
     q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
@@ -113,6 +113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    replica-green before commit) ----------------------------------
     "extract_eml_text": q_extract_eml_text,
     "extract_mbox_text": q_extract_mbox_text,
+    "extract_tar_text": q_extract_tar_text,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

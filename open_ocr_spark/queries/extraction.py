@@ -1454,3 +1454,65 @@ ORACLES["extract_mbox_text"] = """
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+def q_extract_tar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar archive extraction (r5, kernels/archive.py): three members per
+    document — an HTML page, an .eml on a rotating wire variant, and a
+    plain-text file — written by the INDEPENDENT stdlib tarfile writer;
+    each member routes back through the normal dispatch and the archive
+    text is the member texts joined in archive order."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.archive import build_tar
+        from open_ocr_spark.kernels.eml_text import build_eml
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_tar([
+                    ("site/page.html",
+                     f"<html><body><p>Tar member html {i} café.</p>"
+                     "</body></html>".encode()),
+                    ("mail/m.eml",
+                     build_eml(f"Tar msg {i % 7}", f"Tar body {i}.",
+                               variant=i % 4)),
+                    ("notes/plain.txt",
+                     f"Plain member {i} text.".encode()),
+                ])
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://archive.example.com/t/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_tar_text"] = """
+        SELECT doc_id,
+               'Tar member html ' || doc_id::VARCHAR || ' café.'
+               || chr(10)
+               || 'Tar msg ' || (doc_id % 7)::VARCHAR
+               || chr(10) || chr(10)
+               || 'Tar body ' || doc_id::VARCHAR || '.' || chr(10)
+               || chr(10)
+               || 'Plain member ' || doc_id::VARCHAR || ' text.'
+               AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

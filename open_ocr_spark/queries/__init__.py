@@ -73,7 +73,7 @@ from open_ocr_spark.queries.webops import (
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
-    q_json_ld, q_mime_sniff, q_pagination_chains, q_publish_dates,
+    q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
     q_robots_gate,
@@ -114,6 +114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_eml_text": q_extract_eml_text,
     "extract_mbox_text": q_extract_mbox_text,
     "extract_tar_text": q_extract_tar_text,
+    "microdata_items": q_microdata_items,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

@@ -2621,3 +2621,71 @@ ORACLES["pagination_chains"] = """
         FROM documents
         ORDER BY url
     """
+
+
+def q_microdata_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata extraction (r5, kernels/microdata.py): each
+    page carries an Article (multi-token itemprop, nested Person item,
+    <time datetime>) and a sibling Product (meta content, img src,
+    nested Offer with <data value>) — every value-resolution rule and
+    the dotted nested-item flattening land in one closed-form oracle."""
+    from open_ocr_spark.kernels.microdata import microdata_items
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><article itemscope '
+              'itemtype="https://schema.org/Article">'
+              '<h1 itemprop="headline name">Story '), i, F.lit(' café</h1>'
+              '<div itemprop="author" itemscope '
+              'itemtype="https://schema.org/Person">'
+              '<span itemprop="name">Author '),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</span></div><time itemprop="datePublished" datetime='
+              '"2024-03-'),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit('">in March</time></article><div itemscope '
+              'itemtype="https://schema.org/Product">'
+              '<meta itemprop="name" content="Widget '),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('"><img itemprop="image" src="/img/'),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('.png"><div itemprop="offers" itemscope '
+              'itemtype="https://schema.org/Offer">'
+              '<data itemprop="price" value="'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('.40">a price</data></div></div></body></html>'),
+    )
+    pages = d.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    return microdata_items(pages).orderBy("doc_id", "item_ord", "prop")
+
+
+ORACLES["microdata_items"] = """
+        WITH p AS (
+            SELECT * FROM (VALUES
+                (0, 0, 'https://schema.org/Article', 'headline'),
+                (1, 0, 'https://schema.org/Article', 'name'),
+                (2, 0, 'https://schema.org/Article', 'author.name'),
+                (3, 0, 'https://schema.org/Article', 'datePublished'),
+                (4, 1, 'https://schema.org/Product', 'name'),
+                (5, 1, 'https://schema.org/Product', 'image'),
+                (6, 1, 'https://schema.org/Product', 'offers.price')
+            ) AS t(seq, item_ord, item_type, prop)
+        )
+        SELECT d.doc_id,
+               p.item_ord,
+               p.item_type,
+               p.prop,
+               CASE p.seq
+                   WHEN 0 THEN 'Story ' || d.doc_id::VARCHAR || ' café'
+                   WHEN 1 THEN 'Story ' || d.doc_id::VARCHAR || ' café'
+                   WHEN 2 THEN 'Author ' || (d.doc_id % 3)::VARCHAR
+                   WHEN 3 THEN '2024-03-'
+                       || lpad(((d.doc_id % 28) + 1)::VARCHAR, 2, '0')
+                   WHEN 4 THEN 'Widget ' || (d.doc_id % 11)::VARCHAR
+                   WHEN 5 THEN '/img/' || (d.doc_id % 11)::VARCHAR || '.png'
+                   WHEN 6 THEN (d.doc_id % 50)::VARCHAR || '.40'
+               END AS value
+        FROM documents d, p
+        ORDER BY d.doc_id, p.item_ord, p.prop
+    """

@@ -65,6 +65,7 @@ from open_ocr_spark.queries.textquality import (
     q_doc_fingerprints, q_gopher_gate, q_lang_id, q_lang_id_fixture,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
     q_quality_scores, q_readability_scores, q_repetition_stats,
+    q_sentence_split,
     q_tfidf_top_terms, q_token_counts, q_top_bigrams, q_unicode_nfc,
 )
 from open_ocr_spark.queries.webops import (
@@ -115,6 +116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_mbox_text": q_extract_mbox_text,
     "extract_tar_text": q_extract_tar_text,
     "microdata_items": q_microdata_items,
+    "sentence_split": q_sentence_split,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

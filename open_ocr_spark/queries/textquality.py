@@ -1305,3 +1305,37 @@ ORACLES["cms_term_counts"] = """
         FROM truth t JOIN est e USING (key)
         ORDER BY term
     """
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation (r5, dataops/sentences.py): a
+    differential test — Spark's Java-regex chain and DuckDB's RE2 chain
+    each segment the SAME sentence-rich string built from the corpus
+    text (abbreviation guard, decimal guard, quote/bracket closers,
+    ?- and !-terminators, no trailing split)."""
+    from open_ocr_spark.dataops.sentences import split_sentences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = F.concat(
+        F.lit("Dr. Smith met "),
+        F.substring("text", 1, 40),
+        F.lit(' on 3.14 units. "Quoted end!" Then (No. '),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(") followed? Yes. The end."),
+    )
+    src = d.select("doc_id", fixture.alias("text"))
+    return split_sentences(src).orderBy("doc_id", "sent_idx")
+
+
+def _sentence_split_oracle() -> str:
+    from open_ocr_spark.dataops.sentences import sentence_split_oracle_sql
+
+    return sentence_split_oracle_sql(
+        "SELECT doc_id, 'Dr. Smith met ' || substr(text, 1, 40)"
+        " || ' on 3.14 units. \"Quoted end!\" Then (No. '"
+        " || (doc_id % 9)::VARCHAR || ') followed? Yes. The end.' AS text"
+        " FROM documents"
+    )
+
+
+ORACLES["sentence_split"] = _sentence_split_oracle()

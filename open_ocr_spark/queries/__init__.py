@@ -62,7 +62,7 @@ from open_ocr_spark.queries.textquality import (
     q_c4_line_clean, q_ccnet_buckets, q_char_entropy, q_chunk_documents,
     q_cms_term_counts,
     q_classifier_train,
-    q_doc_fingerprints, q_gopher_gate, q_lang_id, q_lang_id_fixture,
+    q_doc_fingerprints, q_extraction_eval, q_gopher_gate, q_lang_id, q_lang_id_fixture,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
     q_quality_scores, q_readability_scores, q_repetition_stats,
     q_sentence_split,
@@ -117,6 +117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_tar_text": q_extract_tar_text,
     "microdata_items": q_microdata_items,
     "sentence_split": q_sentence_split,
+    "extraction_eval": q_extraction_eval,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

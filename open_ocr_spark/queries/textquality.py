@@ -1339,3 +1339,41 @@ def _sentence_split_oracle() -> str:
 
 
 ORACLES["sentence_split"] = _sentence_split_oracle()
+
+
+def q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-multiset extraction scoring (r5, dataops/evaluate.py): the
+    candidate drops the golden's first three tokens and appends a
+    five-token promo tail, so precision, recall, and F1 are all
+    non-trivial; the oracle replays the entire multiset P/R/F1
+    computation, not a closed form."""
+    from open_ocr_spark.dataops.evaluate import token_prf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    candidate = F.concat(
+        F.array_join(
+            F.slice(toks, 4, F.greatest(F.size(toks) - 3, F.lit(0))), " "
+        ),
+        F.lit(" promo offer code "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" now"),
+    )
+    golden = d
+    cand = d.select("doc_id", candidate.alias("text"))
+    return token_prf(golden, cand).orderBy("doc_id")
+
+
+def _extraction_eval_oracle() -> str:
+    from open_ocr_spark.dataops.evaluate import token_prf_oracle_sql
+
+    return token_prf_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id,"
+        " array_to_string(str_split(text, ' ')[4:], ' ')"
+        " || ' promo offer code ' || (doc_id % 7)::VARCHAR || ' now'"
+        " AS text FROM documents",
+    )
+
+
+ORACLES["extraction_eval"] = _extraction_eval_oracle()

@@ -73,7 +73,7 @@ from open_ocr_spark.queries.webops import (
     q_canonical_url_dedup, q_crawl_delta_near, q_declared_lang_audit,
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
-    q_host_link_graph, q_host_pagerank, q_html_meta, q_html_tables,
+    q_host_link_graph, q_host_pagerank, q_hreflang_clusters, q_html_meta, q_html_tables,
     q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
@@ -118,6 +118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "microdata_items": q_microdata_items,
     "sentence_split": q_sentence_split,
     "extraction_eval": q_extraction_eval,
+    "hreflang_clusters": q_hreflang_clusters,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

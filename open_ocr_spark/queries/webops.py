@@ -2689,3 +2689,53 @@ ORACLES["microdata_items"] = """
         FROM documents d, p
         ORDER BY d.doc_id, p.item_ord, p.prop
     """
+
+
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang variant clustering (r5, dataops/hreflang.py): pages come
+    in en/fr/de triples; even-numbered groups declare an x-default (the
+    cluster key must follow it), odd groups rely on the min-of-clique
+    rule — both cluster_key branches and the lang roll-up in one
+    closed-form oracle."""
+    from open_ocr_spark.dataops.hreflang import hreflang_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id div 3").cast("string")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    base = "https://ml.example.com/"
+
+    def link(lg):
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lg}" href="{base}{lg}/p'),
+            g, F.lit('">'),
+        )
+
+    xdef = F.when(
+        F.expr("(doc_id div 3) % 2") == 0,
+        F.concat(F.lit(f'<link rel="alternate" hreflang="x-default" '
+                       f'href="{base}en/p'), g, F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), link("en"), link("fr"), link("de"), xdef,
+        F.lit("</head><body>page</body></html>"),
+    )
+    url = F.concat(F.lit(base), lang, F.lit("/p"), g)
+    pages = d.select(url.alias("url"), html.alias("html_str"))
+    return hreflang_clusters(pages).orderBy("url")
+
+
+ORACLES["hreflang_clusters"] = """
+        SELECT 'https://ml.example.com/'
+                   || ['en', 'fr', 'de'][(doc_id % 3)::INT + 1]
+                   || '/p' || (doc_id // 3)::VARCHAR AS url,
+               'https://ml.example.com/'
+                   || CASE WHEN (doc_id // 3) % 2 = 0 THEN 'en' ELSE 'de' END
+                   || '/p' || (doc_id // 3)::VARCHAR AS cluster_key,
+               CAST(3 AS BIGINT) AS n_alternates,
+               'de,en,fr' AS langs
+        FROM documents
+        ORDER BY url
+    """

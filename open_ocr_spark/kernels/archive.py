@@ -146,3 +146,84 @@ def build_tar(members: list[tuple[str, bytes]]) -> bytes:
             info.uname = info.gname = ""
             tf.addfile(info, io.BytesIO(data))
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# gzip transparent encoding + generic zip archives. gzip here is the
+# STANDALONE-file form (page.html.gz, corpus.tar.gz) — the WARC layer has
+# its own member-per-record reader (sources.py) and HTTP content-coding
+# decode; this is the "a user handed the engine a .gz file" path.
+# ---------------------------------------------------------------------------
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+# Same hostile-input posture as the WARC layer: a gzip bomb in one row
+# caps out as an error value instead of eating the executor.
+MAX_GUNZIP_BYTES = 64 * 1024 * 1024
+
+
+def gunzip_payload(raw: bytes, cap: int = MAX_GUNZIP_BYTES) -> bytes:
+    """Decompress one (possibly multi-member) gzip stream with a size
+    cap. Raises ValueError on corruption, truncation, or cap breach."""
+    import zlib
+
+    out = []
+    total = 0
+    data = raw
+    while data[:2] == GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data, cap - total + 1)
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip stream: {exc}") from exc
+        total += len(chunk)
+        if total > cap:
+            raise ValueError(f"gunzip output exceeds {cap} bytes")
+        if not d.eof:
+            raise ValueError("truncated gzip stream")
+        out.append(chunk)
+        data = d.unused_data
+    if not out:
+        raise ValueError("not a gzip stream")
+    if data:
+        raise ValueError("trailing garbage after gzip stream")
+    return b"".join(out)
+
+
+def split_zip(raw: bytes) -> list[tuple[str, bytes]]:
+    """Generic zip archive → (member name, bytes) pairs for regular
+    files, central-directory order; directories skipped. Bomb guard:
+    declared total uncompressed size is checked BEFORE any inflate."""
+    import io
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except (zipfile.BadZipFile, OSError) as exc:
+        raise ValueError(f"bad zip container: {exc}") from exc
+    with zf:
+        infos = [i for i in zf.infolist() if not i.is_dir()]
+        if len(infos) > _MAX_MEMBERS:
+            raise ValueError(f"zip member count exceeds {_MAX_MEMBERS}")
+        if sum(i.file_size for i in infos) > MAX_GUNZIP_BYTES:
+            raise ValueError(
+                f"zip declared size exceeds {MAX_GUNZIP_BYTES} bytes"
+            )
+        try:
+            return [(i.filename, zf.read(i)) for i in infos]
+        except (zipfile.BadZipFile, OSError, NotImplementedError) as exc:
+            raise ValueError(f"bad zip member: {exc}") from exc
+
+
+def build_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """Writer twin: deterministic (fixed timestamps, deflate)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()

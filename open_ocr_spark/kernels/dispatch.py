@@ -80,6 +80,34 @@ def _is_image_payload(payload: bytes) -> bool:
     return bool(_re.match(rb"P6\s+\d+\s+\d+\s+255\s", payload[:40]))
 
 
+def _members_text(
+    members, lang, engine, engine_args, preprocessors, preprocessor_args,
+    depth, kind,
+):
+    """Shared archive-member loop (tar and generic zip): every member
+    routes back through extract_document; a failing member fails the
+    archive as a value naming the member. Members render plain — the
+    outer structured switch (if any) wraps the joined text once."""
+    member_args = dict(engine_args or {})
+    cv = dict(member_args.get("config_vars") or {})
+    cv.pop("tessedit_create_hocr", None)
+    if cv:
+        member_args["config_vars"] = cv
+    else:
+        member_args.pop("config_vars", None)
+    texts = []
+    for name, data in members:
+        t, s, e = extract_document(
+            data, lang, engine, member_args or None,
+            preprocessors, preprocessor_args,
+            _depth=depth + 1,
+        )
+        if s != STATUS_OK:
+            return None, f"error:{kind}-member", f"{name}: {e or s}"
+        texts.append(t)
+    return "\n".join(texts), STATUS_OK, ""
+
+
 def _mbox_sniff(payload: bytes) -> bool:
     from open_ocr_spark.kernels.eml_text import is_mbox
 
@@ -179,6 +207,18 @@ def extract_document(
 
         aggressive = swt_aggressive(preprocessor_args)
         payload = bytes(html)
+
+        if payload[:2] == b"\x1f\x8b":
+            # standalone gzip file (page.html.gz, corpus.tar.gz): a
+            # transparent encoding, not a format — decompress (bomb cap)
+            # and route whatever is inside (r5, kernels/archive.py)
+            from open_ocr_spark.kernels.archive import gunzip_payload
+
+            try:
+                payload = gunzip_payload(payload)
+            except ValueError as exc:
+                return "", "error:gzip-unsupported", str(exc)
+
         text: str | None = None
 
         for stage in chain:
@@ -267,12 +307,27 @@ def extract_document(
                     except ValueError as exc:
                         return "", "error:epub-unsupported", str(exc)
                 else:
-                    return (
-                        "",
-                        "error:docx-unsupported",
-                        "zip container is not WordprocessingML, ODF text,"
-                        " PresentationML, SpreadsheetML, or EPUB",
+                    # not an Office/EPUB container: a generic zip
+                    # archive — members route through the dispatch like
+                    # tar members (r5, kernels/archive.py)
+                    from open_ocr_spark.kernels.archive import split_zip
+
+                    if _depth >= 1:
+                        return ("", "error:zip-unsupported",
+                                "nested archive (depth > 1)")
+                    try:
+                        members = split_zip(payload)
+                    except ValueError as exc:
+                        return "", "error:zip-unsupported", str(exc)
+                    if not members:
+                        return ("", "error:zip-unsupported",
+                                "archive has no file members")
+                    text, s, e = _members_text(
+                        members, lang, engine, engine_args, preprocessors,
+                        preprocessor_args, _depth, "zip",
                     )
+                    if text is None:
+                        return "", s, e
             elif len(payload) >= 512 and payload[257:262] == b"ustar":
                 # tar archive (r5, kernels/archive.py): each regular-file
                 # member routes back through this dispatch; the archive
@@ -292,26 +347,12 @@ def extract_document(
                     return "", "error:tar-unsupported", str(exc)
                 if not members:
                     return "", "error:tar-unsupported", "archive has no file members"
-                # members render plain; the outer structured switch (if
-                # any) wraps the joined archive text exactly once
-                member_args = dict(engine_args or {})
-                cv = dict(member_args.get("config_vars") or {})
-                cv.pop("tessedit_create_hocr", None)
-                if cv:
-                    member_args["config_vars"] = cv
-                else:
-                    member_args.pop("config_vars", None)
-                texts = []
-                for name, data in members:
-                    t, s, e = extract_document(
-                        data, lang, engine, member_args or None,
-                        preprocessors, preprocessor_args,
-                        _depth=_depth + 1,
-                    )
-                    if s != STATUS_OK:
-                        return "", "error:tar-member", f"{name}: {e or s}"
-                    texts.append(t)
-                text = "\n".join(texts)
+                text, s, e = _members_text(
+                    members, lang, engine, engine_args, preprocessors,
+                    preprocessor_args, _depth, "tar",
+                )
+                if text is None:
+                    return "", s, e
             elif payload[:5] == b"From " and _mbox_sniff(payload):
                 # Unix mbox mail archive (r5, kernels/eml_text.py): the
                 # envelope line "From <addr> <date>" can't be an RFC

@@ -24,6 +24,7 @@ from open_ocr_spark.queries._shared import (
 from open_ocr_spark.queries.extraction import (
     q_base64_roundtrip, q_charset_transport, q_engine_dispatch,
     q_extract_doc_text, q_extract_docx_text, q_extract_eml_text,
+    q_extract_gzip_text, q_extract_zip_text,
     q_extract_mbox_text, q_extract_msg_text, q_extract_tar_text,
     q_extract_ppt_text, q_extract_xls_text,
     q_extract_epub_text, q_extract_glyph_ocr, q_extract_main_text,
@@ -119,6 +120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_split": q_sentence_split,
     "extraction_eval": q_extraction_eval,
     "hreflang_clusters": q_hreflang_clusters,
+    "extract_gzip_text": q_extract_gzip_text,
+    "extract_zip_text": q_extract_zip_text,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

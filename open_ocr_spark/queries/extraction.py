@@ -1516,3 +1516,120 @@ ORACLES["extract_tar_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone-gzip routing (r5, kernels/archive.py gunzip_payload):
+    even doc_ids are page.html.gz, odd ones corpus.tar.gz with two
+    members — the decompress-then-redispatch composition in one oracle."""
+    import pandas as pd
+
+    def _wrap(batches):
+        import gzip
+
+        from open_ocr_spark.kernels.archive import build_tar
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = (f"<html><body><p>Gz page {i} café.</p>"
+                        "</body></html>").encode()
+                if i % 2 == 0:
+                    blob = gzip.compress(html, mtime=0)
+                else:
+                    blob = gzip.compress(
+                        build_tar([("a.html", html),
+                                   ("b.txt", f"Plain {i}.".encode())]),
+                        mtime=0,
+                    )
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://files.example.com/gz/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_gzip_text"] = """
+        SELECT doc_id,
+               'Gz page ' || doc_id::VARCHAR || ' café.'
+               || CASE WHEN doc_id % 2 = 1
+                       THEN chr(10) || 'Plain ' || doc_id::VARCHAR || '.'
+                       ELSE '' END AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+def q_extract_zip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic zip archives (r5, kernels/archive.py split_zip): a zip
+    that is NOT an Office/EPUB container routes its members through the
+    dispatch like tar members — HTML + .eml + plain text per doc."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.archive import build_zip
+        from open_ocr_spark.kernels.eml_text import build_eml
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_zip([
+                    ("site/page.html",
+                     f"<html><body><p>Zip member html {i} café.</p>"
+                     "</body></html>".encode()),
+                    ("mail/m.eml",
+                     build_eml(f"Zip msg {i % 7}", f"Zip body {i}.",
+                               variant=i % 4)),
+                    ("notes/plain.txt",
+                     f"Plain zip member {i} text.".encode()),
+                ])
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    pages = raw.select(
+        F.concat(F.lit("https://files.example.com/z/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("eng").alias("lang"),
+        "doc_id",
+    )
+    return (
+        extract_stage(pages, passthrough=["doc_id"])
+        .select("doc_id", "extracted_text", "status")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["extract_zip_text"] = """
+        SELECT doc_id,
+               'Zip member html ' || doc_id::VARCHAR || ' café.'
+               || chr(10)
+               || 'Zip msg ' || (doc_id % 7)::VARCHAR
+               || chr(10) || chr(10)
+               || 'Zip body ' || doc_id::VARCHAR || '.' || chr(10)
+               || chr(10)
+               || 'Plain zip member ' || doc_id::VARCHAR || ' text.'
+               AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

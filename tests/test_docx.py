@@ -73,7 +73,8 @@ def test_corrupt_container_raises_valueerror():
 def test_dispatch_routes_docx_by_magic():
     text, status, err = extract_document(build_docx(["body text", "p2"]))
     assert (text, status) == ("body text\n\np2", "ok")
-    # a zip that is NOT WordprocessingML is an error value, not HTML soup
+    # a zip that is NOT an Office container routes to the generic zip
+    # archive branch (r5): members extract, no HTML soup
     import io
     import zipfile
 
@@ -81,10 +82,10 @@ def test_dispatch_routes_docx_by_magic():
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("other.txt", "x")
     text, status, err = extract_document(buf.getvalue())
-    assert status == "error:docx-unsupported" and text == ""
-    # corrupt zip with the right magic: error value too
+    assert (text, status) == ("x", "ok")
+    # corrupt zip with the right magic: error value
     text, status, err = extract_document(b"PK\x03\x04garbage")
-    assert status == "error:docx-unsupported"
+    assert status == "error:zip-unsupported"
 
 
 @settings(max_examples=40, deadline=None)

@@ -116,3 +116,96 @@ def test_property_split_matches_stdlib(members):
         std = [(m.name, tf.extractfile(m).read()) for m in tf
                if m.isfile()]
     assert std == members
+
+
+# ---------------------------------------------------------------------------
+# gzip transparent encoding + generic zip
+# ---------------------------------------------------------------------------
+
+import gzip as _gzip
+
+from open_ocr_spark.kernels.archive import (  # noqa: E402
+    build_zip,
+    gunzip_payload,
+    split_zip,
+)
+
+
+def test_gzip_html_roundtrip():
+    html = "<html><body><p>Gz café.</p></body></html>".encode()
+    text, status, _ = extract_document(_gzip.compress(html, mtime=0))
+    assert (text, status) == ("Gz café.", "ok")
+
+
+def test_gzip_of_tar_composes():
+    tar = build_tar([("a.html", b"<p>A part.</p>"), ("b.txt", b"B part.")])
+    text, status, _ = extract_document(_gzip.compress(tar, mtime=0))
+    assert status == "ok" and text == "A part.\nB part."
+
+
+def test_gzip_error_values():
+    _, status, err = extract_document(b"\x1f\x8b\x08corrupt")
+    assert status == "error:gzip-unsupported"
+    _, status, err = extract_document(
+        _gzip.compress(b"<p>x</p>") + b"JUNK")
+    assert status == "error:gzip-unsupported" and "trailing" in err
+    # truncated stream
+    whole = _gzip.compress(b"<p>hello truncated</p>", mtime=0)
+    _, status, err = extract_document(whole[:-5])
+    assert status == "error:gzip-unsupported" and "truncated" in err
+
+
+def test_gunzip_cap_is_an_error():
+    import pytest as _pytest
+    big = _gzip.compress(b"\x00" * 4096, mtime=0)
+    with _pytest.raises(ValueError, match="exceeds"):
+        gunzip_payload(big, cap=1024)
+
+
+def test_multi_member_gzip_concatenates():
+    two = (_gzip.compress(b"<p>one ", mtime=0)
+           + _gzip.compress(b"two.</p>", mtime=0))
+    assert gunzip_payload(two) == b"<p>one two.</p>"
+
+
+def test_generic_zip_members_route_through_dispatch():
+    z = build_zip([("a.html", b"<p>Z html.</p>"), ("t.txt", b"Z txt.")])
+    text, status, _ = extract_document(z)
+    assert status == "ok" and text == "Z html.\nZ txt."
+    assert split_zip(z) == [("a.html", b"<p>Z html.</p>"),
+                            ("t.txt", b"Z txt.")]
+
+
+def test_office_zip_still_routes_to_office():
+    # a zip with word/document.xml must hit the docx branch, not the
+    # generic one
+    from open_ocr_spark.kernels.docx_text import build_docx
+
+    text, status, _ = extract_document(build_docx(["Body para."]))
+    assert status == "ok" and "Body para." in text
+
+
+def test_zip_nested_in_tar_is_depth_error():
+    z = build_zip([("x.txt", b"x")])
+    _, status, err = extract_document(build_tar([("inner.zip", z)]))
+    assert status == "error:tar-member" and "depth" in err
+
+
+def test_zip_declared_size_bomb_guard():
+    import pytest as _pytest
+    import zipfile as _zf
+    import io as _io
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as zf:
+        zf.writestr("big.bin", b"\x00" * (1 << 20))
+    raw = buf.getvalue()
+    # shrink the guard via monkeypatching would hide the real path; the
+    # declared-size check itself is unit-tested through split_zip's guard
+    from open_ocr_spark.kernels import archive
+    old = archive.MAX_GUNZIP_BYTES
+    archive.MAX_GUNZIP_BYTES = 1024
+    try:
+        with _pytest.raises(ValueError, match="declared size"):
+            split_zip(raw)
+    finally:
+        archive.MAX_GUNZIP_BYTES = old

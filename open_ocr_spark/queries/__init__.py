@@ -22,7 +22,7 @@ from open_ocr_spark.queries._shared import (
     _WRAP_PREFIX, _WRAP_SUFFIX, _t, pages_from_documents,
 )
 from open_ocr_spark.queries.extraction import (
-    q_base64_roundtrip, q_charset_transport, q_engine_dispatch,
+    q_base64_roundtrip, q_csv_cells, q_charset_transport, q_engine_dispatch,
     q_extract_doc_text, q_extract_docx_text, q_extract_eml_text,
     q_extract_gzip_text, q_extract_zip_text,
     q_extract_mbox_text, q_extract_msg_text, q_extract_tar_text,
@@ -122,6 +122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hreflang_clusters": q_hreflang_clusters,
     "extract_gzip_text": q_extract_gzip_text,
     "extract_zip_text": q_extract_zip_text,
+    "csv_cells": q_csv_cells,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

@@ -1633,3 +1633,57 @@ ORACLES["extract_zip_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_csv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 CSV payload parsing (r5, kernels/csv_text.py): each doc
+    is a 2x3 grid written by the stdlib csv writer twin carrying a
+    quoted comma, escaped quotes, an embedded newline, and an empty
+    field — the closed-form oracle pins every grammar rule."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.csv_text import build_csv
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = build_csv([
+                    [f"v {i}", f"a,b {i % 5}", f'He said "hi" {i % 3}'],
+                    [f"line1\nline2 {i}", "", f"tail {i % 7}"],
+                ])
+                out.append((i, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    from open_ocr_spark.kernels.csv_text import csv_cells
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    return (
+        csv_cells(raw, payload_col="payload")
+        .orderBy("doc_id", "row_idx", "col_idx")
+    )
+
+
+ORACLES["csv_cells"] = """
+        WITH cell AS (
+            SELECT * FROM (VALUES
+                (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)
+            ) AS t(row_idx, col_idx)
+        )
+        SELECT d.doc_id,
+               cell.row_idx,
+               cell.col_idx,
+               CASE cell.row_idx * 3 + cell.col_idx
+                   WHEN 0 THEN 'v ' || d.doc_id::VARCHAR
+                   WHEN 1 THEN 'a,b ' || (d.doc_id % 5)::VARCHAR
+                   WHEN 2 THEN 'He said "hi" ' || (d.doc_id % 3)::VARCHAR
+                   WHEN 3 THEN 'line1' || chr(10) || 'line2 '
+                       || d.doc_id::VARCHAR
+                   WHEN 4 THEN ''
+                   WHEN 5 THEN 'tail ' || (d.doc_id % 7)::VARCHAR
+               END AS field
+        FROM documents d, cell
+        ORDER BY d.doc_id, cell.row_idx, cell.col_idx
+    """

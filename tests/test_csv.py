@@ -1,0 +1,64 @@
+"""RFC 4180 CSV parsing: grammar rules, relaxations, and the
+differential against the independent stdlib csv implementation."""
+
+import csv
+import io
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_ocr_spark.kernels.csv_text import build_csv, parse_csv
+
+
+def _flat(rows):
+    return [(r, c, f) for r, rw in enumerate(rows) for c, f in enumerate(rw)]
+
+
+def test_grammar_rules():
+    rows = [["plain", "a,b", 'He said "hi"'],
+            ["line1\nline2", "", "tail"]]
+    assert parse_csv(build_csv(rows)) == _flat(rows)
+
+
+def test_crlf_and_bare_lf_and_no_trailing_newline():
+    assert parse_csv(b"a,b\r\nc,d") == [(0, 0, "a"), (0, 1, "b"),
+                                        (1, 0, "c"), (1, 1, "d")]
+    assert parse_csv(b"a,b\nc,d\n") == [(0, 0, "a"), (0, 1, "b"),
+                                        (1, 0, "c"), (1, 1, "d")]
+
+
+def test_trailing_newline_makes_no_empty_record():
+    assert parse_csv(b"a\n") == [(0, 0, "a")]
+    assert parse_csv(b"") == []
+
+
+def test_quote_in_unquoted_field_is_literal():
+    assert parse_csv(b'ab"cd,e') == [(0, 0, 'ab"cd'), (0, 1, "e")]
+
+
+def test_quoted_escapes():
+    assert parse_csv(b'""""') == [(0, 0, '"')]
+    assert parse_csv(b'"a""b",c') == [(0, 0, 'a"b'), (0, 1, "c")]
+
+
+def test_empty_fields_and_trailing_comma():
+    assert parse_csv(b"a,,b") == [(0, 0, "a"), (0, 1, ""), (0, 2, "b")]
+    assert parse_csv(b"a,\n") == [(0, 0, "a"), (0, 1, "")]
+
+
+def test_unterminated_quote_raises():
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_csv(b'"never closed')
+
+
+_FIELD = st.text(alphabet=st.sampled_from('ab,"\n\r xé'), max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=st.lists(st.lists(_FIELD, min_size=1, max_size=4),
+                     min_size=0, max_size=5))
+def test_differential_against_stdlib(rows):
+    raw = build_csv(rows)
+    std = list(csv.reader(io.StringIO(raw.decode()), lineterminator="\r\n"))
+    assert parse_csv(raw) == _flat(std)

@@ -74,6 +74,7 @@ from open_ocr_spark.queries.webops import (
     q_canonical_url_dedup, q_crawl_delta_near, q_declared_lang_audit,
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
+    q_heading_outline,
     q_host_link_graph, q_host_pagerank, q_hreflang_clusters, q_html_meta, q_html_tables,
     q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
@@ -123,6 +124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_gzip_text": q_extract_gzip_text,
     "extract_zip_text": q_extract_zip_text,
     "csv_cells": q_csv_cells,
+    "heading_outline": q_heading_outline,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

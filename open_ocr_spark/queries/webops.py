@@ -2739,3 +2739,70 @@ ORACLES["hreflang_clusters"] = """
         FROM documents
         ORDER BY url
     """
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline (r5, dataops/outline.py): six headings per page
+    including an h2 BEFORE any h1 (the missing-ancestor branch), two h2
+    sections with an h3 each (the ancestor must RESET at the second h2)
+    — all paths closed-form."""
+    from open_ocr_spark.dataops.outline import heading_outline
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h2>Early "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</h2><h1>Doc "), i, F.lit("</h1><p>t</p><h2>Sec "),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("</h2><h3>Sub "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</h3><h2>Sec2 "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</h2><h3>Sub2 "),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("</h3></body></html>"),
+    )
+    url = F.concat(F.lit("https://o.example.com/d/"), i)
+    pages = d.select(url.alias("url"), html.alias("html_str"), "doc_id")
+    return (
+        heading_outline(pages)
+        .join(pages.select("url", "doc_id"), "url")
+        .select("doc_id", "heading_idx", "level", "title", "path")
+        .orderBy("doc_id", "heading_idx")
+    )
+
+
+ORACLES["heading_outline"] = """
+        WITH h AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS heading_idx)
+        SELECT d.doc_id,
+               h.heading_idx,
+               CASE h.heading_idx
+                   WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+                   WHEN 3 THEN 3 WHEN 4 THEN 2 WHEN 5 THEN 3
+               END AS level,
+               CASE h.heading_idx
+                   WHEN 0 THEN 'Early ' || (d.doc_id % 3)::VARCHAR
+                   WHEN 1 THEN 'Doc ' || d.doc_id::VARCHAR
+                   WHEN 2 THEN 'Sec ' || (d.doc_id % 4)::VARCHAR
+                   WHEN 3 THEN 'Sub ' || (d.doc_id % 3)::VARCHAR
+                   WHEN 4 THEN 'Sec2 ' || (d.doc_id % 5)::VARCHAR
+                   WHEN 5 THEN 'Sub2 ' || (d.doc_id % 2)::VARCHAR
+               END AS title,
+               CASE h.heading_idx
+                   WHEN 0 THEN 'Early ' || (d.doc_id % 3)::VARCHAR
+                   WHEN 1 THEN 'Doc ' || d.doc_id::VARCHAR
+                   WHEN 2 THEN 'Doc ' || d.doc_id::VARCHAR
+                       || ' > Sec ' || (d.doc_id % 4)::VARCHAR
+                   WHEN 3 THEN 'Doc ' || d.doc_id::VARCHAR
+                       || ' > Sec ' || (d.doc_id % 4)::VARCHAR
+                       || ' > Sub ' || (d.doc_id % 3)::VARCHAR
+                   WHEN 4 THEN 'Doc ' || d.doc_id::VARCHAR
+                       || ' > Sec2 ' || (d.doc_id % 5)::VARCHAR
+                   WHEN 5 THEN 'Doc ' || d.doc_id::VARCHAR
+                       || ' > Sec2 ' || (d.doc_id % 5)::VARCHAR
+                       || ' > Sub2 ' || (d.doc_id % 2)::VARCHAR
+               END AS path
+        FROM documents d, h
+        ORDER BY d.doc_id, h.heading_idx
+    """

@@ -155,7 +155,8 @@ def _content_collapsed(docs: DataFrame):
 
 
 def _expand_rep_pairs(
-    members: DataFrame, reps: DataFrame, rep_pairs: DataFrame, k: int
+    members: DataFrame, reps: DataFrame, rep_pairs: DataFrame, k: int,
+    value_col: str = "jaccard",
 ) -> DataFrame:
     """Expand content-level verified pairs to document-level pairs:
     intra-cluster pairs are jaccard 1.0 by construction (restricted to
@@ -178,7 +179,7 @@ def _expand_rep_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            F.lit(1.0).alias(value_col),
         )
     )
 
@@ -206,7 +207,7 @@ def _expand_rep_pairs(
         .select(
             F.least("m_a", "m_b").alias("doc_a"),
             F.greatest("m_a", "m_b").alias("doc_b"),
-            "jaccard",
+            value_col,
         )
     )
     return intra.unionByName(cross)
@@ -609,3 +610,55 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- 2b. n-gram containment --------------------------------------------------
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT:
+    ``|A∩B| / min(|A|, |B|)`` — the Broder containment measure. Jaccard
+    misses subset relations (a page quoting most of a shorter page can
+    sit at Jaccard 0.3 while the smaller side is 95% contained); corpus
+    dedup wants those pairs too, with the smaller document as the
+    removal candidate.
+
+    Same scale shape as ngram_jaccard_pairs: exact-collapse pre-pass,
+    shingle equi-self-join on the distinct contents, expansion
+    proportional to the output. Output: (doc_a, doc_b, containment),
+    doc_a < doc_b, 4dp.
+    """
+    members, reps = _content_collapsed(docs)
+    sh = shingle_rows(reps.select("doc_id", "text"), k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    rep_pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "size_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter") / F.least("size_a", "size_b"), 4
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return _expand_rep_pairs(members, reps, rep_pairs, k,
+                             value_col="containment")

@@ -50,7 +50,8 @@ from open_ocr_spark.queries.relational import (
 )
 from open_ocr_spark.queries.dedup import (
     q_dedup_clusters, q_exact_dedup_groups, q_line_dedup_docs,
-    q_minhash_lsh_pairs, q_minhash_lsh_pairs_md5, q_ngram_jaccard_pairs,
+    q_minhash_lsh_pairs, q_minhash_lsh_pairs_md5,
+    q_ngram_containment_pairs, q_ngram_jaccard_pairs,
     q_simhash_fingerprints, q_simhash_fingerprints_md5, q_substring_dedup,
 )
 from open_ocr_spark.queries.embeddings import (
@@ -125,6 +126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_zip_text": q_extract_zip_text,
     "csv_cells": q_csv_cells,
     "heading_outline": q_heading_outline,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

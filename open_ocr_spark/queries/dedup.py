@@ -422,3 +422,66 @@ ORACLES["minhash_lsh_pairs_md5"] = _minhash_md5_oracle()
 
 
 ORACLES["simhash_fingerprints_md5"] = _simhash_md5_oracle()
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup (r5, dataops/dedup.py
+    ngram_containment_pairs): the corpus is augmented with a 30-token
+    prefix of every document (id + 1,000,000) — each prefix is ~fully
+    CONTAINED in its source while its Jaccard is far below threshold, so
+    this surfaces exactly the subset relations the Jaccard query cannot.
+    The oracle replays the whole shingle/containment computation over
+    the same augmented corpus."""
+    from open_ocr_spark.dataops.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixes = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ")
+        .alias("text"),
+    )
+    corpus = docs.unionByName(prefixes)
+    return (
+        ngram_containment_pairs(corpus, k=3, threshold=0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLES["ngram_containment_pairs"] = """
+        WITH src AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   array_to_string(string_split(text, ' ')[1:30], ' ')
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')), ' ')
+                       AS t
+            FROM src
+        ),
+        idx AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM idx
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / least(sa.n, sb.n), 4) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter / least(sa.n, sb.n) >= 0.8
+        ORDER BY doc_a, doc_b
+    """

@@ -62,6 +62,7 @@ from open_ocr_spark.queries.embeddings import (
 from open_ocr_spark.queries.textquality import (
     q_bm25_search, q_bpe_encode_docs, q_bpe_token_counts, q_bpe_train,
     q_c4_line_clean, q_ccnet_buckets, q_char_entropy, q_chunk_documents,
+    q_confusable_skeleton,
     q_cms_term_counts,
     q_classifier_train,
     q_doc_fingerprints, q_extraction_eval, q_gopher_gate, q_lang_id, q_lang_id_fixture,
@@ -127,6 +128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_cells": q_csv_cells,
     "heading_outline": q_heading_outline,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "confusable_skeleton": q_confusable_skeleton,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

@@ -1377,3 +1377,50 @@ def _extraction_eval_oracle() -> str:
 
 
 ORACLES["extraction_eval"] = _extraction_eval_oracle()
+
+
+def q_confusable_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph skeleton (r5, dataops/confusables.py): every 'a'/'e' in
+    the corpus text is swapped for its Cyrillic look-alike and odd docs
+    get a zero-width space salted in — the skeleton must recover the
+    original text exactly and the obfuscation counters must match the
+    DuckDB replay of the same translate chain."""
+    from open_ocr_spark.dataops.confusables import confusable_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cyr = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "a", "а"), "e", "е"
+    )
+    obf = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.substring(cyr, 1, 1), F.lit("​"),
+                 F.expr("substring(replace(replace(text, 'a', 'а'),"
+                        " 'e', 'е'), 2)")),
+    ).otherwise(cyr)
+    src = d.select("doc_id", obf.alias("text"))
+    out = confusable_stats(src)
+    return out.select(
+        "doc_id", "skeleton",
+        F.col("n_zero_width").cast("long").alias("n_zero_width"),
+        F.col("n_confusables").cast("long").alias("n_confusables"),
+        "obfuscated",
+    ).orderBy("doc_id")
+
+
+def _confusable_skeleton_oracle() -> str:
+    from open_ocr_spark.dataops.confusables import (
+        confusable_stats_oracle_sql,
+    )
+
+    return confusable_stats_oracle_sql(
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 2 = 1 THEN"
+        "   substr(replace(replace(text, 'a', 'а'), 'e', 'е'), 1, 1)"
+        "   || chr(8203)"
+        "   || substr(replace(replace(text, 'a', 'а'), 'e', 'е'), 2)"
+        " ELSE replace(replace(text, 'a', 'а'), 'e', 'е') END AS text"
+        " FROM documents"
+    )
+
+
+ORACLES["confusable_skeleton"] = _confusable_skeleton_oracle()

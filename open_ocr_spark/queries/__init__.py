@@ -53,6 +53,7 @@ from open_ocr_spark.queries.dedup import (
     q_minhash_lsh_pairs, q_minhash_lsh_pairs_md5,
     q_ngram_containment_pairs, q_ngram_jaccard_pairs,
     q_simhash_fingerprints, q_simhash_fingerprints_md5, q_substring_dedup,
+    q_winnowing_fingerprints,
 )
 from open_ocr_spark.queries.embeddings import (
     q_embedding_ivf_topk, q_embedding_lsh_topk, q_embedding_near_dup,
@@ -129,6 +130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heading_outline": q_heading_outline,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "confusable_skeleton": q_confusable_skeleton,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
     "extract_markdown": q_extract_markdown,
     "dsir_resample": q_dsir_resample,
     "ccnet_buckets": q_ccnet_buckets,

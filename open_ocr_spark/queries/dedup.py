@@ -485,3 +485,26 @@ ORACLES["ngram_containment_pairs"] = """
         WHERE n_inter / least(sa.n, sb.n) >= 0.8
         ORDER BY doc_a, doc_b
     """
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (r5, dataops/winnowing.py): MOSS-style
+    rightmost-minimal selection over md5'd word 3-grams in 4-gram
+    windows, replayed verbatim in DuckDB (same composite sort key, same
+    window frame)."""
+    from open_ocr_spark.dataops.winnowing import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        winnowing_fingerprints(docs)
+        .orderBy("doc_id", "pos", "fingerprint")
+    )
+
+
+def _winnowing_oracle() -> str:
+    from open_ocr_spark.dataops.winnowing import winnowing_oracle_sql
+
+    return winnowing_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+ORACLES["winnowing_fingerprints"] = _winnowing_oracle()

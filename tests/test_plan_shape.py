@@ -415,3 +415,90 @@ def test_ccnet_buckets_windows_only_the_histogram(spark):
     plan = plan_of(fluency_buckets(docs, model))
     assert _nodes(plan, "BroadcastHashJoin") >= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sentence_split_is_projection_plus_explode(spark):
+    # regex chain + posexplode: no Exchange, no Python, codegen throughout
+    from open_ocr_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["sentence_split"](spark, SF).limit(1))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Exchange" not in body.split("TakeOrderedAndProject")[-1] \
+        or "Exchange" not in body.replace("rangepartitioning", "")
+    assert "Generate" in plan          # posexplode
+    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_confusable_skeleton_is_shuffle_free(spark):
+    from open_ocr_spark.queries import QUERIES
+
+    df = QUERIES["confusable_skeleton"](spark, SF)
+    # drop the orderBy the driver contract adds: the operator itself
+    # must be a pure projection
+    from open_ocr_spark.dataops.confusables import confusable_stats
+    from open_ocr_spark.queries import _t
+
+    core = confusable_stats(_t(spark, SF, "documents")
+                            .select("doc_id", "text"))
+    plan = plan_of(core)
+    assert "Exchange" not in plan
+    assert "Project" in plan
+
+
+def test_heading_outline_single_window_exchange(spark):
+    # all per-level ancestors share one (url, idx) ordering: Spark must
+    # plan ONE Window operator after ONE hash exchange on url
+    from open_ocr_spark.dataops.outline import heading_outline
+
+    pages = spark.createDataFrame(
+        [("u", "<h1>A</h1><h2>B</h2>")], "url string, html_str string"
+    )
+    import re
+
+    plan = plan_of(heading_outline(pages))
+    # exactly ONE Window operator carrying all four ancestor columns,
+    # after exactly ONE exchange (formatted plans put the operator name
+    # and its hashpartitioning arguments on separate lines)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_token_prf_exchanges_only_on_uniform_keys(spark):
+    from open_ocr_spark.dataops.evaluate import token_prf
+
+    g = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    c = spark.createDataFrame([(1, "a c")], "doc_id long, text string")
+    plan = plan_of(token_prf(g, c))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line  # (doc_id) or (doc_id, tok) — never a
+            # non-key or single-partition exchange
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_winnowing_single_doc_partition_window(spark):
+    from open_ocr_spark.dataops.winnowing import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    plan = plan_of(winnowing_fingerprints(df))
+    # every window partitions on doc_id; no global (empty-key) window
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line
+    assert "CartesianProduct" not in plan
+
+
+def test_microdata_and_csv_kernels_are_single_pass(spark):
+    from open_ocr_spark.kernels.csv_text import csv_cells
+    from open_ocr_spark.kernels.microdata import microdata_items
+
+    pages = spark.createDataFrame(
+        [(1, bytearray(b"<p>x</p>"))], "doc_id long, html binary"
+    )
+    for fn in (microdata_items, csv_cells):
+        plan = plan_of(fn(pages))
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan

@@ -247,18 +247,80 @@ def _best_text(headers: list[tuple[str, str]], body: bytes,
     return None
 
 
+def _known_magic(data: bytes) -> bool:
+    """True iff the bytes open with a magic the dispatch routes as a
+    real document format (so the fallback can never extract binary soup
+    through the HTML branch)."""
+    return (
+        data[:5] == b"%PDF-"
+        or data[:4] == b"PK\x03\x04"
+        or data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+        or data[:5] == b"{\\rtf"
+        or data[:8] == b"\x89PNG\r\n\x1a\n"
+        or data[:6] in (b"GIF87a", b"GIF89a")
+        or data[:2] == b"\xff\xd8"
+        or data[:2] == b"\x1f\x8b"
+        or (len(data) >= 512 and data[257:262] == b"ustar")
+    )
+
+
+def _attachments(headers, body, depth: int, out: list) -> None:
+    """Collect (media-type, decoded bytes) for every non-text leaf part
+    — the attachment fallback when a message has no text part at all
+    (a bare PDF/DOCX mail, common on list mirrors)."""
+    if depth > _MAX_DEPTH:
+        raise ValueError(f"multipart nesting exceeds {_MAX_DEPTH}")
+    ctype, params = _parse_content_type(_header(headers, "content-type"))
+    if ctype.startswith("multipart/"):
+        boundary = params.get("boundary", "")
+        if not boundary:
+            raise ValueError("multipart without boundary parameter")
+        for part in _split_multipart(body, boundary):
+            ph, pb = _split_message(part)
+            _attachments(ph, pb, depth + 1, out)
+        return
+    if not ctype.startswith("text/"):
+        out.append((
+            ctype,
+            _decode_transfer(body,
+                             _header(headers, "content-transfer-encoding")),
+        ))
+
+
 def extract_eml_text(raw: bytes) -> str:
     """Extract ``subject + blank line + body`` from an RFC 5322 message.
 
-    Raises ValueError on structurally broken messages (bad base64,
-    missing boundary, over-deep nesting); the dispatch turns that into
-    ``error:eml-unsupported``.
+    The body is the best text part; a message with NO text part falls
+    back to its attachments — each decoded attachment is routed through
+    the normal format dispatch (PDF, Office, images, ...) and the first
+    one that extracts wins. Raises ValueError on structurally broken
+    messages (bad base64, missing boundary, over-deep nesting) or when
+    nothing — body or attachment — yields text; the dispatch turns that
+    into ``error:eml-unsupported``.
     """
     headers, body = _split_message(raw)
     subject = _decode_encoded_words(_header(headers, "subject"))
     got = _best_text(headers, body, 0)
     if got is None:
-        raise ValueError("message has no text part")
+        atts: list = []
+        _attachments(headers, body, 0, atts)
+        for ctype, data in atts:
+            if not _known_magic(data):
+                # never feed arbitrary binary to the HTML fallback —
+                # only attachments the dispatch recognizes by magic
+                continue
+            # lazy import: dispatch imports this module lazily too, so
+            # the cycle only exists at call time, never at import time
+            from open_ocr_spark.kernels.dispatch import extract_document
+
+            text, status, _err = extract_document(data)
+            if status == "ok":
+                got = ("plain", text)
+                break
+        if got is None:
+            raise ValueError("message has no text part"
+                             + (f" and none of its {len(atts)} attachments"
+                                " extracted" if atts else ""))
     kind, text = got
     if kind == "html":
         from open_ocr_spark.kernels.html_extract import extract_main_text

@@ -203,3 +203,55 @@ def test_mbox_property_roundtrip(bodies, variant):
     raw = build_mbox(msgs)
     expect = "\n".join(f"{s}\n\n{b}\n" for s, b, _ in msgs)
     assert extract_mbox_text(raw) == expect
+
+
+# ---------------------------------------------------------------------------
+# attachment fallback: a message with NO text part extracts its
+# attachment through the normal dispatch
+# ---------------------------------------------------------------------------
+
+def _attachment_mail(payload: bytes, ctype: str) -> bytes:
+    b64 = base64.b64encode(payload).decode()
+    wrapped = "\r\n".join(b64[i:i + 60] for i in range(0, len(b64), 60))
+    return (
+        "From: a@b\r\nSubject: With attachment\r\nMIME-Version: 1.0\r\n"
+        'Content-Type: multipart/mixed; boundary="BB"\r\n\r\n'
+        "--BB\r\n"
+        f"Content-Type: {ctype}\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        f"{wrapped}\r\n"
+        "--BB--\r\n"
+    ).encode()
+
+
+def test_docx_attachment_extracts():
+    from open_ocr_spark.kernels.docx_text import build_docx
+
+    raw = _attachment_mail(
+        build_docx(["Attached body."]),
+        "application/vnd.openxmlformats-officedocument"
+        ".wordprocessingml.document",
+    )
+    assert extract_eml_text(raw) == "With attachment\n\nAttached body.\n"
+
+
+def test_text_part_still_beats_attachments():
+    from open_ocr_spark.kernels.docx_text import build_docx
+
+    b64 = base64.b64encode(build_docx(["Attached."])).decode()
+    raw = (
+        "From: a@b\r\nSubject: s\r\nMIME-Version: 1.0\r\n"
+        'Content-Type: multipart/mixed; boundary="BB"\r\n\r\n'
+        "--BB\r\nContent-Type: text/plain\r\n\r\nInline body.\r\n"
+        "--BB\r\nContent-Type: application/octet-stream\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        f"{b64}\r\n--BB--\r\n"
+    ).encode()
+    assert extract_eml_text(raw) == "s\n\nInline body.\n"
+
+
+def test_unextractable_attachment_is_error_value():
+    raw = _attachment_mail(b"\x89PNG\r\n\x1a\n broken pixels",
+                           "application/octet-stream")
+    _, status, err = extract_document(raw)
+    assert status == "error:eml-unsupported" and "attachments" in err

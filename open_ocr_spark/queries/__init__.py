@@ -168,8 +168,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_stats": q_bloom_prune_stats,
     # -- window tail: the 31 MOST-STALE greens (check_contract's
     #    rotation order — newest driver row predates a code change) ----
-    "media_features": q_media_features,
     "binary_payload_stats": q_binary_payload_stats,
+    "media_features": q_media_features,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,

@@ -187,3 +187,55 @@ def test_tiff_predictor_reversal_roundtrips(data, cols):
     whole = (len(data) // cols) * cols
     assert out[:whole] == data[:whole]
     assert out[whole:] == diff[whole:]
+
+
+# --- r5 parser totality: archives, mail, csv, microdata ---------------------
+# Contract: on ARBITRARY bytes each split/parse either returns or raises
+# ValueError — never IndexError/KeyError/Unicode errors — and the
+# dispatch stays total end-to-end including the new branches.
+
+from open_ocr_spark.kernels.archive import (  # noqa: E402
+    gunzip_payload,
+    split_tar,
+    split_zip,
+)
+from open_ocr_spark.kernels.csv_text import parse_csv  # noqa: E402
+from open_ocr_spark.kernels.eml_text import (  # noqa: E402
+    extract_eml_text,
+    split_mbox,
+)
+from open_ocr_spark.kernels.microdata import extract_microdata  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(max_size=2048))
+def test_r5_parsers_raise_only_valueerror(payload):
+    for fn in (split_tar, split_zip, gunzip_payload, split_mbox,
+               extract_eml_text):
+        try:
+            fn(payload)
+        except ValueError:
+            pass
+    parse_csv(payload)          # total (or ValueError on caps)
+    extract_microdata(payload)  # total
+
+
+@settings(max_examples=100, deadline=None)
+@given(payload=st.binary(max_size=4096))
+def test_dispatch_total_with_r5_branches(payload):
+    # salt the prefixes so the fuzz actually reaches the new branches
+    for prefix in (b"", b"\x1f\x8b", b"PK\x03\x04", b"From a@b x ",
+                   b"From: a@b\r\nSubject: s\r\nMIME-Version: 1.0\r\n\r\n"):
+        text, status, error = extract_document(prefix + payload)
+        assert isinstance(text, str) and isinstance(status, str)
+        assert status == "ok" or status.startswith("error:")
+
+
+@settings(max_examples=100, deadline=None)
+@given(payload=st.binary(min_size=200, max_size=1024))
+def test_dispatch_total_on_tar_like(payload):
+    raw = bytearray(b"\x00" * 512)
+    raw[0:len(payload) % 100] = payload[:len(payload) % 100]
+    raw[257:262] = b"ustar"
+    text, status, _ = extract_document(bytes(raw) + payload)
+    assert status == "ok" or status.startswith("error:")

@@ -26,10 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# explicit whitespace class, NOT \s: Java regex \s includes U+000B
+# (vertical tab) while DuckDB's RE2 \s does not — the same cross-dialect
+# rule dataops/sentences.py follows
+_WS = "[ \t\n\r]+"
+
+
 def _token_counts(df: DataFrame, text_col: str, out: str) -> DataFrame:
     return (
         df.select("doc_id",
-                  F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+                  F.explode(F.split(F.col(text_col), _WS)).alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias(out))
@@ -74,14 +80,14 @@ def token_prf_oracle_sql(golden_expr: str, candidate_expr: str) -> str:
         g AS (
             SELECT doc_id, tok, count(*) AS c_gold
             FROM (SELECT doc_id,
-                         unnest(str_split_regex(text, '\\s+')) AS tok
+                         unnest(str_split_regex(text, '[ \t\n\r]+')) AS tok
                   FROM g0)
             WHERE length(tok) > 0 GROUP BY doc_id, tok
         ),
         c AS (
             SELECT doc_id, tok, count(*) AS c_cand
             FROM (SELECT doc_id,
-                         unnest(str_split_regex(text, '\\s+')) AS tok
+                         unnest(str_split_regex(text, '[ \t\n\r]+')) AS tok
                   FROM c0)
             WHERE length(tok) > 0 GROUP BY doc_id, tok
         ),

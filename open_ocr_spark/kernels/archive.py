@@ -211,7 +211,11 @@ def split_zip(raw: bytes) -> list[tuple[str, bytes]]:
             )
         try:
             return [(i.filename, zf.read(i)) for i in infos]
-        except (zipfile.BadZipFile, OSError, NotImplementedError) as exc:
+        except (zipfile.BadZipFile, OSError, NotImplementedError,
+                RuntimeError) as exc:
+            # RuntimeError is zipfile's encrypted-member signal — a real
+            # crawl payload class, and it must classify as
+            # error:zip-unsupported, not error:internal
             raise ValueError(f"bad zip member: {exc}") from exc
 
 

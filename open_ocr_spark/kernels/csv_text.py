@@ -31,8 +31,10 @@ _MAX_FIELDS = 1 << 20  # hostile-input cap: one payload, ~1M cells
 
 
 def parse_csv(raw: bytes | str) -> list[tuple[int, int, str]]:
-    """[(row_idx, col_idx, field)] in document order. Raises ValueError
-    on an unterminated quoted field or the cell cap."""
+    """[(row_idx, col_idx, field)] in document order. Total on malformed
+    input (an unterminated quote consumes the remainder, matching the
+    stdlib's non-strict reader); only the hostile-input cell cap
+    raises ValueError."""
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = bytes(raw).decode("utf-8", errors="replace")
     out: list[tuple[int, int, str]] = []
@@ -65,7 +67,12 @@ def parse_csv(raw: bytes | str) -> list[tuple[int, int, str]]:
             while True:
                 j = raw.find('"', i)
                 if j < 0:
-                    raise ValueError("unterminated quoted field")
+                    # EOF inside quotes: the stdlib's non-strict reader
+                    # yields the remainder as the field — a truncated
+                    # crawl payload must parse, not throw
+                    field.append(raw[i:])
+                    i = n
+                    break
                 field.append(raw[i:j])
                 if raw[j + 1:j + 2] == '"':
                     field.append('"')
@@ -119,7 +126,14 @@ def csv_cells(
             for i, raw in zip(pdf[id_col], pdf[payload_col]):
                 if raw is None:
                     continue
-                for r, c, f in parse_csv(bytes(raw)):
+                try:
+                    cells = parse_csv(bytes(raw))
+                except ValueError:
+                    # cell-cap breach (hostile payload): contribute no
+                    # rows rather than failing the task — the same
+                    # best-effort posture as html_tables
+                    continue
+                for r, c, f in cells:
                     ids.append(int(i))
                     rs.append(r)
                     cs.append(c)

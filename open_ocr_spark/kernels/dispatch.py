@@ -164,6 +164,13 @@ def extract_document(
     raises: every failure becomes a value (A17).
     """
     try:
+        if _depth > 4:
+            # structural backstop for every container-hop path (archive
+            # members, mail attachments): a crafted matryoshka becomes a
+            # clean error value long before the interpreter's recursion
+            # limit could surface as error:internal
+            return "", "error:too-deep", f"container nesting depth {_depth}"
+
         engine_name = resolve_engine(engine)
 
         if engine_name == ENGINE_MOCK:
@@ -210,13 +217,21 @@ def extract_document(
 
         if payload[:2] == b"\x1f\x8b":
             # standalone gzip file (page.html.gz, corpus.tar.gz): a
-            # transparent encoding, not a format — decompress (bomb cap)
-            # and route whatever is inside (r5, kernels/archive.py)
+            # transparent encoding, not a format — decompress and route
+            # whatever is inside (r5, kernels/archive.py). The cap is
+            # MAX_DOC_BYTES, the SAME per-document bound raw payloads
+            # get: a .gz must not smuggle a document past the budget.
             from open_ocr_spark.kernels.archive import gunzip_payload
 
             try:
-                payload = gunzip_payload(payload)
+                payload = gunzip_payload(payload, cap=MAX_DOC_BYTES)
             except ValueError as exc:
+                if "exceeds" in str(exc):
+                    return (
+                        "",
+                        "error:too-large",
+                        f"gunzipped payload exceeds {MAX_DOC_BYTES}",
+                    )
                 return "", "error:gzip-unsupported", str(exc)
 
         text: str | None = None
@@ -362,7 +377,7 @@ def extract_document(
                 )
 
                 try:
-                    text = extract_mbox_text(payload)
+                    text = extract_mbox_text(payload, _dispatch_depth=_depth)
                 except ValueError as exc:
                     return "", "error:mbox-unsupported", str(exc)
             elif _eml_sniff(payload):
@@ -375,7 +390,7 @@ def extract_document(
                 )
 
                 try:
-                    text = extract_eml_text(payload)
+                    text = extract_eml_text(payload, _dispatch_depth=_depth)
                 except ValueError as exc:
                     return "", "error:eml-unsupported", str(exc)
             elif _is_image_payload(payload):

@@ -126,8 +126,6 @@ def _decode_encoded_words(value: str) -> str:
     prev_was_word = False
     for m in _ENCODED_WORD.finditer(value):
         gap = value[pos:m.start()]
-        if not (prev_was_word and gap.strip() == ""):
-            out.append(gap)
         charset, enc, payload = m.group(1), m.group(2).upper(), m.group(3)
         try:
             if enc == "Q":
@@ -138,11 +136,17 @@ def _decode_encoded_words(value: str) -> str:
                 raw = base64.b64decode(
                     payload + "=" * (-len(payload) % 4), validate=True
                 )
-            out.append(raw.decode(_codec(charset), errors="replace"))
+            decoded = raw.decode(_codec(charset), errors="replace")
         except (binascii.Error, ValueError):
-            out.append(m.group(0))  # malformed word passes through verbatim
+            decoded = None  # malformed word passes through verbatim
+        # RFC 2047 §6.2 drops whitespace only BETWEEN two successfully
+        # decoded encoded-words; a malformed word keeps its separators
+        if not (prev_was_word and decoded is not None
+                and gap.strip() == ""):
+            out.append(gap)
+        out.append(decoded if decoded is not None else m.group(0))
         pos = m.end()
-        prev_was_word = True
+        prev_was_word = decoded is not None
     out.append(value[pos:])
     return "".join(out)
 
@@ -287,13 +291,20 @@ def _attachments(headers, body, depth: int, out: list) -> None:
         ))
 
 
-def extract_eml_text(raw: bytes) -> str:
+def extract_eml_text(raw: bytes, _dispatch_depth: int = 0) -> str:
     """Extract ``subject + blank line + body`` from an RFC 5322 message.
 
     The body is the best text part; a message with NO text part falls
     back to its attachments — each decoded attachment is routed through
     the normal format dispatch (PDF, Office, images, ...) and the first
-    one that extracts wins. Raises ValueError on structurally broken
+    one that extracts wins. An attachment counts as one archive-nesting
+    level (``_dispatch_depth`` threads the dispatch's depth budget):
+    document attachments (PDF, Office, images, gzipped pages) extract,
+    while ARCHIVE attachments (tar, generic zip) are nested archives by
+    definition and hit the same clean depth error as a tar inside a tar
+    — without this, a gzip+eml matryoshka would recurse at constant
+    depth until the interpreter's limit. Raises ValueError on
+    structurally broken
     messages (bad base64, missing boundary, over-deep nesting) or when
     nothing — body or attachment — yields text; the dispatch turns that
     into ``error:eml-unsupported``.
@@ -313,7 +324,9 @@ def extract_eml_text(raw: bytes) -> str:
             # the cycle only exists at call time, never at import time
             from open_ocr_spark.kernels.dispatch import extract_document
 
-            text, status, _err = extract_document(data)
+            text, status, _err = extract_document(
+                data, _depth=_dispatch_depth + 1
+            )
             if status == "ok":
                 got = ("plain", text)
                 break
@@ -473,7 +486,7 @@ def split_mbox(raw: bytes) -> list[bytes]:
     return out
 
 
-def extract_mbox_text(raw: bytes) -> str:
+def extract_mbox_text(raw: bytes, _dispatch_depth: int = 0) -> str:
     """Extract every message of an mbox; the single-document contract is
     the per-message extracts (each ``subject + blank + body + LF``)
     joined by one extra LF, so message boundaries stay visible as blank
@@ -481,7 +494,9 @@ def extract_mbox_text(raw: bytes) -> str:
     msgs = split_mbox(raw)
     if not msgs:
         raise ValueError("mbox with no messages")
-    return "\n".join(extract_eml_text(m) for m in msgs)
+    return "\n".join(
+        extract_eml_text(m, _dispatch_depth=_dispatch_depth) for m in msgs
+    )
 
 
 def build_mbox(messages: list[tuple[str, str, int]]) -> bytes:

@@ -59,14 +59,27 @@ def _prop_value(node) -> str:
     return collapse_ws(" ".join(node.iter_text())).strip()
 
 
-def _walk_item(node, prefix: str, depth: int, out: list) -> None:
-    """Collect this item's properties from the subtree, flattening
-    nested items under dotted prefixes and NOT descending into
-    unrelated (itemprop-less) itemscopes."""
-    for child in node.children:
-        if type(child) is str:
-            continue
-        attrs = child.attrs or {}
+def _walk_item(root, root_prefix: str, root_depth: int, out: list) -> None:
+    """Collect an item's properties from its subtree, flattening nested
+    items under dotted prefixes and NOT descending into unrelated
+    (itemprop-less) itemscopes. Iterative (explicit stack) so a
+    pathologically deep tag soup can never blow the Python recursion
+    limit — the kernel must stay total on hostile pages."""
+    # stack of (element, prefix, item_depth); attribute logic runs at
+    # POP time and children are pushed reversed, so properties emit in
+    # exact document (pre-)order
+    def _push(stack, node, prefix, depth):
+        stack.extend(
+            (c, prefix, depth)
+            for c in reversed(node.children)
+            if type(c) is not str
+        )
+
+    stack: list = []
+    _push(stack, root, root_prefix, root_depth)
+    while stack:
+        node, prefix, depth = stack.pop()
+        attrs = node.attrs or {}
         has_prop = "itemprop" in attrs
         has_scope = "itemscope" in attrs
         if has_scope and not has_prop:
@@ -75,15 +88,18 @@ def _walk_item(node, prefix: str, depth: int, out: list) -> None:
             names = [t for t in (attrs.get("itemprop") or "").split() if t]
             if has_scope:
                 if depth < _MAX_NEST:
-                    for name in names:
-                        _walk_item(child, f"{prefix}{name}.", depth + 1, out)
+                    # one subtree walk per name, matching the dotted
+                    # fan-out contract (multi-name nested items are
+                    # rare); reversed so name order survives the LIFO
+                    for name in reversed(names):
+                        _push(stack, node, f"{prefix}{name}.", depth + 1)
                 continue
-            value = _prop_value(child)
+            value = _prop_value(node)
             for name in names:
                 out.append((f"{prefix}{name}", value))
             # a scalar prop element can still contain further props of
-            # the SAME item (e.g. <div itemprop=x>…<span itemprop=y>)
-        _walk_item(child, prefix, depth, out)
+            # the SAME item (<div itemprop=x>…<span itemprop=y>)
+        _push(stack, node, prefix, depth)
 
 
 def extract_microdata(raw) -> list[tuple[int, str, str, str]]:

@@ -47,9 +47,13 @@ def test_empty_fields_and_trailing_comma():
     assert parse_csv(b"a,\n") == [(0, 0, "a"), (0, 1, "")]
 
 
-def test_unterminated_quote_raises():
-    with pytest.raises(ValueError, match="unterminated"):
-        parse_csv(b'"never closed')
+def test_unterminated_quote_consumes_remainder():
+    # non-strict stdlib semantics: EOF inside quotes yields the field
+    assert parse_csv(b'a,"never closed\nrest') == [
+        (0, 0, "a"), (0, 1, "never closed\nrest"),
+    ]
+    std = list(csv.reader(io.StringIO('a,"never closed\nrest')))
+    assert parse_csv(b'a,"never closed\nrest') == _flat(std)
 
 
 _FIELD = st.text(alphabet=st.sampled_from('ab,"\n\r xé'), max_size=8)

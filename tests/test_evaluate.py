@@ -40,3 +40,20 @@ def test_doc_only_on_one_side_still_scores(spark):
     rows = _run(spark, [(1, "a")], [(1, "b"), (2, "c")])
     assert rows[2].n_gold == 0 and rows[2].n_match == 0
     assert rows[2].recall is None
+
+
+def test_vertical_tab_tokenization_matches_duckdb(spark):
+    # \x0b is whitespace to Java regex \s but NOT to RE2 — the operator
+    # must use the explicit class so both engines keep it inside tokens
+    import duckdb
+
+    from open_ocr_spark.dataops.evaluate import token_prf_oracle_sql
+
+    rows = _run(spark, [(1, "a\x0bb")], [(1, "a\x0bb x")])
+    sql = token_prf_oracle_sql(
+        "SELECT 1 AS doc_id, 'a' || chr(11) || 'b' AS text",
+        "SELECT 1 AS doc_id, 'a' || chr(11) || 'b x' AS text",
+    )
+    oracle = duckdb.sql(sql).fetchone()
+    assert (rows[1].n_gold, rows[1].n_cand, rows[1].n_match) == oracle[1:4]
+    assert rows[1].n_gold == 1  # 'a\x0bb' is ONE token in both engines

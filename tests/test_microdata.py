@@ -89,3 +89,13 @@ def test_depth_cap_drops_not_raises():
 
 def test_no_microdata_returns_empty():
     assert extract_microdata(b"<html><body><p>plain</p></body></html>") == []
+
+
+def test_deep_tag_soup_is_total():
+    # 5000-deep element nesting under an itemscope must not blow the
+    # recursion limit — the walker is iterative
+    html = ('<div itemscope>' + '<b>' * 5000
+            + '<span itemprop="leaf">deep</span>'
+            + '</b>' * 5000 + '</div>')
+    rows = extract_microdata(html.encode())
+    assert ("leaf", "deep") in [(p, v) for _, _, p, v in rows]

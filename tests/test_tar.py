@@ -209,3 +209,60 @@ def test_zip_declared_size_bomb_guard():
             split_zip(raw)
     finally:
         archive.MAX_GUNZIP_BYTES = old
+
+
+def test_encrypted_zip_member_is_a_clean_error_value():
+    # zipfile raises RuntimeError for encrypted members; the dispatch
+    # must classify that as zip-unsupported, never error:internal
+    raw = bytearray(build_zip([("x.txt", b"secret")]))
+    raw[6] |= 0x01                       # local header: encryption flag
+    cd = raw.rfind(b"PK\x01\x02")
+    raw[cd + 8] |= 0x01                  # central directory flag too
+    _, status, err = extract_document(bytes(raw))
+    assert status == "error:zip-unsupported", (status, err)
+
+
+def test_archive_attachments_are_nested_archives():
+    # the attachment redispatch inherits the archive depth budget: an
+    # archive attachment is a nested archive by definition (the guard
+    # that stops the constant-depth gzip+eml matryoshka), while a
+    # DOCUMENT attachment (gzipped page) extracts fine
+    import base64 as _b64
+
+    def mail(payload: bytes, ctype: str) -> bytes:
+        b64 = _b64.b64encode(payload).decode()
+        return (
+            "From: a@b\r\nSubject: s\r\nMIME-Version: 1.0\r\n"
+            'Content-Type: multipart/mixed; boundary="BB"\r\n\r\n'
+            f"--BB\r\nContent-Type: {ctype}\r\n"
+            "Content-Transfer-Encoding: base64\r\n\r\n"
+            f"{b64}\r\n--BB--\r\n"
+        ).encode()
+
+    tar_mail = mail(build_tar([("x.txt", b"deep")]), "application/x-tar")
+    _, status, err = extract_document(tar_mail)
+    assert status == "error:eml-unsupported" and "attachments" in err
+    # and inside a tar the same mail fails as a member, not a crash
+    _, status, err = extract_document(build_tar([("m.eml", tar_mail)]))
+    assert status == "error:tar-member"
+
+    gz_mail = mail(_gzip.compress(b"<p>Gz attached.</p>", mtime=0),
+                   "application/gzip")
+    text, status, _ = extract_document(gz_mail)
+    assert status == "ok" and text == "s\n\nGz attached.\n"
+
+
+def test_gzip_respects_the_per_document_byte_budget():
+    # a tiny .gz inflating past MAX_DOC_BYTES must be error:too-large,
+    # the same classification an equally large raw payload gets
+    from open_ocr_spark.kernels import dispatch
+
+    old = dispatch.MAX_DOC_BYTES
+    dispatch.MAX_DOC_BYTES = 4096
+    try:
+        bomb = _gzip.compress(b"<p>" + b"x" * 8192 + b"</p>", mtime=0)
+        assert len(bomb) < 4096
+        _, status, err = extract_document(bomb)
+        assert status == "error:too-large", (status, err)
+    finally:
+        dispatch.MAX_DOC_BYTES = old

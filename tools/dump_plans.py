@@ -89,6 +89,29 @@ def main():
             "through); the data:-URL build is pure Catalyst before the "
             "single Python ingestion node; extraction is MapInArrow."
         ),
+        "sentence_split": (
+            "Projection + Generate (posexplode) only above the scan — no "
+            "Exchange, no Python node; the whole regex chain is codegen."
+        ),
+        "winnowing_fingerprints": (
+            "One Exchange on doc_id feeding Sort + Window (bounded "
+            "4-row frame) + HashAggregate (distinct) — no cartesian, no "
+            "Python; selection density bounds the distinct's shuffle."
+        ),
+        "ngram_containment_pairs": (
+            "All joins are hash/sort-merge equi-joins on shingle or "
+            "content-hash keys (exact-collapse pre-pass), HashAggregate "
+            "throughout — no CartesianProduct / BroadcastNestedLoopJoin."
+        ),
+        "extraction_eval": (
+            "Exchanges only on (doc_id, tok) / doc_id (uniform keys); the "
+            "full outer multiset join is a sort-merge equi-join; partial+"
+            "final HashAggregate around each exchange."
+        ),
+        "heading_outline": (
+            "ONE Window operator carrying all four ancestor columns after "
+            "ONE url exchange; Generate (posexplode) is the only expansion."
+        ),
     }
     for name, expect in checks.items():
         sections.append((name, expect, QUERIES[name](spark, SF)))

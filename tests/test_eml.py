@@ -255,3 +255,34 @@ def test_unextractable_attachment_is_error_value():
                            "application/octet-stream")
     _, status, err = extract_document(raw)
     assert status == "error:eml-unsupported" and "attachments" in err
+
+
+# ---------------------------------------------------------------------------
+# differential vs the INDEPENDENT stdlib email package: subject and body
+# decoding must agree on every writer-twin variant
+# ---------------------------------------------------------------------------
+
+def _stdlib_subject_body(raw: bytes):
+    import email
+    import email.header
+    import email.policy
+
+    msg = email.message_from_bytes(raw, policy=email.policy.default)
+    subject = str(msg["subject"] or "")
+    part = msg.get_body(preferencelist=("plain",))
+    body = part.get_content() if part is not None else None
+    return subject, body
+
+
+@settings(max_examples=60, deadline=None)
+@given(subj=_CP1252_SAFE, body=_CP1252_SAFE, variant=st.integers(0, 3))
+def test_differential_against_stdlib_email(subj, body, variant):
+    raw = build_eml(subj, body, variant=variant)
+    std_subj, std_body = _stdlib_subject_body(raw)
+    ours = extract_eml_text(raw)
+    assert std_subj == subj
+    # stdlib normalizes the trailing newline of text bodies; compare
+    # modulo that, the same normalization extract_eml_text applies
+    assert std_body is not None
+    assert std_body.replace("\r\n", "\n").rstrip("\n") == body.rstrip("\n")
+    assert ours == f"{subj}\n\n{body}\n"

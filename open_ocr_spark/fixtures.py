@@ -203,6 +203,45 @@ def generate_pages(n_rows: int = 500, seed: int = SEED):
             )
             html = _page_html(rng, [para], f"Doc {i}")
             expected, status = para, "ok"
+        elif kind == 8:
+            # RFC 5322 / MIME e-mail payload (r5): rotating wire variant
+            from open_ocr_spark.kernels.eml_text import build_eml
+
+            subj = f"Fixture mail {i % 7}"
+            mail_body = _paragraph(rng, 10) + "\nsecond line."
+            html = build_eml(subj, mail_body, variant=i % 4)
+            expected, status = f"{subj}\n\n{mail_body}\n", "ok"
+        elif kind == 7:
+            # corpus.tar.gz payload (r5): gzip transparency + tar members
+            import gzip as _gzip
+
+            from open_ocr_spark.kernels.archive import build_tar
+
+            inner = _paragraph(rng, 9)
+            plain = _paragraph(rng, 7)
+            html = _gzip.compress(
+                build_tar([
+                    ("a.html",
+                     f"<html><body><p>{_html.escape(inner)}</p></body>"
+                     "</html>".encode()),
+                    ("b.txt", plain.encode()),
+                ]),
+                mtime=0,
+            )
+            expected, status = f"{inner}\n{plain}", "ok"
+        elif kind == 6:
+            # generic zip payload (r5): non-Office PK container
+            from open_ocr_spark.kernels.archive import build_zip
+
+            inner = _paragraph(rng, 8)
+            plain = _paragraph(rng, 6)
+            html = build_zip([
+                ("p.html",
+                 f"<html><body><p>{_html.escape(inner)}</p></body>"
+                 "</html>".encode()),
+                ("n.txt", plain.encode()),
+            ])
+            expected, status = f"{inner}\n{plain}", "ok"
         else:
             n_paras = 2 + (i % 4)
             paragraphs = [_paragraph(rng, 8 + (i + j) % 30) for j in range(n_paras)]

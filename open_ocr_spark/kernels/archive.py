@@ -100,8 +100,15 @@ def split_tar(raw: bytes) -> list[tuple[str, bytes]]:
             # pax extended header: "len key=value\n" records; the path
             # key overrides the NEXT member's name (POSIX.1-2001)
             pax_path = _pax_path(raw[pos:pos + size]) or pax_path
+        elif typeflag == b"L":
+            # GNU long-name record: the data block IS the next member's
+            # name, NUL-terminated (tar(5) GNU extensions)
+            pax_path = (
+                raw[pos:pos + size].split(b"\x00", 1)[0]
+                .decode("utf-8", errors="replace")
+            ) or pax_path
         else:
-            # pax g, GNU L/K, dirs, links, specials: data skipped
+            # pax g, GNU K, dirs, links, specials: data skipped
             pax_path = None
         pos += data_blocks * _BLOCK
     # fell off the end without the all-zero end-of-archive block: a

@@ -37,6 +37,10 @@ def parse_csv(raw: bytes | str) -> list[tuple[int, int, str]]:
     raises ValueError."""
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = bytes(raw).decode("utf-8", errors="replace")
+    if raw[:1] == "﻿":
+        # UTF-8 BOM, ubiquitous in spreadsheet exports: without this the
+        # BOM would silently prefix the first field of the first row
+        raw = raw[1:]
     out: list[tuple[int, int, str]] = []
     row = 0
     col = 0

@@ -66,3 +66,8 @@ def test_differential_against_stdlib(rows):
     raw = build_csv(rows)
     std = list(csv.reader(io.StringIO(raw.decode()), lineterminator="\r\n"))
     assert parse_csv(raw) == _flat(std)
+
+
+def test_utf8_bom_stripped():
+    assert parse_csv("﻿a,b".encode("utf-8")) == [(0, 0, "a"),
+                                                      (0, 1, "b")]

@@ -266,3 +266,15 @@ def test_gzip_respects_the_per_document_byte_budget():
         assert status == "error:too-large", (status, err)
     finally:
         dispatch.MAX_DOC_BYTES = old
+
+
+def test_gnu_long_name_records():
+    buf = io.BytesIO()
+    long_name = "gnu-" + "y" * 150 + ".txt"
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.GNU_FORMAT) as tf:
+        info = tarfile.TarInfo(name=long_name)
+        info.size = 3
+        info.mtime = 0
+        tf.addfile(info, io.BytesIO(b"gnu"))
+    assert split_tar(buf.getvalue()) == [(long_name, b"gnu")]

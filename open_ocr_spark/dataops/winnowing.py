@@ -49,7 +49,10 @@ def winnowing_fingerprints(
     flat = (
         docs.select(id_col, toks.alias("t"))
         .filter(F.size("t") >= K)
-        .select(id_col, F.posexplode(grams).alias("pos", "gram"))
+        # gram count rides as a column from the pre-explode array size —
+        # no second Window pass just to count partition rows
+        .select(id_col, (F.size("t") - (K - 1)).alias("n_grams"),
+                F.posexplode(grams).alias("pos", "gram"))
     )
     key = F.concat(
         F.md5(F.col("gram").cast("binary")),
@@ -60,12 +63,11 @@ def winnowing_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, W - 1)
     )
-    n_grams = F.count("*").over(Window.partitionBy(id_col))
     sel = (
         flat.select(
             id_col, "pos",
             F.min(key).over(w).alias("wkey"),
-            n_grams.alias("n_grams"),
+            "n_grams",
         )
         .filter(F.col("pos") <= F.col("n_grams") - W)  # full windows only
         .select(

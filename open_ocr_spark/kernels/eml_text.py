@@ -49,28 +49,14 @@ _ENCODED_WORD = re.compile(
     r"=\?([^?]+)\?([QqBb])\?([^?]*)\?="
 )
 
-# Charset labels seen in the wild mapped onto codecs Python always has.
-_CHARSET_ALIASES = {
-    "us-ascii": "ascii",
-    "ascii": "ascii",
-    "utf-8": "utf-8",
-    "utf8": "utf-8",
-    "iso-8859-1": "latin-1",
-    "latin-1": "latin-1",
-    "latin1": "latin-1",
-    "windows-1252": "cp1252",
-    "cp1252": "cp1252",
-    "utf-16": "utf-16",
-    "utf-16le": "utf-16-le",
-    "utf-16be": "utf-16-be",
-}
-
-
 def _codec(label: str) -> str:
-    """Resolve a MIME charset label; unknown labels degrade to latin-1
-    (every byte decodes, nothing raises) — the same degradation contract
-    as the HTML sniff."""
-    return _CHARSET_ALIASES.get(label.strip().strip('"').lower(), "latin-1")
+    """Resolve a MIME charset label through the shared WHATWG label
+    classes (htmltree.codec_for_label — one alias table for the whole
+    engine); unknown labels degrade to latin-1 (every byte decodes,
+    nothing raises), the same degradation contract as the HTML sniff."""
+    from open_ocr_spark.kernels.htmltree import codec_for_label
+
+    return codec_for_label(label.strip().strip('"')) or "latin-1"
 
 
 def is_eml(raw: bytes) -> bool:

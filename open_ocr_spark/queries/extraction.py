@@ -1338,34 +1338,22 @@ ORACLES["extract_msg_text"] = """
     """
 
 
-def q_extract_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC 5322 / MIME e-mail extraction (r5, kernels/eml_text.py): the
-    SAME expected text rides four wire encodings by doc_id % 4 — plain
-    utf-8, quoted-printable windows-1252 with an RFC 2047 Q subject,
-    base64 utf-8 with a B subject, and multipart/alternative where the
-    text/plain part must win over the HTML rendering — so one closed-form
-    oracle checks every decode path at once."""
+def _twin_extract(spark: SparkSession, sf_dir: str, url_prefix: str, build):
+    """Shared writer-twin scaffold (r5): ``build(doc_id) -> payload
+    bytes``, wrapped as pages and run through the REAL extraction stage.
+    Every container-format query uses this one shape, so the thing each
+    query varies is exactly the thing under test — the payload."""
     import pandas as pd
 
     def _wrap(batches):
-        from open_ocr_spark.kernels.eml_text import build_eml
-
         for pdf in batches:
-            out = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                blob = build_eml(
-                    f"Re: café item {i % 7}",
-                    f"Body line one for {i} café.\nSecond line — dash.",
-                    variant=i % 4,
-                )
-                out.append((i, bytearray(blob)))
+            out = [(int(i), bytearray(build(int(i)))) for i in pdf["doc_id"]]
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
     pages = raw.select(
-        F.concat(F.lit("https://mail.example.com/m/"),
+        F.concat(F.lit(url_prefix),
                  F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         F.col("payload").alias("html"),
@@ -1377,6 +1365,25 @@ def q_extract_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "extracted_text", "status")
         .orderBy("doc_id")
     )
+
+
+def q_extract_eml_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5322 / MIME e-mail extraction (r5, kernels/eml_text.py): the
+    SAME expected text rides four wire encodings by doc_id % 4 — plain
+    utf-8, quoted-printable windows-1252 with an RFC 2047 Q subject,
+    base64 utf-8 with a B subject, and multipart/alternative where the
+    text/plain part must win over the HTML rendering — so one closed-form
+    oracle checks every decode path at once."""
+    def build(i: int) -> bytes:
+        from open_ocr_spark.kernels.eml_text import build_eml
+
+        return build_eml(
+            f"Re: café item {i % 7}",
+            f"Body line one for {i} café.\nSecond line — dash.",
+            variant=i % 4,
+        )
+
+    return _twin_extract(spark, sf_dir, "https://mail.example.com/m/", build)
 
 
 ORACLES["extract_eml_text"] = """
@@ -1397,42 +1404,20 @@ def q_extract_mbox_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_mbox_text): three messages per document, each on a different
     MIME wire variant, with a body line starting "From " so the mboxrd
     >From-quoting round-trip is exercised on every row."""
-    import pandas as pd
-
-    def _wrap(batches):
+    def build(i: int) -> bytes:
         from open_ocr_spark.kernels.eml_text import build_mbox
 
-        for pdf in batches:
-            out = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                blob = build_mbox([
-                    (
-                        f"Msg {j} of {i % 5}",
-                        f"Mbox body {i} part {j} café.\n"
-                        "From here the quoting must survive.",
-                        (i + j) % 4,
-                    )
-                    for j in range(3)
-                ])
-                out.append((i, bytearray(blob)))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+        return build_mbox([
+            (
+                f"Msg {j} of {i % 5}",
+                f"Mbox body {i} part {j} café.\n"
+                "From here the quoting must survive.",
+                (i + j) % 4,
+            )
+            for j in range(3)
+        ])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
-    pages = raw.select(
-        F.concat(F.lit("https://mail.example.com/box/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
-        F.col("payload").alias("html"),
-        F.lit("eng").alias("lang"),
-        "doc_id",
-    )
-    return (
-        extract_stage(pages, passthrough=["doc_id"])
-        .select("doc_id", "extracted_text", "status")
-        .orderBy("doc_id")
-    )
+    return _twin_extract(spark, sf_dir, "https://mail.example.com/box/", build)
 
 
 ORACLES["extract_mbox_text"] = """
@@ -1462,44 +1447,20 @@ def q_extract_tar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain-text file — written by the INDEPENDENT stdlib tarfile writer;
     each member routes back through the normal dispatch and the archive
     text is the member texts joined in archive order."""
-    import pandas as pd
-
-    def _wrap(batches):
+    def build(i: int) -> bytes:
         from open_ocr_spark.kernels.archive import build_tar
         from open_ocr_spark.kernels.eml_text import build_eml
 
-        for pdf in batches:
-            out = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                blob = build_tar([
-                    ("site/page.html",
-                     f"<html><body><p>Tar member html {i} café.</p>"
-                     "</body></html>".encode()),
-                    ("mail/m.eml",
-                     build_eml(f"Tar msg {i % 7}", f"Tar body {i}.",
-                               variant=i % 4)),
-                    ("notes/plain.txt",
-                     f"Plain member {i} text.".encode()),
-                ])
-                out.append((i, bytearray(blob)))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+        return build_tar([
+            ("site/page.html",
+             f"<html><body><p>Tar member html {i} café.</p>"
+             "</body></html>".encode()),
+            ("mail/m.eml",
+             build_eml(f"Tar msg {i % 7}", f"Tar body {i}.", variant=i % 4)),
+            ("notes/plain.txt", f"Plain member {i} text.".encode()),
+        ])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
-    pages = raw.select(
-        F.concat(F.lit("https://archive.example.com/t/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
-        F.col("payload").alias("html"),
-        F.lit("eng").alias("lang"),
-        "doc_id",
-    )
-    return (
-        extract_stage(pages, passthrough=["doc_id"])
-        .select("doc_id", "extracted_text", "status")
-        .orderBy("doc_id")
-    )
+    return _twin_extract(spark, sf_dir, "https://archive.example.com/t/", build)
 
 
 ORACLES["extract_tar_text"] = """
@@ -1522,45 +1483,22 @@ def q_extract_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone-gzip routing (r5, kernels/archive.py gunzip_payload):
     even doc_ids are page.html.gz, odd ones corpus.tar.gz with two
     members — the decompress-then-redispatch composition in one oracle."""
-    import pandas as pd
-
-    def _wrap(batches):
+    def build(i: int) -> bytes:
         import gzip
 
         from open_ocr_spark.kernels.archive import build_tar
 
-        for pdf in batches:
-            out = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                html = (f"<html><body><p>Gz page {i} café.</p>"
-                        "</body></html>").encode()
-                if i % 2 == 0:
-                    blob = gzip.compress(html, mtime=0)
-                else:
-                    blob = gzip.compress(
-                        build_tar([("a.html", html),
-                                   ("b.txt", f"Plain {i}.".encode())]),
-                        mtime=0,
-                    )
-                out.append((i, bytearray(blob)))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+        html = (f"<html><body><p>Gz page {i} café.</p>"
+                "</body></html>").encode()
+        if i % 2 == 0:
+            return gzip.compress(html, mtime=0)
+        return gzip.compress(
+            build_tar([("a.html", html),
+                       ("b.txt", f"Plain {i}.".encode())]),
+            mtime=0,
+        )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
-    pages = raw.select(
-        F.concat(F.lit("https://files.example.com/gz/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
-        F.col("payload").alias("html"),
-        F.lit("eng").alias("lang"),
-        "doc_id",
-    )
-    return (
-        extract_stage(pages, passthrough=["doc_id"])
-        .select("doc_id", "extracted_text", "status")
-        .orderBy("doc_id")
-    )
+    return _twin_extract(spark, sf_dir, "https://files.example.com/gz/", build)
 
 
 ORACLES["extract_gzip_text"] = """
@@ -1579,44 +1517,20 @@ def q_extract_zip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic zip archives (r5, kernels/archive.py split_zip): a zip
     that is NOT an Office/EPUB container routes its members through the
     dispatch like tar members — HTML + .eml + plain text per doc."""
-    import pandas as pd
-
-    def _wrap(batches):
+    def build(i: int) -> bytes:
         from open_ocr_spark.kernels.archive import build_zip
         from open_ocr_spark.kernels.eml_text import build_eml
 
-        for pdf in batches:
-            out = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                blob = build_zip([
-                    ("site/page.html",
-                     f"<html><body><p>Zip member html {i} café.</p>"
-                     "</body></html>".encode()),
-                    ("mail/m.eml",
-                     build_eml(f"Zip msg {i % 7}", f"Zip body {i}.",
-                               variant=i % 4)),
-                    ("notes/plain.txt",
-                     f"Plain zip member {i} text.".encode()),
-                ])
-                out.append((i, bytearray(blob)))
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+        return build_zip([
+            ("site/page.html",
+             f"<html><body><p>Zip member html {i} café.</p>"
+             "</body></html>".encode()),
+            ("mail/m.eml",
+             build_eml(f"Zip msg {i % 7}", f"Zip body {i}.", variant=i % 4)),
+            ("notes/plain.txt", f"Plain zip member {i} text.".encode()),
+        ])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
-    pages = raw.select(
-        F.concat(F.lit("https://files.example.com/z/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
-        F.col("payload").alias("html"),
-        F.lit("eng").alias("lang"),
-        "doc_id",
-    )
-    return (
-        extract_stage(pages, passthrough=["doc_id"])
-        .select("doc_id", "extracted_text", "status")
-        .orderBy("doc_id")
-    )
+    return _twin_extract(spark, sf_dir, "https://files.example.com/z/", build)
 
 
 ORACLES["extract_zip_text"] = """

@@ -68,7 +68,8 @@ from open_ocr_spark.queries.textquality import (
     q_classifier_train,
     q_doc_fingerprints, q_extraction_eval, q_gopher_gate, q_lang_id, q_lang_id_fixture,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
-    q_quality_scores, q_readability_scores, q_repetition_stats,
+    q_quality_scores, q_readability_scores, q_reflow_text,
+    q_repetition_stats,
     q_sentence_split,
     q_tfidf_top_terms, q_token_counts, q_top_bigrams, q_unicode_nfc,
 )
@@ -241,6 +242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "sitemap_discovery": q_sitemap_discovery,
     "unicode_nfc": q_unicode_nfc,
+    "reflow_text": q_reflow_text,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -1424,3 +1424,52 @@ def _confusable_skeleton_oracle() -> str:
 
 
 ORACLES["confusable_skeleton"] = _confusable_skeleton_oracle()
+
+
+def q_reflow_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text reflow (r5, dataops/reflow.py): a differential test — the
+    Java-regex chain and DuckDB's RE2 chain each reflow the SAME
+    layout-damaged page built from the corpus text (wrap-hyphenated
+    lowercase word, Navier-Stokes / ISO-8859 compound joins, a soft
+    hyphen, a CRLF line wrap, a blank-line run with interior space)."""
+    from open_ocr_spark.dataops.reflow import n_paragraphs, reflow_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    fixture = F.concat(
+        F.lit(
+            "Intro line with a hyphen-\n  ated word and the Navier-\n"
+            "Stokes / ISO-\n8859 names.\n\nPara two: soft­hyphen, "
+        ),
+        F.substring("text", 1, 30),
+        F.lit("\r\nwrapped CRLF line.\n \n\nTail "),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    src = d.select("doc_id", fixture.alias("page"))
+    return src.select(
+        "doc_id",
+        reflow_text(F.col("page")).alias("reflowed"),
+        n_paragraphs(F.col("page")).alias("n_paras"),
+    ).orderBy("doc_id")
+
+
+def _reflow_oracle() -> str:
+    from open_ocr_spark.dataops.reflow import reflow_oracle_sql
+
+    return reflow_oracle_sql(
+        "SELECT doc_id,"
+        " 'Intro line with a hyphen-' || chr(10) ||"
+        " '  ated word and the Navier-' || chr(10) ||"
+        " 'Stokes / ISO-' || chr(10) || '8859 names.' ||"
+        " chr(10) || chr(10) ||"
+        " 'Para two: soft' || chr(173) || 'hyphen, ' ||"
+        " substr(coalesce(text, ''), 1, 30) ||"
+        " chr(13) || chr(10) || 'wrapped CRLF line.' ||"
+        " chr(10) || ' ' || chr(10) || chr(10) ||"
+        " 'Tail ' || (doc_id % 7)::VARCHAR AS text"
+        " FROM documents"
+    )
+
+
+ORACLES["reflow_text"] = _reflow_oracle()

@@ -102,6 +102,12 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "readability_scores",
         "bloom_prune_stats",
     ],
+    # r5's window was already saturated by the 50 earlier round-5 queries
+    # when these landed late in the round; declared past-boundary, each
+    # replica-green (rows+schema+hash) via this tool at sf0.001.
+    5: [
+        "reflow_text",
+    ],
 }
 
 

@@ -79,7 +79,8 @@ from open_ocr_spark.queries.webops import (
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_heading_outline,
-    q_host_link_graph, q_host_pagerank, q_hreflang_clusters, q_html_meta, q_html_tables,
+    q_host_link_graph, q_host_pagerank, q_host_template_lines,
+    q_hreflang_clusters, q_html_meta, q_html_tables,
     q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
@@ -243,6 +244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_discovery": q_sitemap_discovery,
     "unicode_nfc": q_unicode_nfc,
     "reflow_text": q_reflow_text,
+    "host_template_lines": q_host_template_lines,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -2806,3 +2806,60 @@ ORACLES["heading_outline"] = """
         FROM documents d, h
         ORDER BY d.doc_id, h.heading_idx
     """
+
+
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level template-line removal (r5, dataops/templates.py):
+    8 synthetic hosts; every page of a host shares a nav line and a
+    copyright line (removed), half the host's pages share a promo line
+    (the exact >=1/2 fraction boundary), a third share a subscribe
+    line (below the fraction -> kept), and each page has a unique body
+    line plus an empty line (always kept). Evidence keyed on
+    (host, md5(line)); both engines replay the same integer-threshold
+    rule, so boundary arithmetic is value-hashed."""
+    from open_ocr_spark.dataops.templates import strip_template_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+    page = F.concat(
+        F.lit("HOME | ABOUT | CONTACT "), host, F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 16 == F.col("doc_id") % 8,
+            F.concat(F.lit("Promo banner "), host, F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("Subscribe to our newsletter\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" body: "),
+        F.substring("text", 1, 40), F.lit("\n\n(c) 2024 example "), host,
+    )
+    src = d.select(host.alias("host"), "doc_id", page.alias("text"))
+    return strip_template_lines(src).orderBy("doc_id")
+
+
+def _host_template_lines_oracle() -> str:
+    from open_ocr_spark.dataops.templates import (
+        strip_template_lines_oracle_sql,
+    )
+
+    return strip_template_lines_oracle_sql(
+        "SELECT 'h' || (doc_id % 8)::VARCHAR AS host, doc_id,"
+        " 'HOME | ABOUT | CONTACT h' || (doc_id % 8)::VARCHAR || chr(10)"
+        " || CASE WHEN doc_id % 16 = doc_id % 8"
+        "         THEN 'Promo banner h' || (doc_id % 8)::VARCHAR || chr(10)"
+        "         ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0"
+        "         THEN 'Subscribe to our newsletter' || chr(10)"
+        "         ELSE '' END"
+        " || 'Doc ' || doc_id::VARCHAR || ' body: '"
+        " || substr(coalesce(text, ''), 1, 40)"
+        " || chr(10) || chr(10) || '(c) 2024 example h'"
+        " || (doc_id % 8)::VARCHAR AS text"
+        " FROM documents"
+    )
+
+
+ORACLES["host_template_lines"] = _host_template_lines_oracle()

@@ -67,6 +67,7 @@ from open_ocr_spark.queries.textquality import (
     q_cms_term_counts,
     q_classifier_train,
     q_doc_fingerprints, q_extraction_eval, q_gopher_gate, q_lang_id, q_lang_id_fixture,
+    q_mojibake_repair,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
     q_quality_scores, q_readability_scores, q_reflow_text,
     q_repetition_stats,
@@ -245,6 +246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_nfc": q_unicode_nfc,
     "reflow_text": q_reflow_text,
     "host_template_lines": q_host_template_lines,
+    "mojibake_repair": q_mojibake_repair,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -1473,3 +1473,56 @@ def _reflow_oracle() -> str:
 
 
 ORACLES["reflow_text"] = _reflow_oracle()
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (r5, dataops/mojibake.py): four fixture classes
+    per doc_id%4 — (0) accent+cp1252-special text corrupted through the
+    REAL encode/decode builtins then repaired (round-trip identity, the
+    oracle states the clean form), (1) pure ASCII (corruption is
+    identity, gate must not fire), (2) genuine Latin-1-ish accents that
+    are NOT mojibake (must pass through), (3) supplementary-plane emoji
+    (gate must fail closed). A lazy repair, an over-eager repair, or a
+    broken gate each flip a class and fail the value hash."""
+    from open_ocr_spark.dataops.mojibake import (
+        corrupt_to_mojibake,
+        is_mojibake,
+        repair_mojibake,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    sub = F.substring("text", 1, 20)
+    m = F.col("doc_id") % 4
+    clean = (
+        F.when(m == 0, F.concat(F.lit("Crème brûlée — ‘"), sub,
+                                F.lit("’ …€5")))
+        .when(m == 1, F.concat(F.lit("plain "), sub))
+        .when(m == 2, F.concat(F.lit("café naïve "), sub))
+        .otherwise(F.concat(F.lit("emoji 🎉 "), sub))
+    )
+    damaged = F.when(m <= 1, corrupt_to_mojibake(clean)).otherwise(clean)
+    src = d.select("doc_id", damaged.alias("page"))
+    return src.select(
+        "doc_id",
+        repair_mojibake(F.col("page")).alias("repaired"),
+        is_mojibake(F.col("page")).alias("was_repaired"),
+    ).orderBy("doc_id")
+
+
+ORACLES["mojibake_repair"] = """
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'Crème brûlée — ‘'
+                               || substr(coalesce(text, ''), 1, 20)
+                               || '’ …€5'
+                   WHEN 1 THEN 'plain ' || substr(coalesce(text, ''), 1, 20)
+                   WHEN 2 THEN 'café naïve '
+                               || substr(coalesce(text, ''), 1, 20)
+                   ELSE 'emoji 🎉 ' || substr(coalesce(text, ''), 1, 20)
+               END AS repaired,
+               doc_id % 4 = 0 AS was_repaired
+        FROM documents
+        ORDER BY doc_id
+    """

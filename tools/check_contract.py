@@ -108,6 +108,7 @@ OVERFLOW_OK: dict[int, list[str]] = {
     5: [
         "reflow_text",
         "host_template_lines",
+        "mojibake_repair",
     ],
 }
 

@@ -502,3 +502,45 @@ def test_microdata_and_csv_kernels_are_single_pass(spark):
         plan = plan_of(fn(pages))
         assert "MapInPandas" in plan
         assert "Exchange" not in plan
+
+
+def test_reflow_and_mojibake_are_shuffle_free(spark):
+    # both are pure-Catalyst projections riding the scan: no Exchange,
+    # no Python evaluator node of any kind
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.mojibake import repair_mojibake
+    from open_ocr_spark.dataops.reflow import n_paragraphs, reflow_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.select(
+        reflow_text(F.col("text")).alias("r"),
+        n_paragraphs(F.col("text")).alias("n"),
+        repair_mojibake(F.col("text")).alias("m"),
+    )
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_template_lines_broadcasts_verdict_no_cartesian(spark):
+    # the template verdict (tiny by definition) must broadcast into the
+    # exploded line table — the big side never shuffles for the join —
+    # and nothing degenerates to a cartesian or a sort-merge join
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.templates import strip_template_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string")).alias(
+            "host"
+        ),
+        "doc_id",
+        "text",
+    )
+    plan = plan_of(strip_template_lines(docs))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan

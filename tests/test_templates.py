@@ -85,3 +85,13 @@ def test_partitioning_invariance(spark):
     a = _clean(strip_template_lines(base.repartition(1)))
     b = _clean(strip_template_lines(base.repartition(13, "doc_id")))
     assert a == b
+
+
+def test_pin_option_identical_results(spark):
+    rows = [
+        ("h%d" % (i % 2), i, f"NAV {i % 2}\nbody {i}") for i in range(12)
+    ]
+    base = _docs(spark, rows)
+    assert _clean(strip_template_lines(base, pin=True)) == _clean(
+        strip_template_lines(base)
+    )

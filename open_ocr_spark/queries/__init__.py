@@ -169,6 +169,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_gini": q_key_skew_gini,
     "readability_scores": q_readability_scores,
     "bloom_prune_stats": q_bloom_prune_stats,
+    # slot 50: of the three late-r5 operators the window couldn't hold,
+    # promote the one with the most complex plan (explode -> evidence
+    # aggregate -> broadcast verdict join -> ordered reassembly);
+    # binary_payload_stats vacates the slot — it earned its hash-green
+    # driver row in r4 and its twin media_features stays rows-only by
+    # declared design
+    "host_template_lines": q_host_template_lines,
     # -- window tail: the 31 MOST-STALE greens (check_contract's
     #    rotation order — newest driver row predates a code change) ----
     "binary_payload_stats": q_binary_payload_stats,
@@ -245,7 +252,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_discovery": q_sitemap_discovery,
     "unicode_nfc": q_unicode_nfc,
     "reflow_text": q_reflow_text,
-    "host_template_lines": q_host_template_lines,
     "mojibake_repair": q_mojibake_repair,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,

@@ -104,10 +104,12 @@ OVERFLOW_OK: dict[int, list[str]] = {
     ],
     # r5's window was already saturated by the 50 earlier round-5 queries
     # when these landed late in the round; declared past-boundary, each
-    # replica-green (rows+schema+hash) via this tool at sf0.001.
+    # replica-green (rows+schema+hash) via this tool at sf0.001 AND
+    # sf0.01.  host_template_lines is NOT here: it was promoted into
+    # slot 50 (binary_payload_stats vacated — hash-green since r4), so
+    # only these two ride the exemption.
     5: [
         "reflow_text",
-        "host_template_lines",
         "mojibake_repair",
     ],
 }

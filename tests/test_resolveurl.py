@@ -87,3 +87,40 @@ def test_resolution_is_a_pure_projection(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in physical
     assert "Join" not in physical
+
+def test_staged_matches_column_form(spark):
+    """with_resolved (the plan-size-bounded staging used by the link
+    extractor) must be byte-identical to resolve_url on the full RFC
+    §5.4 table, the crawl extras, and a NULL ref (which must resolve to
+    NULL so callers can coalesce their own default)."""
+    from open_ocr_spark.dataops.resolveurl import with_resolved
+
+    rows = [(BASE, r) for r in RFC_CASES] + [
+        (b, r) for (b, r, _) in EXTRA
+    ] + [(BASE, None)]
+    df = spark.createDataFrame(rows, "base string, ref string")
+    both = with_resolved(df, "base", "ref", "staged").select(
+        "base", "ref", "staged", resolve_url("base", "ref").alias("col")
+    )
+    for row in both.collect():
+        assert row["staged"] == row["col"], (row["ref"], row["staged"])
+        if row["ref"] is None:
+            assert row["staged"] is None
+
+
+def test_staged_plan_stays_small(spark):
+    """The staging must survive CollapseProject: a resolve whose base is
+    ITSELF a resolved URL (the <base href> shape that multiplied the
+    Column form to 5,900+ regex nodes) stays linear in the policy size."""
+    from open_ocr_spark.dataops.resolveurl import with_resolved
+
+    df = spark.range(5).select(
+        F.lit("https://h.example.com/a/b/page.html").alias("url"),
+        F.lit("/cdn/v1/").alias("rawbase"),
+        F.lit("../img/x.png").alias("href"),
+    )
+    df = with_resolved(df, "url", "rawbase", "base")
+    df = with_resolved(df, "base", "href", "dst")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") < 120, plan.count("regexp_replace")
+    assert plan.count("regexp_extract") < 40, plan.count("regexp_extract")

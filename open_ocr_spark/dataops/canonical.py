@@ -51,23 +51,38 @@ _REL_CANONICAL = (
 )
 
 
-def meta_refresh_target(html: Column, url: Column) -> Column:
-    """The meta-refresh redirect target resolved against the page URL;
-    NULL when the page has no refresh or a target-less one."""
+def meta_refresh_raw(html: Column) -> Column:
+    """The UNRESOLVED meta-refresh target string; NULL when the page has
+    no refresh or a target-less one (bare "N" refresh-in-place)."""
     content = F.coalesce(
         F.nullif(F.regexp_extract(html, _REFRESH_CONTENT, 1), F.lit("")),
         F.nullif(
             F.regexp_extract(html, _REFRESH_CONTENT_REV, 1), F.lit("")
         ),
     )
-    raw = F.nullif(F.regexp_extract(content, _REFRESH_URL, 1), F.lit(""))
+    return F.nullif(F.regexp_extract(content, _REFRESH_URL, 1), F.lit(""))
+
+
+def rel_canonical_raw(html: Column) -> Column:
+    """The UNRESOLVED rel=canonical href; NULL when absent or empty."""
+    return F.nullif(F.regexp_extract(html, _REL_CANONICAL, 1), F.lit(""))
+
+
+def meta_refresh_target(html: Column, url: Column) -> Column:
+    """The meta-refresh redirect target resolved against the page URL;
+    NULL when the page has no refresh or a target-less one.  Column form
+    for composition; whole-table callers should stage the raw extract as
+    a column and use resolveurl.with_resolved (see assign_canonical)."""
+    raw = meta_refresh_raw(html)
     return F.when(raw.isNotNull(), resolve_url(url, raw))
 
 
 def rel_canonical_target(html: Column, url: Column) -> Column:
     """The rel=canonical href resolved against the page URL; NULL when
-    absent or empty."""
-    raw = F.nullif(F.regexp_extract(html, _REL_CANONICAL, 1), F.lit(""))
+    absent or empty.  Column form for composition; whole-table callers
+    should stage through resolveurl.with_resolved (see
+    assign_canonical)."""
+    raw = rel_canonical_raw(html)
     return F.when(raw.isNotNull(), resolve_url(url, raw))
 
 
@@ -88,10 +103,32 @@ def assign_canonical(
     if dict(pages.dtypes)[html_col] == "binary":
         html = F.decode(html, "UTF-8")
     url = F.col(url_col)
+    # Stage the raw signal extracts as columns and resolve through
+    # with_resolved: the Column-form targets inline the raw extraction
+    # chain ~8× inside the resolution CASE (this plan measured 124 KB /
+    # 427 regex nodes, large enough that the generated projection blew
+    # Janino's method limit and fell back to interpreted eval).  A NULL
+    # raw resolves to NULL through every branch, which is exactly the
+    # Column form's when(isNotNull) contract.
+    from open_ocr_spark.dataops.resolveurl import with_resolved
+
     base = pages.select(
         url.alias("url"),
-        rel_canonical_target(html, url).alias("rel_canon"),
-        meta_refresh_target(html, url).alias("refresh_target"),
+        rel_canonical_raw(html).alias("__rel_raw"),
+        meta_refresh_raw(html).alias("__refresh_raw"),
+    )
+    base = with_resolved(base, "url", "__rel_raw", "rel_canon")
+    base = with_resolved(base, "url", "__refresh_raw", "refresh_target")
+    # PIN the signal table: it feeds two consumers (the refresh-edge
+    # filter and the final join-back), and predicate pushdown — which has
+    # no duplicate-expression guard, unlike CollapseProject — would
+    # otherwise substitute the whole staged extraction chain into the
+    # pushed filter (measured: 506 copies of the refresh regex, a 124 KB
+    # plan whose generated projection blew Janino's method limit).  One
+    # materialization of (url, rel_canon, refresh_target) per corpus is
+    # the stage-table shape the other multi-consumer dataops pin too.
+    base = base.drop("__rel_raw", "__refresh_raw").localCheckpoint(
+        eager=True
     )
     refresh_edges = base.where(F.col("refresh_target").isNotNull()).select(
         "url",

@@ -544,3 +544,31 @@ def test_template_lines_broadcasts_verdict_no_cartesian(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_link_resolution_plan_is_bounded(spark):
+    # resolved_link_graph's staged resolver (resolveurl.with_resolved)
+    # must keep the optimized plan linear in the RFC 3986 policy size:
+    # the Column-builder form inlined the <base href> subtree ~6x and the
+    # http(s) filter substituted it twice more (5,900+ regex nodes /
+    # 553 KB plan, interpreted fallback).  Pin the bound well above the
+    # staged size (~290 regex nodes / 23 KB) and far below the blow-up.
+    from open_ocr_spark.queries import QUERIES
+
+    df = QUERIES["resolved_link_graph"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_") < 600, plan.count("regexp_")
+    assert len(plan) < 120_000, len(plan)
+
+
+def test_canonical_assignment_plan_is_bounded(spark):
+    # assign_canonical pins its signal table before the two consumers:
+    # without the pin, predicate pushdown (no duplicate-expression guard)
+    # substituted the refresh-extraction chain 506x into the pushed
+    # filter and the generated projection fell back to interpreted eval.
+    from open_ocr_spark.queries import QUERIES
+
+    df = QUERIES["canonical_assignment"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("http-equiv") <= 2, plan.count("http-equiv")
+    assert len(plan) < 60_000, len(plan)

@@ -42,7 +42,16 @@ from pyspark.sql import functions as F
 # 3+ chars | 2 chars with a non-dot in either position | 1 non-dot char.
 _ND = "(?:[^/]{3,}|[^/.][^/]|[^/][^/.]|[^/.])"
 
-_DEPTH = 8  # max ../ nesting removed exactly
+# Max ../ nesting removed exactly.  4 covers the deepest case in RFC
+# 3986's own §5.4.2 abnormal-example table (../../../../g) with the
+# leading-/../ root cap on top; deeper author-side traversal is
+# pathological (the policy leaves its residual ".." segments in place,
+# see module header).  The bound is also what keeps the §5.2.4 chain
+# small enough that whole-stage codegen of the staged resolver stays
+# under Janino's 64 KB method limit when a write sink fuses into the
+# stage — a nested regexp chain is ONE expression, so Spark's
+# splitExpressions cannot break it up.
+_DEPTH = 4
 
 # (pattern, replacement, repeat) — applied in order to a path string.
 _DOT_RULES: tuple[tuple[str, str, int], ...] = (
@@ -156,43 +165,55 @@ def with_resolved(
     )
     bpath = F.col(p + "bpath")
     refpath = F.col(p + "refpath")
+    # ONE dot-segment chain, not two: only the absolute-path branch
+    # (dots over the ref path) and the relative-path branch (dots over
+    # the merged path) ever consume it, and they are mutually exclusive —
+    # so select the branch's input FIRST and run the ~26-regex §5.2.4
+    # chain once.  Besides halving per-row worst-case work, this keeps
+    # the post-explode whole-stage-codegen method under Janino's 64 KB
+    # limit when a write sink fuses into the stage (the two-chain form
+    # compiled standalone but fell back to interpreted eval under the
+    # bench's noop-write consumer).
+    is_abs_path = r.startswith("/") & ~r.startswith("//")
+    is_relative = (
+        ~r.rlike(_SCHEME)
+        & ~r.startswith("/")
+        & ~r.startswith("?")
+        & ~r.startswith("#")
+        & (r != "")
+    )
+    merged = F.when(bpath == "", F.concat(F.lit("/"), refpath)).otherwise(
+        F.concat(F.regexp_replace(bpath, "[^/]*$", ""), refpath)
+    )
     df = df.withColumns(
         {
             p
-            + "merged": F.when(
-                bpath == "", F.concat(F.lit("/"), refpath)
-            ).otherwise(
-                F.concat(F.regexp_replace(bpath, "[^/]*$", ""), refpath)
-            ),
+            + "dotpath": F.when(is_abs_path, refpath)
+            .when(is_relative, merged)
+            .otherwise(F.lit("")),
         }
     )
     df = df.withColumns(
-        {
-            p + "dotref": remove_dot_segments(refpath),
-            p + "dotmerged": remove_dot_segments(F.col(p + "merged")),
-        }
+        {p + "dotted": remove_dot_segments(F.col(p + "dotpath"))}
     )
     scheme, origin = F.col(p + "scheme"), F.col(p + "origin")
     base_pq, refqf = F.col(p + "basepq"), F.col(p + "refqf")
+    dotted = F.col(p + "dotted")
     resolved = (
         F.when(r.rlike(_SCHEME), r)
         .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
-        .when(
-            r.startswith("/"),
-            F.concat(origin, F.col(p + "dotref"), refqf),
-        )
+        .when(r.startswith("/"), F.concat(origin, dotted, refqf))
         .when(r.startswith("?"), F.concat(origin, bpath, r))
         .when(r.startswith("#"), F.concat(base_pq, r))
         .when(r == "", base_pq)
-        .otherwise(F.concat(origin, F.col(p + "dotmerged"), refqf))
+        .otherwise(F.concat(origin, dotted, refqf))
     )
     df = df.withColumn(out_col, resolved)
     return df.drop(
         *[
             p + c
             for c in (
-                "scheme origin bpath basepq refpath refqf "
-                "merged dotref dotmerged"
+                "scheme origin bpath basepq refpath refqf dotpath dotted"
             ).split()
         ]
     )

@@ -112,6 +112,17 @@ def main():
             "ONE Window operator carrying all four ancestor columns after "
             "ONE url exchange; Generate (posexplode) is the only expansion."
         ),
+        "resolved_link_graph": (
+            "Stacked Projects from the staged resolver survive "
+            "optimization (each RFC 3986 intermediate computed once per "
+            "row); Generate (explode) is the only expansion; no Exchange "
+            "before the final sort; plan stays ~23 KB, not 553 KB."
+        ),
+        "canonical_assignment": (
+            "The signal table is pinned (ExistingRDD below the join), so "
+            "the refresh-edge filter cannot re-substitute the extraction "
+            "chain; the chain-final join is the only join family."
+        ),
     }
     for name, expect in checks.items():
         sections.append((name, expect, QUERIES[name](spark, SF)))

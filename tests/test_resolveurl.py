@@ -39,6 +39,21 @@ EXTRA = [
     ("https://ex.com/a/", "//cdn.ex.org/j.js", "https://cdn.ex.org/j.js"),
     ("https://ex.com/deep/x/y/z", "../../up", "https://ex.com/deep/up"),
     ("https://ex.com/a", "mailto:u@ex.com", "mailto:u@ex.com"),
+    # _DEPTH boundary: 4-deep ../ resolves exactly; 5-deep leaves the
+    # documented residual — BOTH engines must produce the SAME residual
+    # (the bounded policy is shared, not an implementation accident)
+    ("https://ex.com/a/b/c/d/e/f", "../../../../g", "https://ex.com/a/g"),
+    (
+        "https://ex.com/a/b/c/d/e/f",
+        "../../../../../g",
+        "https://ex.com/a/../g",
+    ),
+    ("https://ex.com/a/", "./././././x", "https://ex.com/a/x"),
+    ("https://ex.com/a/b", "c/./d/../e?q=1#frag",
+     "https://ex.com/a/c/e?q=1#frag"),
+    ("https://ex.com/a/b", "?", "https://ex.com/a/b?"),
+    ("https://ex.com/a/b", "#", "https://ex.com/a/b#"),
+    ("https://ex.com", "..//x", "https://ex.com//x"),
 ]
 
 

@@ -211,15 +211,9 @@ def extract_links_resolved(
         F.regexp_extract_all(html, F.lit(_HREF_SQ), F.lit(1)),
         F.regexp_extract_all(html, F.lit(_HREF_BARE), F.lit(1)),
     )
-    raw_base = F.coalesce(
-        *[
-            F.nullif(F.regexp_extract(html, _BASE_HREF, g), F.lit(""))
-            for g in (1, 2, 3)
-        ]
-    )
     staged = pages.select(
         F.col(url_col).alias("src_url"),
-        raw_base.alias("__raw_base"),
+        base_href_raw(html).alias("__raw_base"),
         hrefs.alias("__hrefs"),
     )
     # <base href> resolution, once per PAGE (pre-explode).  A NULL raw
@@ -231,8 +225,24 @@ def extract_links_resolved(
     staged = with_resolved(staged, "src_url", "__raw_base", "__base0")
     staged = staged.withColumn(
         "base", F.coalesce(F.col("__base0"), F.col("src_url"))
-    ).select("src_url", "base", F.explode("__hrefs").alias("__href"))
-    staged = with_resolved(staged, "base", "__href", "dst_url")
+    )
+    # the base's four resolver parts are ALSO per-page: extract them
+    # before the explode so they ride the Generate as plain attributes
+    # instead of being re-extracted from the same base string per href
+    from open_ocr_spark.dataops.resolveurl import (
+        resolve_against_parts,
+        with_base_parts,
+    )
+
+    staged = with_base_parts(staged, "base", "__bp__").select(
+        "src_url",
+        "__bp__scheme",
+        "__bp__origin",
+        "__bp__bpath",
+        "__bp__basepq",
+        F.explode("__hrefs").alias("__href"),
+    )
+    staged = resolve_against_parts(staged, "__bp__", "__href", "dst_url")
     return staged.select("src_url", "dst_url").filter(
         F.col("dst_url").startswith("http://")
         | F.col("dst_url").startswith("https://")
@@ -248,22 +258,32 @@ _BASE_HREF = (
 )
 
 
-def effective_base(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
-) -> Column:
-    """The document base URL: the first ``<base href>`` resolved against
-    the page URL, else the page URL itself.  Pure projection."""
-    from open_ocr_spark.dataops.resolveurl import resolve_url
-
-    html = F.col(html_col)
-    if dict(pages.dtypes)[html_col] == "binary":
-        html = F.decode(html, "UTF-8")
-    raw = F.coalesce(
+def base_href_raw(html: Column) -> Column:
+    """The UNRESOLVED first ``<base href>`` value (any quote form), NULL
+    when absent or empty — THE base-tag extraction, shared by the
+    whole-table staged path (extract_links_resolved) and the Column-form
+    effective_base so a quoting-class or regex fix lands in both."""
+    return F.coalesce(
         *[
             F.nullif(F.regexp_extract(html, _BASE_HREF, g), F.lit(""))
             for g in (1, 2, 3)
         ]
     )
+
+
+def effective_base(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> Column:
+    """The document base URL: the first ``<base href>`` resolved against
+    the page URL, else the page URL itself.  Pure projection — Column
+    form for composition; the whole-table path in extract_links_resolved
+    stages the same raw extract through resolveurl.with_resolved."""
+    from open_ocr_spark.dataops.resolveurl import resolve_url
+
+    html = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    raw = base_href_raw(html)
     return F.when(raw.isNull(), F.col(url_col)).otherwise(
         resolve_url(F.col(url_col), raw)
     )

@@ -149,16 +149,47 @@ def with_resolved(
 
     The per-row semantics are byte-identical to ``resolve_url`` (same
     pattern constants, same branch order); tests assert equality on the
-    RFC 3986 §5.4 table plus fuzzed refs.
+    RFC 3986 §5.4 table, crawl-shaped extras, NULL refs, and a seeded
+    combinatorial ref corpus (tests/test_resolveurl.py).
     """
-    p = f"__rs_{out_col}__"
-    b, r = F.col(base_col), F.col(ref_col)
+    df = with_base_parts(df, base_col, f"__rs_{out_col}__")
+    return resolve_against_parts(
+        df, f"__rs_{out_col}__", ref_col, out_col
+    )
+
+
+def with_base_parts(
+    df: "DataFrame", base_col: str, prefix: str
+) -> "DataFrame":
+    """Add the four base-derived columns the resolution CASE consumes
+    (``<prefix>scheme/origin/bpath/basepq``).  Callers that EXPLODE a
+    per-page href array should apply this BEFORE the explode so the base
+    is parsed once per page, with the parts riding the Generate as plain
+    attributes — not re-extracted per href."""
+    b = F.col(base_col)
+    return df.withColumns(
+        {
+            prefix + "scheme": F.regexp_extract(b, _SCHEME_G, 1),
+            prefix + "origin": F.regexp_extract(b, _ORIGIN_G, 1),
+            prefix
+            + "bpath": F.regexp_extract(
+                b, _SCHEME + "//[^/?#]*([^?#]*)", 1
+            ),
+            prefix + "basepq": F.regexp_replace(b, "#.*$", ""),
+        }
+    )
+
+
+def resolve_against_parts(
+    df: "DataFrame", prefix: str, ref_col: str, out_col: str
+) -> "DataFrame":
+    """The ref-side stages of the staged resolver, consuming base parts
+    previously added by with_base_parts under ``prefix``.  Drops the
+    parts and every ref-side scratch column before returning."""
+    p = prefix
+    r = F.col(ref_col)
     df = df.withColumns(
         {
-            p + "scheme": F.regexp_extract(b, _SCHEME_G, 1),
-            p + "origin": F.regexp_extract(b, _ORIGIN_G, 1),
-            p + "bpath": F.regexp_extract(b, _SCHEME + "//[^/?#]*([^?#]*)", 1),
-            p + "basepq": F.regexp_replace(b, "#.*$", ""),
             p + "refpath": F.regexp_extract(r, "^([^?#]*)", 1),
             p + "refqf": F.regexp_extract(r, "([?#].*)$", 1),
         }

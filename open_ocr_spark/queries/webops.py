@@ -1863,7 +1863,8 @@ ORACLES["resolved_link_graph"] = _resolved_link_graph_oracle()
 
 
 def q_base_href_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """<base href> honoring (r5, dataops/links.py effective_base): a
+    """<base href> honoring (r5, dataops/links.py base_href_raw +
+    the staged resolver in extract_links_resolved): a
     third of the pages carry no base tag, a third a relative-to-origin
     absolute-path base (double-quoted), a third an absolute cross-host
     base (single-quoted) — the same three hrefs on every page must

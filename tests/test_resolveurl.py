@@ -139,3 +139,35 @@ def test_staged_plan_stays_small(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("regexp_replace") < 120, plan.count("regexp_replace")
     assert plan.count("regexp_extract") < 40, plan.count("regexp_extract")
+
+
+def test_staged_matches_column_form_seeded_corpus(spark):
+    """Combinatorial parity sweep: every (base, ref) pair from crawl-ish
+    building blocks (dot segments, traversal, query/fragment tails,
+    scheme-ish prefixes, authority forms) must resolve identically
+    through the staged and Column forms.  Deterministic by construction
+    — the full cross product, no RNG."""
+    from itertools import product
+
+    from open_ocr_spark.dataops.resolveurl import with_resolved
+
+    bases = [
+        "https://ex.com",
+        "https://ex.com/",
+        "https://u:p@ex.com:8443/a/b?q=1#f",
+        "http://ex.com/a/b/c/",
+    ]
+    heads = ["", ".", "..", "a", "/", "//h", "http:", "%2e%2e", "#", "?"]
+    tails = ["", "/g", "/../g", "/./", "?x=/../y", "#s/../t", "//", "/.."]
+    refs = [h + t for h, t in product(heads, tails)]
+    rows = [(b, r) for b, r in product(bases, refs)]
+    df = spark.createDataFrame(rows, "base string, ref string")
+    both = with_resolved(df, "base", "ref", "staged").select(
+        "base", "ref", "staged", resolve_url("base", "ref").alias("col")
+    )
+    bad = [
+        (row["base"], row["ref"], row["staged"], row["col"])
+        for row in both.collect()
+        if row["staged"] != row["col"]
+    ]
+    assert not bad, bad[:5]

@@ -625,21 +625,71 @@ def ngram_containment_pairs(
     dedup wants those pairs too, with the smaller document as the
     removal candidate.
 
-    Same scale shape as ngram_jaccard_pairs: exact-collapse pre-pass,
-    shingle equi-self-join on the distinct contents, expansion
-    proportional to the output. Output: (doc_a, doc_b, containment),
-    doc_a < doc_b, 4dp.
+    Scale shape: exact-collapse pre-pass, then PREFIX-FILTERED candidate
+    generation (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07
+    AllPairs) instead of the raw shingle self-join — the raw join's row
+    count is Σ df(shingle)², which explodes on the heavy-tailed shingle
+    frequencies of real crawl text, while the prefix join only pairs
+    each doc's ~(1-t)·s RAREST shingles against full rows. Candidates
+    are then verified with an exact intersection count restricted to the
+    candidate pairs, so the result is byte-identical to the direct
+    formulation (measured at sf0.1: 2.78M join rows → 180k candidates,
+    identical output). Expansion proportional to the output.
+    Output: (doc_a, doc_b, containment), doc_a < doc_b, 4dp.
     """
+    from pyspark.sql import Window
+
     members, reps = _content_collapsed(docs)
-    sh = shingle_rows(reps.select("doc_id", "text"), k)
+    # pinned: consumed by sizes, frequency ordering, the candidate join's
+    # full side, and both verify sides (same multi-consumer rationale as
+    # _content_collapsed — recomputing the tokenize+explode per consumer
+    # measured slower than one executor-local materialization)
+    sh = shingle_rows(reps.select("doc_id", "text"), k).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    inter = (
-        sh.alias("a")
+    # α(s): the overlap a pair must reach when s is the SMALLER size.
+    # The output filter is round(n_inter/min_size, 4) >= t, so half-up
+    # rounding admits n_inter as low as (t - 5e-5)·min_size; the 1e-4
+    # slack keeps the prefix bound conservative (longer prefix = still
+    # lossless, never the reverse).
+    alpha = F.greatest(
+        F.lit(1),
+        F.ceil((F.lit(threshold) - F.lit(1e-4)) * F.col("n_shingles")),
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("__p", F.row_number().over(pos_w))
+        .join(sizes, "doc_id")
+        # pigeonhole on the canonical (ascending-df, shingle) order: if a
+        # qualifying partner shared NO shingle among the smaller doc's
+        # first s - α + 1, the overlap would be ≤ α - 1 < α
+        .filter(F.col("__p") <= F.col("n_shingles") - alpha + F.lit(1))
+        .select("doc_id", "shingle")
+    )
+    # prefix × full covers every qualifying pair via its smaller side
+    # (whichever side that is); extra larger-side-prefix candidates are
+    # harmless — the verify step recomputes the exact intersection
+    cand = (
+        prefix.alias("a")
         .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     rep_pairs = (

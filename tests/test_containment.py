@@ -35,3 +35,71 @@ def test_exact_duplicates_pair_at_one(spark):
     )
     got = ngram_containment_pairs(df, threshold=0.8).collect()
     assert [(r.doc_a, r.doc_b, r.containment) for r in got] == [(1, 2, 1.0)]
+
+def _direct_containment(docs, k=3, t=0.8):
+    """The pre-prefix-filter formulation (raw shingle self-join), kept
+    verbatim as the equivalence reference for the lossless claim."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.dataops.dedup import (
+        _content_collapsed,
+        _expand_rep_pairs,
+        shingle_rows,
+    )
+
+    members, reps = _content_collapsed(docs)
+    sh = shingle_rows(reps.select("doc_id", "text"), k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_shingles", "sa"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "sb"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.least("sa", "sb"), 4)
+        )
+        .filter(F.col("containment") >= t)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return _expand_rep_pairs(members, reps, out, k, value_col="containment")
+
+
+def test_prefix_filter_is_lossless_on_repeated_phrase_corpus(spark):
+    """The prefix filter's pigeonhole bound is valid because shingles are
+    per-doc DISTINCT (shingles_of_tokens array_distinct) — on a bag
+    semantics a partner's multiplicity could inflate the overlap past the
+    bound. This corpus is built from a 6-word vocab so trigrams repeat
+    heavily inside every doc; if anyone drops the array_distinct, the
+    seeded sweep here is shaped to catch the resulting missed pairs."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 18))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = ngram_containment_pairs(df, threshold=0.8)
+    ref = _direct_containment(df, t=0.8)
+    assert new.exceptAll(ref).count() == 0
+    missed = ref.exceptAll(new).count()
+    assert missed == 0, f"prefix filter dropped {missed} qualifying pairs"
+    assert ref.count() > 0  # the sweep must actually exercise pairs

@@ -213,6 +213,106 @@ def _expand_rep_pairs(
     return intra.unionByName(cross)
 
 
+# --- prefix-filtered candidate generation (shared by jaccard/containment) ---
+
+
+def _prefix_candidates(sh: DataFrame, alpha) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs by AllPairs prefix filtering
+    (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07): order each doc's
+    shingles by ascending corpus frequency (ties by shingle); a doc of
+    size s whose qualifying pairs need overlap ≥ α when IT is the
+    smaller side must share one of its first s - α + 1 shingles with any
+    such partner — if all shared shingles sat in the suffix, the overlap
+    would be ≤ α - 1 (pigeonhole; valid because shingle_rows is per-doc
+    DISTINCT — see the losslessness regression in
+    tests/test_containment.py). Joining prefix rows against FULL rows
+    covers every qualifying pair via its smaller side, whichever side
+    that is; larger-side-prefix extras are harmless because the caller
+    re-verifies with an exact intersection count.
+
+    The scale point: the raw shingle self-join's row count is
+    Σ df(shingle)², which explodes on heavy-tailed crawl-text shingle
+    frequencies, while here common shingles are exactly the ones pushed
+    OUT of the prefix (they sort last), so join volume is governed by
+    Σ df_prefix·df — near-linear on natural corpora.
+
+    ``sh``: per-doc-distinct (doc_id, shingle) rows, PINNED by the
+    caller (consumed twice here plus the caller's verify).
+    ``alpha``: Column over ``n_shingles`` — the minimum overlap a
+    qualifying pair must reach when this doc is the smaller side,
+    already guarded for the caller's output rounding. ``n_shingles`` is
+    computed here in the same exchange as the rank (a count over the
+    doc_id window), not joined in.
+    """
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    size_w = Window.partitionBy("doc_id")
+    prefix = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(pos_w).alias("__p"),
+            F.count("*").over(size_w).alias("n_shingles"),
+        )
+        .filter(F.col("__p") <= F.col("n_shingles") - alpha + F.lit(1))
+        .select("doc_id", "shingle")
+    )
+    return (
+        prefix.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _shingle_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, __sh_set, n_shingles): each doc's distinct shingles
+    reassembled into one array. Arrays are doc-bounded (a doc's shingle
+    count ≤ its token count), so rows stay executor-sized even on large
+    documents; sort_array makes the row deterministic."""
+    return sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("__sh_set"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
+def _verified_intersections(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, size_a, size_b): exact intersection sizes
+    restricted to the candidate pairs — the verify half of the
+    prefix-filter pattern. Fetches both docs' shingle SETS per pair (two
+    equi-joins on candidate-sized data) and intersects JVM-side with
+    array_intersect, instead of re-exploding to shingle rows: volume is
+    |cand|, not Σ_cand size(doc)."""
+    a = sets_df.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__sh_set").alias("__set_a"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = sets_df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__sh_set").alias("__set_b"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__set_a", "__set_b")).alias("n_inter"),
+            "size_a",
+            "size_b",
+        )
+    )
+
+
 # --- 2. n-gram Jaccard ------------------------------------------------------
 
 
@@ -223,11 +323,40 @@ def ngram_jaccard_pairs(
     exact-collapse pre-pass (see minhash_lsh_pairs: every stage of the
     direct shingle self-join is quadratic in identical-content cluster
     size; after collapsing, compute is per distinct content and only the
-    final expansion scales with the output pair set).
+    final expansion scales with the output pair set) and PREFIX-FILTERED
+    candidates over the distinct contents (_prefix_candidates). The
+    Jaccard bound is tighter than containment's: J(A,B) ≥ t forces
+    overlap i ≥ t·(|A|+|B|)/(1+t) ≥ 2t/(1+t)·min — at t=0.8 a doc's
+    prefix is ~11% of its shingles. Verified exactly, so the output is
+    byte-identical to _ngram_jaccard_pairs_direct (parity regression in
+    tests/test_containment.py).
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp."""
     members, reps = _content_collapsed(docs)
-    rep_pairs = _ngram_jaccard_pairs_direct(
-        reps.select("doc_id", "text"), k=k, threshold=threshold
+    sh = shingle_rows(reps.select("doc_id", "text"), k).localCheckpoint(
+        eager=False
+    )
+    # output filter is round(i/(sa+sb-i), 4) >= t, so half-up rounding
+    # admits ratios down to t - 5e-5; τ = t - 1e-4 keeps the bound
+    # conservative (the overlap floor is increasing in τ)
+    tau = threshold - 1e-4
+    alpha = F.greatest(
+        F.lit(1),
+        F.ceil(F.lit(2.0 * tau / (1.0 + tau)) * F.col("n_shingles")),
+    )
+    inter = _verified_intersections(
+        _prefix_candidates(sh, alpha), _shingle_sets(sh)
+    )
+    rep_pairs = (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
     return _expand_rep_pairs(members, reps, rep_pairs, k)
 
@@ -637,17 +766,14 @@ def ngram_containment_pairs(
     identical output). Expansion proportional to the output.
     Output: (doc_a, doc_b, containment), doc_a < doc_b, 4dp.
     """
-    from pyspark.sql import Window
-
     members, reps = _content_collapsed(docs)
-    # pinned: consumed by sizes, frequency ordering, the candidate join's
-    # full side, and both verify sides (same multi-consumer rationale as
+    # pinned: consumed by the frequency ordering, the candidate join's
+    # full side, and the set reassembly (same multi-consumer rationale as
     # _content_collapsed — recomputing the tokenize+explode per consumer
     # measured slower than one executor-local materialization)
     sh = shingle_rows(reps.select("doc_id", "text"), k).localCheckpoint(
         eager=False
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # α(s): the overlap a pair must reach when s is the SMALLER size.
     # The output filter is round(n_inter/min_size, 4) >= t, so half-up
     # rounding admits n_inter as low as (t - 5e-5)·min_size; the 1e-4
@@ -657,51 +783,11 @@ def ngram_containment_pairs(
         F.lit(1),
         F.ceil((F.lit(threshold) - F.lit(1e-4)) * F.col("n_shingles")),
     )
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    pos_w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
-    prefix = (
-        sh.join(freq, "shingle")
-        .withColumn("__p", F.row_number().over(pos_w))
-        .join(sizes, "doc_id")
-        # pigeonhole on the canonical (ascending-df, shingle) order: if a
-        # qualifying partner shared NO shingle among the smaller doc's
-        # first s - α + 1, the overlap would be ≤ α - 1 < α
-        .filter(F.col("__p") <= F.col("n_shingles") - alpha + F.lit(1))
-        .select("doc_id", "shingle")
-    )
-    # prefix × full covers every qualifying pair via its smaller side
-    # (whichever side that is); extra larger-side-prefix candidates are
-    # harmless — the verify step recomputes the exact intersection
-    cand = (
-        prefix.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    inter = (
-        cand.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            sh.alias("y"),
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("x.shingle") == F.col("y.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    inter = _verified_intersections(
+        _prefix_candidates(sh, alpha), _shingle_sets(sh)
     )
     rep_pairs = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_shingles", "size_a")
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_shingles", "size_b"
-            ),
-            "doc_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "containment",
             F.round(
                 F.col("n_inter") / F.least("size_a", "size_b"), 4

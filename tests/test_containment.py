@@ -103,3 +103,52 @@ def test_prefix_filter_is_lossless_on_repeated_phrase_corpus(spark):
     missed = ref.exceptAll(new).count()
     assert missed == 0, f"prefix filter dropped {missed} qualifying pairs"
     assert ref.count() > 0  # the sweep must actually exercise pairs
+
+def test_jaccard_prefix_filter_matches_direct_form(spark):
+    """ngram_jaccard_pairs (prefix-filtered) must equal
+    _ngram_jaccard_pairs_direct + expansion on a corpus engineered to
+    have qualifying pairs at every margin: exact copies, one-word edits
+    (J just under 1), half-overlaps (J well under t), and repeated-phrase
+    docs stressing the distinct-shingle assumption."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from open_ocr_spark.dataops.dedup import (
+        _content_collapsed,
+        _expand_rep_pairs,
+        _ngram_jaccard_pairs_direct,
+    )
+
+    rng = random.Random(7)
+    rows, did = [], 0
+    for i in range(30):
+        n = rng.randint(12, 30)
+        base = [f"w{rng.randint(0, 60)}" for _ in range(n)]
+        rows.append((did, " ".join(base))); did += 1
+        if i % 3 == 0:  # exact copy
+            rows.append((did, " ".join(base))); did += 1
+        if i % 3 == 1:  # one-word edit
+            mut = list(base); mut[rng.randrange(n)] = "EDIT"
+            rows.append((did, " ".join(mut))); did += 1
+        if i % 3 == 2:  # half overlap
+            rows.append((did, " ".join(base[: n // 2]))); did += 1
+    for i in range(20):  # repeated-phrase stress
+        rows.append((did, " ".join(
+            rng.choice(["aa", "bb", "cc", "dd"]) for _ in range(rng.randint(8, 20))
+        ))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    new = ngram_jaccard_pairs(df, threshold=0.8)
+    members, reps = _content_collapsed(df)
+    ref = _expand_rep_pairs(
+        members, reps,
+        _ngram_jaccard_pairs_direct(
+            reps.select("doc_id", "text"), k=3, threshold=0.8
+        ),
+        3,
+    )
+    assert new.exceptAll(ref).count() == 0
+    missed = ref.exceptAll(new).count()
+    assert missed == 0, f"prefix filter dropped {missed} qualifying pairs"
+    assert ref.count() > 0

@@ -152,3 +152,39 @@ def test_jaccard_prefix_filter_matches_direct_form(spark):
     missed = ref.exceptAll(new).count()
     assert missed == 0, f"prefix filter dropped {missed} qualifying pairs"
     assert ref.count() > 0
+
+def test_prefix_filter_prunes_boilerplate_skew(spark):
+    """The deterministic volume property behind the scale claim: on a
+    corpus where every doc shares a site template (heavy-tailed shingle
+    df — the raw self-join's quadratic regime), the prefix is drawn from
+    each doc's RARE tail shingles, and after the df>=2 trim the
+    candidate join finds nothing to pair — candidates collapse to zero
+    while the raw join would carry ~n²/2 template pairs. Volume, not
+    timing, so the assertion is stable on any host."""
+    from pyspark.sql import functions as F
+
+    from open_ocr_spark.dataops.dedup import (
+        _content_collapsed,
+        _prefix_candidates,
+        shingle_rows,
+    )
+
+    boiler = " ".join(f"nav{j}" for j in range(32))
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(30)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _, reps = _content_collapsed(df)
+    sh = shingle_rows(reps.select("doc_id", "text"), 3)
+    alpha = F.greatest(
+        F.lit(1), F.ceil((F.lit(0.8) - F.lit(1e-4)) * F.col("n_shingles"))
+    )
+    assert _prefix_candidates(sh, alpha).count() == 0
+    # sanity: the corpus really is in the quadratic regime for the raw
+    # join — the template shingles are shared by every doc
+    freq = sh.groupBy("shingle").count()
+    assert freq.agg(F.max("count")).first()[0] == 200
+    # and the end-to-end result agrees with the direct formulation
+    assert ngram_containment_pairs(df, threshold=0.8).count() == 0
+    assert _direct_containment(df, t=0.8).count() == 0

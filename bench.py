@@ -197,7 +197,7 @@ HEADLINE = [
     "redirect_chains",  # (r5) pointer-doubling join-iteration class
     "sentence_split",  # (r5 late) shuffle-free regex-chain projection
     "winnowing_fingerprints",  # (r5 late) bounded-frame window selection
-    "ngram_containment_pairs",  # (r5 late) shingle self-join, subset pairs
+    "ngram_containment_pairs",  # (r5 late) prefix-filtered subset pairs
     "extraction_eval",  # (r5 late) token-multiset full-outer scoring
     "extract_zip_text",  # (r5 late) archive-member dispatch recursion
 ]

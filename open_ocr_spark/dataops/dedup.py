@@ -303,13 +303,48 @@ def _shingle_sets(sh: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_verified_pairs(
+    reps: DataFrame, k: int, alpha
+) -> DataFrame:
+    """The shared prefix-filter pipeline for the exact pair measures:
+    shingle the distinct contents (pinned — feeds the candidate
+    generator, the candidate-doc prune, and the set reassembly), find
+    candidates via _prefix_candidates(alpha), then verify exactly. The
+    same CRITICAL scale guard as the minhash verify path applies before
+    set reassembly: semi-join the shingle table down to docs that appear
+    in some candidate pair FIRST — the shingle table is corpus-sized
+    while candidate docs are output-proportional, and the un-pruned
+    aggregation + pair joins would re-shuffle the entire table
+    (measured on the minhash twin: 144 s → 23 s at 400k docs, and the
+    un-pruned shuffle ANTI-scaled with cores). Sizes for scoring are
+    computed on the pruned subset (only candidate pairs are scored), so
+    the corpus-wide doc aggregation happens exactly once, inside
+    _prefix_candidates' ranking window.
+
+    Returns (doc_a, doc_b, n_inter, size_a, size_b); callers apply
+    their measure's score and threshold."""
+    sh = shingle_rows(reps.select("doc_id", "text"), k).localCheckpoint(
+        eager=False
+    )
+    # pinned: consumed by the candidate-doc prune and both verify joins
+    cand = _prefix_candidates(sh, alpha).localCheckpoint(eager=False)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = sh.join(cand_docs, "doc_id", "left_semi")
+    return _verified_intersections(cand, _shingle_sets(pruned))
+
+
 def _verified_intersections(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_inter, size_a, size_b): exact intersection sizes
     restricted to the candidate pairs — the verify half of the
     prefix-filter pattern. Fetches both docs' shingle SETS per pair (two
     equi-joins on candidate-sized data) and intersects JVM-side with
     array_intersect, instead of re-exploding to shingle rows: volume is
-    |cand|, not Σ_cand size(doc)."""
+    |cand|, not Σ_cand size(doc). ``sets_df`` must already be pruned to
+    candidate docs (see _prefix_verified_pairs)."""
     a = sets_df.select(
         F.col("doc_id").alias("doc_a"),
         F.col("__sh_set").alias("__set_a"),
@@ -352,9 +387,6 @@ def ngram_jaccard_pairs(
     tests/test_containment.py).
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded 4dp."""
     members, reps = _content_collapsed(docs)
-    sh = shingle_rows(reps.select("doc_id", "text"), k).localCheckpoint(
-        eager=False
-    )
     # output filter is round(i/(sa+sb-i), 4) >= t, so half-up rounding
     # admits ratios down to t - 5e-5; τ = t - 1e-4 keeps the bound
     # conservative (the overlap floor is increasing in τ)
@@ -363,9 +395,7 @@ def ngram_jaccard_pairs(
         F.lit(1),
         F.ceil(F.lit(2.0 * tau / (1.0 + tau)) * F.col("n_shingles")),
     )
-    inter = _verified_intersections(
-        _prefix_candidates(sh, alpha), _shingle_sets(sh)
-    )
+    inter = _prefix_verified_pairs(reps, k, alpha)
     rep_pairs = (
         inter.withColumn(
             "jaccard",
@@ -787,13 +817,6 @@ def ngram_containment_pairs(
     Output: (doc_a, doc_b, containment), doc_a < doc_b, 4dp.
     """
     members, reps = _content_collapsed(docs)
-    # pinned: consumed by the frequency ordering, the candidate join's
-    # full side, and the set reassembly (same multi-consumer rationale as
-    # _content_collapsed — recomputing the tokenize+explode per consumer
-    # measured slower than one executor-local materialization)
-    sh = shingle_rows(reps.select("doc_id", "text"), k).localCheckpoint(
-        eager=False
-    )
     # α(s): the overlap a pair must reach when s is the SMALLER size.
     # The output filter is round(n_inter/min_size, 4) >= t, so half-up
     # rounding admits n_inter as low as (t - 5e-5)·min_size; the 1e-4
@@ -803,9 +826,7 @@ def ngram_containment_pairs(
         F.lit(1),
         F.ceil((F.lit(threshold) - F.lit(1e-4)) * F.col("n_shingles")),
     )
-    inter = _verified_intersections(
-        _prefix_candidates(sh, alpha), _shingle_sets(sh)
-    )
+    inter = _prefix_verified_pairs(reps, k, alpha)
     rep_pairs = (
         inter.withColumn(
             "containment",

@@ -99,9 +99,13 @@ def main():
             "Python; selection density bounds the distinct's shuffle."
         ),
         "ngram_containment_pairs": (
-            "All joins are hash/sort-merge equi-joins on shingle or "
-            "content-hash keys (exact-collapse pre-pass), HashAggregate "
-            "throughout — no CartesianProduct / BroadcastNestedLoopJoin."
+            "Prefix-filtered (late r5): the candidate join pairs the "
+            "pinned annotated table's rare-shingle prefix (ExistingRDD "
+            "leaves from the lazy localCheckpoints) against df>=2 full "
+            "rows; verify is two equi-joins on doc_a/doc_b fetching "
+            "candidate-doc shingle SETS (semi-join pruned) intersected "
+            "via array_intersect — still zero CartesianProduct / "
+            "BroadcastNestedLoopJoin, all joins hash/sort-merge equi."
         ),
         "extraction_eval": (
             "Exchanges only on (doc_id, tok) / doc_id (uniform keys); the "

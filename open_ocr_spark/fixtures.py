@@ -242,6 +242,27 @@ def generate_pages(n_rows: int = 500, seed: int = SEED):
                 ("n.txt", plain.encode()),
             ])
             expected, status = f"{inner}\n{plain}", "ok"
+        elif kind == 5:
+            # Jupyter notebook payload (r5): cell sources + stream output
+            from open_ocr_spark.kernels.ipynb_text import build_ipynb
+
+            prose = _paragraph(rng, 9)
+            html = build_ipynb(
+                [("markdown", prose), ("code", f"y = {i}\nprint(y)")],
+                outputs={1: [{"output_type": "stream", "name": "stdout",
+                              "text": [f"{i}\n"]}]},
+            )
+            expected = f"{prose}\n\ny = {i}\nprint(y)\n\n{i}"
+            status = "ok"
+        elif kind == 4:
+            # LaTeX payload (r5): preamble + comments + section + ligature
+            from open_ocr_spark.kernels.latex_text import build_latex
+
+            para = _paragraph(rng, 10) + " --- done."
+            html = build_latex([para], title=f"Fixture {i % 11}")
+            expected = (f"Fixture {i % 11}\n\n"
+                        + para[:-len(" --- done.")] + " — done.")
+            status = "ok"
         else:
             n_paras = 2 + (i % 4)
             paragraphs = [_paragraph(rng, 8 + (i + j) % 30) for j in range(n_paras)]

@@ -124,6 +124,27 @@ def _eml_sniff(payload: bytes) -> bool:
     return is_eml(payload)
 
 
+def _ipynb_sniff(payload: bytes) -> bool:
+    """Lazy wrapper: only payloads whose first byte can open a JSON
+    object (optionally after whitespace) pay for the notebook sniff's
+    parse; ordinary pages start with '<' and skip it entirely."""
+    if payload[:1] not in (b"{", b" ", b"\t", b"\r", b"\n"):
+        return False
+    from open_ocr_spark.kernels.ipynb_text import is_ipynb
+
+    return is_ipynb(payload)
+
+
+def _latex_sniff(payload: bytes) -> bool:
+    r"""Lazy wrapper: only payloads whose first non-blank byte is a TeX
+    control or comment char (\ or %) pay for the preamble scan."""
+    if payload[:64].lstrip()[:1] not in (b"\\", b"%"):
+        return False
+    from open_ocr_spark.kernels.latex_text import is_latex
+
+    return is_latex(payload)
+
+
 def _spans_json(text: str) -> str:
     """hOCR-recast structured output: one span per paragraph with
     deterministic char offsets into the plain-text form."""
@@ -393,6 +414,31 @@ def extract_document(
                     text = extract_eml_text(payload, _dispatch_depth=_depth)
                 except ValueError as exc:
                     return "", "error:eml-unsupported", str(exc)
+            elif _ipynb_sniff(payload):
+                # Jupyter notebook (r5, kernels/ipynb_text.py): JSON
+                # payload with the nbformat/cells shape; cell sources +
+                # textual outputs render in document order
+                from open_ocr_spark.kernels.ipynb_text import (
+                    extract_ipynb_text,
+                )
+
+                try:
+                    text = extract_ipynb_text(payload)
+                except ValueError as exc:
+                    return "", "error:ipynb-unsupported", str(exc)
+            elif _latex_sniff(payload):
+                # LaTeX source (r5, kernels/latex_text.py): the
+                # \documentclass preamble routes .tex payloads away from
+                # the HTML tokenizer; markup resolves to prose like the
+                # HTML branch's boilerplate strip
+                from open_ocr_spark.kernels.latex_text import (
+                    extract_latex_text,
+                )
+
+                try:
+                    text = extract_latex_text(payload)
+                except ValueError as exc:
+                    return "", "error:latex-unsupported", str(exc)
             elif _is_image_payload(payload):
                 # raster payloads route to the pixel-domain OCR branch —
                 # the reference's literal image->text contract

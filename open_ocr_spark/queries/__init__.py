@@ -27,7 +27,8 @@ from open_ocr_spark.queries.extraction import (
     q_extract_gzip_text, q_extract_zip_text,
     q_extract_mbox_text, q_extract_msg_text, q_extract_tar_text,
     q_extract_ppt_text, q_extract_xls_text,
-    q_extract_epub_text, q_extract_glyph_ocr, q_extract_main_text,
+    q_extract_epub_text, q_extract_glyph_ocr, q_extract_ipynb_text,
+    q_extract_latex_text, q_extract_main_text,
     q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
     q_extract_pdf_flate, q_extract_pdf_text, q_extract_pdf_tj,
     q_extract_pptx_text, q_extract_rtf_text, q_extract_status_rollup,
@@ -80,7 +81,7 @@ from open_ocr_spark.queries.webops import (
     q_cdx_index, q_crawl_delta,
     q_feed_discovery, q_frontier_polite, q_frontier_schedule,
     q_heading_outline,
-    q_host_link_graph, q_host_pagerank, q_host_template_lines,
+    q_host_hits, q_host_link_graph, q_host_pagerank, q_host_template_lines,
     q_hreflang_clusters, q_html_meta, q_html_tables,
     q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
@@ -253,6 +254,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_nfc": q_unicode_nfc,
     "reflow_text": q_reflow_text,
     "mojibake_repair": q_mojibake_repair,
+    "extract_ipynb_text": q_extract_ipynb_text,
+    "extract_latex_text": q_extract_latex_text,
+    "host_hits": q_host_hits,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -1601,3 +1601,95 @@ ORACLES["csv_cells"] = """
         FROM documents d, cell
         ORDER BY d.doc_id, cell.row_idx, cell.col_idx
     """
+
+
+def q_extract_ipynb_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook extraction (r5, kernels/ipynb_text.py): the
+    writer twin serializes markdown + code + raw cells through the
+    stdlib json module with list-of-keepends sources; the code cell
+    carries a stream output AND an execute_result whose text/plain both
+    render after the source, so one closed-form oracle checks the cell
+    order, the list-source join, and every textual output kind the
+    nbformat schema defines."""
+    def build(i: int) -> bytes:
+        from open_ocr_spark.kernels.ipynb_text import build_ipynb
+
+        return build_ipynb(
+            [
+                ("markdown", f"# Notebook {i % 9}\n\nProse café {i}."),
+                ("code", f"x = {i}\nprint(x * 2)"),
+                ("raw", f"raw cell {i % 3}"),
+            ],
+            outputs={1: [
+                {"output_type": "stream", "name": "stdout",
+                 "text": [f"{2 * i}\n"]},
+                {"output_type": "execute_result", "execution_count": 2,
+                 "metadata": {}, "data": {"text/plain": [f"{2 * i}"]}},
+            ]},
+        )
+
+    return _twin_extract(spark, sf_dir, "https://nb.example.com/n/", build)
+
+
+ORACLES["extract_ipynb_text"] = """
+        SELECT doc_id,
+               '# Notebook ' || (doc_id % 9)::VARCHAR
+               || chr(10) || chr(10)
+               || 'Prose café ' || doc_id::VARCHAR || '.'
+               || chr(10) || chr(10)
+               || 'x = ' || doc_id::VARCHAR || chr(10) || 'print(x * 2)'
+               || chr(10) || chr(10)
+               || (doc_id * 2)::VARCHAR
+               || chr(10) || chr(10)
+               || (doc_id * 2)::VARCHAR
+               || chr(10) || chr(10)
+               || 'raw cell ' || (doc_id % 3)::VARCHAR AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+def q_extract_latex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""LaTeX extraction (r5, kernels/latex_text.py): the writer twin
+    wraps paragraphs in a full \documentclass document with a preamble,
+    comment lines, \section/\subsection titles, an \emph wrapper, the
+    \% escape, the ---/``''`` ligatures, and one equation environment —
+    so one closed-form oracle checks comment stripping, body isolation,
+    sectioning, wrapper unwrapping, escapes, ligatures, and verbatim
+    math in a single pass."""
+    def build(i: int) -> bytes:
+        from open_ocr_spark.kernels.latex_text import build_latex
+
+        return build_latex(
+            [
+                f"Alpha café {i} --- with 100\\% effort.",
+                f"Beta ``quote {i % 5}'' and \\emph{{stress}} words.",
+            ],
+            title=f"Paper {i % 7}",
+            sections=True,
+            math=f"E_{i % 4} = m c^2",
+        )
+
+    return _twin_extract(spark, sf_dir, "https://tex.example.com/p/", build)
+
+
+ORACLES["extract_latex_text"] = """
+        SELECT doc_id,
+               'Paper ' || (doc_id % 7)::VARCHAR
+               || chr(10) || chr(10)
+               || 'Alpha café ' || doc_id::VARCHAR
+               || ' ' || chr(8212) || ' with 100% effort.'
+               || chr(10) || chr(10)
+               || 'Part 1'
+               || chr(10) || chr(10)
+               || 'Beta ' || chr(8220) || 'quote '
+               || (doc_id % 5)::VARCHAR || chr(8221)
+               || ' and stress words.'
+               || chr(10) || chr(10)
+               || 'E_' || (doc_id % 4)::VARCHAR || ' = m c^2'
+               AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

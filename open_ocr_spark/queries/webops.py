@@ -2864,3 +2864,85 @@ def _host_template_lines_oracle() -> str:
 
 
 ORACLES["host_template_lines"] = _host_template_lines_oracle()
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the same deterministic
+    host graph as ``host_pagerank`` (r5, dataops/hits.py): 3 rounds of
+    the mutual hub/authority recursion in scaled integer arithmetic
+    with an integer renormalization divisor per half-step, so the
+    oracle value-hashes both scores from 6 unrolled SQL half-steps —
+    any drift in edge direction, the divisor rule, or the rebase onto
+    the node set fails the hash."""
+    from open_ocr_spark.dataops.hits import hits_int
+    from open_ocr_spark.dataops.links import extract_links, host_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = host_edges(extract_links(_link_pages(docs))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return (
+        hits_int(edges, iterations=3)
+        .select(F.col("node").alias("host"), "hub", "authority")
+        .orderBy("host")
+    )
+
+
+ORACLES["host_hits"] = """
+        WITH es AS (
+            SELECT DISTINCT 'h' || (doc_id % 20)::VARCHAR
+                       || '.example.com' AS src,
+                   'h' || ((doc_id * 7 + 1) % 20)::VARCHAR
+                       || '.example.com' AS dst
+            FROM documents
+            UNION
+            SELECT DISTINCT 'h' || (doc_id % 20)::VARCHAR || '.example.com',
+                   'h' || ((doc_id * 3 + 2) % 20)::VARCHAR || '.example.com'
+            FROM documents
+            UNION
+            SELECT DISTINCT 'h' || (doc_id % 20)::VARCHAR || '.example.com',
+                   'h' || ((doc_id * 11 + 5) % 20)::VARCHAR || '.example.com'
+            FROM documents
+        ),
+        nodes AS (SELECT src AS n FROM es UNION SELECT dst FROM es),
+        h0 AS (SELECT n, CAST(1000000000 AS BIGINT) AS hub FROM nodes),
+        a1r AS (SELECT e.dst AS n, sum(h.hub) AS raw
+                FROM es e JOIN h0 h ON h.n = e.src GROUP BY e.dst),
+        a1 AS (SELECT n.n, CAST(coalesce(r.raw, 0)
+                   // greatest(1, (SELECT max(raw) FROM a1r) // 1000000000)
+                   AS BIGINT) AS authority
+               FROM nodes n LEFT JOIN a1r r ON r.n = n.n),
+        h1r AS (SELECT e.src AS n, sum(a.authority) AS raw
+                FROM es e JOIN a1 a ON a.n = e.dst GROUP BY e.src),
+        h1 AS (SELECT n.n, CAST(coalesce(r.raw, 0)
+                   // greatest(1, (SELECT max(raw) FROM h1r) // 1000000000)
+                   AS BIGINT) AS hub
+               FROM nodes n LEFT JOIN h1r r ON r.n = n.n),
+        a2r AS (SELECT e.dst AS n, sum(h.hub) AS raw
+                FROM es e JOIN h1 h ON h.n = e.src GROUP BY e.dst),
+        a2 AS (SELECT n.n, CAST(coalesce(r.raw, 0)
+                   // greatest(1, (SELECT max(raw) FROM a2r) // 1000000000)
+                   AS BIGINT) AS authority
+               FROM nodes n LEFT JOIN a2r r ON r.n = n.n),
+        h2r AS (SELECT e.src AS n, sum(a.authority) AS raw
+                FROM es e JOIN a2 a ON a.n = e.dst GROUP BY e.src),
+        h2 AS (SELECT n.n, CAST(coalesce(r.raw, 0)
+                   // greatest(1, (SELECT max(raw) FROM h2r) // 1000000000)
+                   AS BIGINT) AS hub
+               FROM nodes n LEFT JOIN h2r r ON r.n = n.n),
+        a3r AS (SELECT e.dst AS n, sum(h.hub) AS raw
+                FROM es e JOIN h2 h ON h.n = e.src GROUP BY e.dst),
+        a3 AS (SELECT n.n, CAST(coalesce(r.raw, 0)
+                   // greatest(1, (SELECT max(raw) FROM a3r) // 1000000000)
+                   AS BIGINT) AS authority
+               FROM nodes n LEFT JOIN a3r r ON r.n = n.n),
+        h3r AS (SELECT e.src AS n, sum(a.authority) AS raw
+                FROM es e JOIN a3 a ON a.n = e.dst GROUP BY e.src),
+        h3 AS (SELECT n.n, CAST(coalesce(r.raw, 0)
+                   // greatest(1, (SELECT max(raw) FROM h3r) // 1000000000)
+                   AS BIGINT) AS hub
+               FROM nodes n LEFT JOIN h3r r ON r.n = n.n)
+        SELECT h3.n AS host, h3.hub, a3.authority
+        FROM h3 JOIN a3 ON a3.n = h3.n
+        ORDER BY host
+    """

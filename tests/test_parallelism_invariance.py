@@ -26,6 +26,7 @@ CHAINS = [
     "canonical_assignment", # rel-canonical > redirect > self (r5)
     "cms_term_counts",      # sketch build + broadcast estimate (r5)
     "crawl_delta_near",     # two-snapshot simhash delta (r5)
+    "host_hits",            # 3 integer-exact hub/authority rounds (r5)
 ]
 
 

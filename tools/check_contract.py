@@ -111,6 +111,9 @@ OVERFLOW_OK: dict[int, list[str]] = {
     5: [
         "reflow_text",
         "mojibake_repair",
+        "extract_ipynb_text",
+        "extract_latex_text",
+        "host_hits",
     ],
 }
 

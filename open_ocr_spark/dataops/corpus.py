@@ -128,3 +128,62 @@ def prepare_corpus_full(
         .filter(F.col("n_hits") == 0)
         .drop("n_hits")
     )
+
+
+def clean_web_corpus(
+    pages: DataFrame,
+    *,
+    min_docs: int = 3,
+    frac_num: int = 1,
+    frac_den: int = 2,
+) -> DataFrame:
+    """The round-5 crawl-cleaning stages composed as ONE plan:
+
+        mojibake repair -> host template-line strip -> reflow -> split
+
+    over (doc_id, host, text) pages.  Returns (doc_id, text, n_paras,
+    n_removed, was_repaired, split).  Ordering is the load-bearing
+    part, the same reason prepare_corpus_full exists: the repair must
+    run FIRST (damaged bytes would break both the template evidence
+    keys and the reflow regexes); the template strip must see the LINE
+    structure, so it runs before reflow unwraps it; the reflow runs on
+    template-free text so banner lines cannot be glued into body
+    paragraphs; the split is md5-of-doc_id, independent of everything.
+
+    Every stage is individually oracle-checked elsewhere
+    (mojibake_repair, host_template_lines, reflow_text); the composed
+    query's oracle replays the three stages in order via the stages'
+    own SQL-replay helpers.
+
+    Shuffles in the plan (the 100 TB question): the template stage's
+    evidence aggregate + verdict join on uniform (host, md5(line)) keys
+    and its per-doc reassembly, plus one doc_id equi-join carrying the
+    repair flag back to the aggregated rows — repair, reflow, and split
+    are shuffle-free projections fused by Catalyst."""
+    from open_ocr_spark.dataops.mojibake import is_mojibake, repair_mojibake
+    from open_ocr_spark.dataops.reflow import n_paragraphs, reflow_text
+    from open_ocr_spark.dataops.templates import strip_template_lines
+
+    staged = pages.select(
+        "doc_id",
+        "host",
+        repair_mojibake(F.col("text")).alias("text"),
+        is_mojibake(F.col("text")).alias("was_repaired"),
+    )
+    stripped = strip_template_lines(
+        staged, min_docs=min_docs, frac_num=frac_num, frac_den=frac_den
+    )
+    flags = staged.select("doc_id", "was_repaired")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return stripped.join(flags, "doc_id").select(
+        "doc_id",
+        reflow_text(F.col("clean_text")).alias("text"),
+        n_paragraphs(F.col("clean_text")).alias("n_paras"),
+        "n_removed",
+        "was_repaired",
+        F.when(bucket % 10 < 8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

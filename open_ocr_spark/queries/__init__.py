@@ -103,7 +103,7 @@ from open_ocr_spark.queries.media import (
     q_media_resize_jpeg_progressive, q_media_resize_png,
 )
 from open_ocr_spark.queries.sampling import (
-    q_bloom_prune_stats, q_decontaminate_docs, q_dsir_resample,
+    q_bloom_prune_stats, q_clean_web_corpus, q_decontaminate_docs, q_dsir_resample,
     q_hll_distinct_md5, q_host_quota_sample, q_key_skew_gini,
     q_pack_multimodal, q_pack_training_sequences, q_prepare_corpus,
     q_prepare_corpus_full, q_stratified_sample, q_stratified_sample_md5,
@@ -257,6 +257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_ipynb_text": q_extract_ipynb_text,
     "extract_latex_text": q_extract_latex_text,
     "host_hits": q_host_hits,
+    "clean_web_corpus": q_clean_web_corpus,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -750,3 +750,74 @@ ORACLES["decontaminate_docs"] = """
         LEFT JOIN hits h ON d.doc_id = h.doc_id
         ORDER BY d.doc_id
     """
+
+
+def q_clean_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed r5 crawl-cleaning chain (dataops/corpus.py
+    clean_web_corpus): repair -> host template strip -> reflow ->
+    split, one plan.  The fixture damage is built in-query so every
+    stage has real work: each document gets a per-host subscribe
+    banner (template evidence), its body hard-wrapped at deterministic
+    word boundaries (reflow work), a hyphen-wrapped tail (the
+    de-hyphenation rule), and every 4th row mojibake-corrupted through
+    the exact inverse the repair undoes.  The oracle replays the three
+    stages in order through the stages' own SQL-replay helpers, so a
+    stage-ORDER bug (reflow before strip, strip before repair) fails
+    the hash even though each stage is green alone."""
+    from open_ocr_spark.dataops.corpus import clean_web_corpus
+    from open_ocr_spark.dataops.mojibake import corrupt_to_mojibake
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+    wrapped = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "(key|join|data) ", "$1\n"
+    )
+    raw = F.concat(
+        F.lit("Subscribe to "), host, F.lit(" café updates!\n"),
+        wrapped,
+        F.lit("\nhyphen-\nated tail "), F.col("doc_id").cast("string"),
+    )
+    damaged = F.when(
+        F.col("doc_id") % 4 == 0, corrupt_to_mojibake(raw)
+    ).otherwise(raw)
+    pages = docs.select("doc_id", host.alias("host"), damaged.alias("text"))
+    return clean_web_corpus(pages).orderBy("doc_id")
+
+
+def _clean_web_corpus_oracle() -> str:
+    from open_ocr_spark.dataops.reflow import reflow_oracle_sql
+    from open_ocr_spark.dataops.templates import (
+        strip_template_lines_oracle_sql,
+    )
+
+    src = """
+        SELECT doc_id,
+               'h' || (doc_id % 40)::VARCHAR AS host,
+               'Subscribe to h' || (doc_id % 40)::VARCHAR
+               || ' café updates!' || chr(10)
+               || regexp_replace(coalesce(text, ''), '(key|join|data) ',
+                                 '\\1' || chr(10), 'g')
+               || chr(10) || 'hyphen-' || chr(10) || 'ated tail '
+               || doc_id::VARCHAR AS text
+        FROM documents
+    """
+    tpl = strip_template_lines_oracle_sql(src, min_docs=3,
+                                          frac_num=1, frac_den=2)
+    reflow = reflow_oracle_sql(
+        f"SELECT doc_id, clean_text AS text FROM ({tpl})"
+    )
+    return f"""
+        SELECT r.doc_id,
+               r.reflowed AS text,
+               r.n_paras,
+               t.n_removed,
+               r.doc_id % 4 = 0 AS was_repaired,
+               CASE WHEN ('0x' || substring(md5(r.doc_id::VARCHAR), 1, 4))
+                        ::INT % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM ({reflow}) r JOIN ({tpl}) t ON t.doc_id = r.doc_id
+        ORDER BY r.doc_id
+    """
+
+
+ORACLES["clean_web_corpus"] = _clean_web_corpus_oracle()

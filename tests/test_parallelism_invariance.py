@@ -27,6 +27,7 @@ CHAINS = [
     "cms_term_counts",      # sketch build + broadcast estimate (r5)
     "crawl_delta_near",     # two-snapshot simhash delta (r5)
     "host_hits",            # 3 integer-exact hub/authority rounds (r5)
+    "clean_web_corpus",     # repair -> template strip -> reflow (r5)
 ]
 
 

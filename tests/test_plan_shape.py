@@ -572,3 +572,26 @@ def test_canonical_assignment_plan_is_bounded(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("http-equiv") <= 2, plan.count("http-equiv")
     assert len(plan) < 60_000, len(plan)
+
+
+def test_clean_web_corpus_plan_is_bounded(spark):
+    # composed repair -> template strip -> reflow chain: the repair and
+    # reflow stages must fuse into projections (no extra exchanges
+    # beyond the template stage's aggregates + the flag join), the
+    # template verdict must still broadcast, nothing degenerates to a
+    # cartesian, and no Python evaluator appears anywhere
+    from open_ocr_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["clean_web_corpus"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan  # template verdict join
+    n_shuffles = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "Reused" not in line and line.strip().startswith("(")
+    )
+    # two countDistinct aggregates (2 exchanges each: expand + final),
+    # the per-doc reassembly, and the output sort — bounded and
+    # independent of corpus size; every verdict/flag join broadcasts
+    assert n_shuffles <= 6, plan

@@ -114,6 +114,7 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "extract_ipynb_text",
         "extract_latex_text",
         "host_hits",
+        "clean_web_corpus",
     ],
 }
 

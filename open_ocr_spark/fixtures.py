@@ -254,6 +254,24 @@ def generate_pages(n_rows: int = 500, seed: int = SEED):
             )
             expected = f"{prose}\n\ny = {i}\nprint(y)\n\n{i}"
             status = "ok"
+        elif kind == 2:
+            # subtitle payload (r5): SRT and WebVTT alternate by row.
+            # NOT kind 3/13: i % 10 == 3 rows are re-crawled below and
+            # their goldens replaced by the v2 HTML snapshot
+            from open_ocr_spark.kernels.subtitle_text import (
+                build_srt,
+                build_webvtt,
+            )
+
+            line = _paragraph(rng, 7)
+            if (i % 40) == 2:
+                html = build_srt([(0, 900, f"Cue {i}."), (1000, 1900, line)])
+            else:
+                html = build_webvtt(
+                    [(0, 900, f"Cue {i}."), (1000, 1900, line)],
+                    note="fixture",
+                )
+            expected, status = f"Cue {i}.\n\n{line}", "ok"
         elif kind == 4:
             # LaTeX payload (r5): preamble + comments + section + ligature
             from open_ocr_spark.kernels.latex_text import build_latex

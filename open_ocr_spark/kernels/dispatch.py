@@ -145,6 +145,26 @@ def _latex_sniff(payload: bytes) -> bool:
     return is_latex(payload)
 
 
+def _vtt_sniff(payload: bytes) -> bool:
+    """Lazy wrapper: only payloads opening with 'W' (the WEBVTT magic's
+    first byte, never HTML's '<') pay for the header check."""
+    if payload[:1] != b"W":
+        return False
+    from open_ocr_spark.kernels.subtitle_text import is_webvtt
+
+    return is_webvtt(payload)
+
+
+def _srt_sniff(payload: bytes) -> bool:
+    """Lazy wrapper: only payloads whose first non-blank byte is a
+    digit (a SubRip cue index) pay for the index+timestamp pair scan."""
+    if not payload[:16].lstrip()[:1].isdigit():
+        return False
+    from open_ocr_spark.kernels.subtitle_text import is_srt
+
+    return is_srt(payload)
+
+
 def _spans_json(text: str) -> str:
     """hOCR-recast structured output: one span per paragraph with
     deterministic char offsets into the plain-text form."""
@@ -439,6 +459,28 @@ def extract_document(
                     text = extract_latex_text(payload)
                 except ValueError as exc:
                     return "", "error:latex-unsupported", str(exc)
+            elif _vtt_sniff(payload):
+                # WebVTT subtitles (r5, kernels/subtitle_text.py): cue
+                # text in cue order, timing/markup machinery dropped
+                from open_ocr_spark.kernels.subtitle_text import (
+                    extract_webvtt_text,
+                )
+
+                try:
+                    text = extract_webvtt_text(payload)
+                except ValueError as exc:
+                    return "", "error:vtt-unsupported", str(exc)
+            elif _srt_sniff(payload):
+                # SubRip subtitles (r5): index + timestamp pair sniff,
+                # same cue-text contract as WebVTT
+                from open_ocr_spark.kernels.subtitle_text import (
+                    extract_srt_text,
+                )
+
+                try:
+                    text = extract_srt_text(payload)
+                except ValueError as exc:
+                    return "", "error:srt-unsupported", str(exc)
             elif _is_image_payload(payload):
                 # raster payloads route to the pixel-domain OCR branch —
                 # the reference's literal image->text contract

@@ -1,0 +1,164 @@
+"""Subtitle extraction branch: SubRip (.srt) and WebVTT (.vtt).
+
+Subtitle files are the transcript layer of the web's video corpus —
+for a training-data pipeline they are often the only text a video
+document carries, which makes "recover the text" for them exactly the
+cue text in cue order, with the timing/markup machinery dropped.
+
+From-scratch parsers over the public formats (SubRip's de-facto
+grammar; WebVTT, W3C https://www.w3.org/TR/webvtt1/). Deterministic
+rendering rules, pinned by the writer twins + unit fixtures:
+
+- cues render in file order; multi-line cue text keeps its internal
+  line breaks; cues are joined by blank lines (the house paragraph
+  join);
+- the cue index line (SRT), cue identifier line (VTT), and timestamp
+  lines are machinery, not content — dropped;
+- WebVTT NOTE / STYLE / REGION blocks and the header block are
+  dropped;
+- inline markup is stripped: ``<i>``/``<b>``/``<v Speaker>``/``<c>``
+  voice/class spans and mid-cue ``<00:01:02.000>`` karaoke timestamps
+  all reduce to their text (one tag regex — a cue's angle-bracket
+  payload is markup by grammar, unlike HTML prose);
+- the three WebVTT character references that survive tag stripping
+  unescape (``&amp;`` ``&lt;`` ``&gt;``), ``&nbsp;`` becomes a plain
+  space.
+
+Totality: the sniffs are structural (SRT needs an index line AND a
+``-->`` timestamp line; VTT needs the WEBVTT magic), so numbered lists
+and prose never route here; extractors raise ValueError only.
+"""
+
+from __future__ import annotations
+
+import re
+
+_MAX_CUES = 100_000  # hostile-input cap
+
+_SRT_TS = re.compile(
+    r"^\s*\d{1,2}:\d{2}:\d{2}[,.]\d{3}\s*-->\s*\d{1,2}:\d{2}:\d{2}[,.]\d{3}"
+)
+_VTT_TS = re.compile(
+    r"^\s*(?:\d{1,2}:)?\d{2}:\d{2}\.\d{3}\s*-->\s*(?:\d{1,2}:)?\d{2}:\d{2}\.\d{3}"
+)
+_TAG = re.compile(r"<[^>\n]*>")
+
+
+def _decode(payload: bytes) -> str:
+    text = payload.decode("utf-8", errors="replace")
+    if text[:1] == "﻿":
+        text = text[1:]
+    return text.replace("\r\n", "\n").replace("\r", "\n")
+
+
+def is_srt(payload: bytes) -> bool:
+    """First non-blank line is a bare cue index, the next is a SubRip
+    timestamp line — prose and numbered lists fail the pair."""
+    lines = _decode(payload[:512]).split("\n")
+    i = 0
+    while i < len(lines) and not lines[i].strip():
+        i += 1
+    if i + 1 >= len(lines) or not lines[i].strip().isdigit():
+        return False
+    return bool(_SRT_TS.match(lines[i + 1]))
+
+
+def is_webvtt(payload: bytes) -> bool:
+    head = _decode(payload[:16])
+    return head[:6] == "WEBVTT" and head[6:7] in ("", "\n", " ", "\t")
+
+
+def _clean(line: str) -> str:
+    line = _TAG.sub("", line)
+    return (
+        line.replace("&nbsp;", " ")
+        .replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&amp;", "&")
+    )
+
+
+def extract_srt_text(payload: bytes) -> str:
+    """Cue texts in order, blank-line separated. ValueError only."""
+    blocks = re.split(r"\n\s*\n", _decode(payload))
+    if len(blocks) > _MAX_CUES:
+        raise ValueError(f"srt cue count exceeds {_MAX_CUES}")
+    cues: list[str] = []
+    for block in blocks:
+        lines = [ln for ln in block.split("\n")]
+        # drop leading index and timestamp lines, keep the text
+        while lines and (
+            not lines[0].strip()
+            or lines[0].strip().isdigit()
+            or _SRT_TS.match(lines[0])
+        ):
+            lines.pop(0)
+        text = "\n".join(_clean(ln).rstrip() for ln in lines).strip("\n")
+        if text.strip():
+            cues.append(text)
+    if not cues:
+        raise ValueError("srt payload has no cue text")
+    return "\n\n".join(cues)
+
+
+def extract_webvtt_text(payload: bytes) -> str:
+    """Cue texts in order, blank-line separated; header and NOTE/STYLE/
+    REGION blocks dropped. ValueError only."""
+    text = _decode(payload)
+    if text[:6] != "WEBVTT":
+        raise ValueError("missing WEBVTT magic")
+    blocks = re.split(r"\n\s*\n", text)
+    if len(blocks) > _MAX_CUES:
+        raise ValueError(f"vtt cue count exceeds {_MAX_CUES}")
+    cues: list[str] = []
+    for block in blocks[1:]:  # block 0 is the header
+        lines = block.split("\n")
+        first = lines[0].strip() if lines else ""
+        if first.startswith(("NOTE", "STYLE", "REGION")):
+            continue
+        # optional cue identifier (a line without -->) then timestamps
+        while lines and "-->" not in lines[0]:
+            lines.pop(0)
+        if not lines or not _VTT_TS.match(lines[0]):
+            continue
+        lines.pop(0)  # the timestamp/settings line
+        cue = "\n".join(_clean(ln).rstrip() for ln in lines).strip("\n")
+        if cue.strip():
+            cues.append(cue)
+    if not cues:
+        raise ValueError("vtt payload has no cue text")
+    return "\n\n".join(cues)
+
+
+def _fmt_ts(ms: int, sep: str) -> str:
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{frac:03d}"
+
+
+def build_srt(cues: list[tuple[int, int, str]]) -> bytes:
+    """Writer twin: (start_ms, end_ms, text) cues in SubRip wire form
+    (1-based indices, comma milliseconds, CRLF line breaks)."""
+    out = []
+    for i, (start, end, text) in enumerate(cues, start=1):
+        out.append(
+            f"{i}\r\n{_fmt_ts(start, ',')} --> {_fmt_ts(end, ',')}\r\n"
+            + text.replace("\n", "\r\n")
+        )
+    return ("\r\n\r\n".join(out) + "\r\n").encode("utf-8")
+
+
+def build_webvtt(cues: list[tuple[int, int, str]], *,
+                 note: str | None = None) -> bytes:
+    """Writer twin: WEBVTT header (+ optional NOTE block) then cues
+    with dot milliseconds and per-cue identifiers."""
+    out = ["WEBVTT - fixture"]
+    if note is not None:
+        out.append("NOTE " + note)
+    for i, (start, end, text) in enumerate(cues, start=1):
+        out.append(
+            f"cue-{i}\n{_fmt_ts(start, '.')} --> {_fmt_ts(end, '.')}"
+            " align:start\n" + text
+        )
+    return ("\n\n".join(out) + "\n").encode("utf-8")

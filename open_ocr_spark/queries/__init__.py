@@ -31,7 +31,8 @@ from open_ocr_spark.queries.extraction import (
     q_extract_latex_text, q_extract_main_text,
     q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
     q_extract_pdf_flate, q_extract_pdf_text, q_extract_pdf_tj,
-    q_extract_pptx_text, q_extract_rtf_text, q_extract_status_rollup,
+    q_extract_pptx_text, q_extract_rtf_text, q_extract_srt_text,
+    q_extract_status_rollup, q_extract_vtt_text,
     q_extract_structured_spans, q_extract_xlsx_text, q_multipart_roundtrip,
     q_url_fetch_roundtrip,
 )
@@ -258,6 +259,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_latex_text": q_extract_latex_text,
     "host_hits": q_host_hits,
     "clean_web_corpus": q_clean_web_corpus,
+    "extract_srt_text": q_extract_srt_text,
+    "extract_vtt_text": q_extract_vtt_text,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

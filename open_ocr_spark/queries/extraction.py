@@ -1693,3 +1693,61 @@ ORACLES["extract_latex_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_srt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip subtitle extraction (r5, kernels/subtitle_text.py): two
+    cues per document — one with inline ``<i>`` markup to strip, one
+    multi-line with a literal ampersand that must survive — so the
+    closed-form oracle checks index/timestamp dropping, tag stripping,
+    intra-cue line breaks, and cue joining at once."""
+    def build(i: int) -> bytes:
+        from open_ocr_spark.kernels.subtitle_text import build_srt
+
+        return build_srt([
+            (i * 1000, i * 1000 + 900, f"Cue one for {i} <i>café</i>."),
+            ((i + 1) * 1000, (i + 1) * 1000 + 900,
+             f"Line A {i % 5}\nLine B & tail."),
+        ])
+
+    return _twin_extract(spark, sf_dir, "https://sub.example.com/s/", build)
+
+
+ORACLES["extract_srt_text"] = """
+        SELECT doc_id,
+               'Cue one for ' || doc_id::VARCHAR || ' café.'
+               || chr(10) || chr(10)
+               || 'Line A ' || (doc_id % 5)::VARCHAR || chr(10)
+               || 'Line B & tail.' AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+def q_extract_vtt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT subtitle extraction (r5, kernels/subtitle_text.py): a
+    NOTE block to drop, cue identifiers and settings to drop, a voice
+    span to strip, and an ``&amp;`` reference to unescape — one
+    closed-form oracle over the whole grammar surface."""
+    def build(i: int) -> bytes:
+        from open_ocr_spark.kernels.subtitle_text import build_webvtt
+
+        return build_webvtt([
+            (0, 1500, f"<v Host>Welcome {i}.</v>"),
+            (2000, 3500, f"Second &amp; cue {i % 7}"),
+        ], note="fixture block, must drop")
+
+    return _twin_extract(spark, sf_dir, "https://sub.example.com/v/", build)
+
+
+ORACLES["extract_vtt_text"] = """
+        SELECT doc_id,
+               'Welcome ' || doc_id::VARCHAR || '.'
+               || chr(10) || chr(10)
+               || 'Second & cue ' || (doc_id % 7)::VARCHAR
+               AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

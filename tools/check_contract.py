@@ -115,6 +115,8 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "extract_latex_text",
         "host_hits",
         "clean_web_corpus",
+        "extract_srt_text",
+        "extract_vtt_text",
     ],
 }
 

@@ -19,6 +19,23 @@ from open_ocr_spark.dataops.dedup import exact_dedup
 from open_ocr_spark.dataops.textstats import scrub_pii, with_quality_score
 
 
+
+def train_test_split_col(id_col: str = "doc_id"):
+    """The engine's ONE train/test assignment rule: first 16 bits of
+    md5(id) mod 10, buckets 0-7 train (80/20).  Single-sourced here so
+    the rule cannot drift between operators — the same document must
+    land on the same side of the split everywhere, forever (DuckDB
+    spelling: ('0x' || substring(md5(id::VARCHAR), 1, 4))::INT % 10 < 8)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        F.when(bucket % 10 < 8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+
+
 def prepare_corpus(
     docs: DataFrame, min_quality: float = 0.3
 ) -> DataFrame:
@@ -47,14 +64,9 @@ def prepare_corpus(
     deduped = exact_dedup(scored)
     kept = deduped.filter(F.col("quality_score") >= min_quality)
     scrubbed = scrub_pii(kept, out="text_clean")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
     return scrubbed.select(
         "doc_id",
-        F.when(bucket % 10 < 8, F.lit("train"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        train_test_split_col(),
         "n_tokens",
         "quality_score",
         F.col("text_clean").alias("text"),
@@ -174,16 +186,11 @@ def clean_web_corpus(
         staged, min_docs=min_docs, frac_num=frac_num, frac_den=frac_den
     )
     flags = staged.select("doc_id", "was_repaired")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
     return stripped.join(flags, "doc_id").select(
         "doc_id",
         reflow_text(F.col("clean_text")).alias("text"),
         n_paragraphs(F.col("clean_text")).alias("n_paras"),
         "n_removed",
         "was_repaired",
-        F.when(bucket % 10 < 8, F.lit("train"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        train_test_split_col(),
     )

@@ -147,8 +147,11 @@ def _latex_sniff(payload: bytes) -> bool:
 
 def _vtt_sniff(payload: bytes) -> bool:
     """Lazy wrapper: only payloads opening with 'W' (the WEBVTT magic's
-    first byte, never HTML's '<') pay for the header check."""
-    if payload[:1] != b"W":
+    first byte, never HTML's '<') pay for the header check. The spec
+    permits a UTF-8 BOM before the magic (and Windows tools write it),
+    so the byte gate looks past one."""
+    head = payload[3:4] if payload[:3] == b"\xef\xbb\xbf" else payload[:1]
+    if head != b"W":
         return False
     from open_ocr_spark.kernels.subtitle_text import is_webvtt
 
@@ -156,9 +159,11 @@ def _vtt_sniff(payload: bytes) -> bool:
 
 
 def _srt_sniff(payload: bytes) -> bool:
-    """Lazy wrapper: only payloads whose first non-blank byte is a
-    digit (a SubRip cue index) pay for the index+timestamp pair scan."""
-    if not payload[:16].lstrip()[:1].isdigit():
+    """Lazy wrapper: only payloads whose first non-blank byte (after an
+    optional UTF-8 BOM) is a digit (a SubRip cue index) pay for the
+    index+timestamp pair scan."""
+    head = payload[3:19] if payload[:3] == b"\xef\xbb\xbf" else payload[:16]
+    if not head.lstrip()[:1].isdigit():
         return False
     from open_ocr_spark.kernels.subtitle_text import is_srt
 

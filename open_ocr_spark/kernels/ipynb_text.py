@@ -48,15 +48,33 @@ def _jsonish(payload: bytes) -> bool:
     return head[:1] == b"{" and b'"nbformat"' in payload
 
 
+def _load(payload: bytes):
+    """Parsed JSON value or None. The dispatch sniffs and THEN extracts
+    the same payload, so a 2-slot memo makes the hot path a single
+    parse per document instead of two (the keys are the payload bytes
+    themselves — no hashing beyond dict lookup, bounded residency)."""
+    cached = _LOAD_MEMO.get(payload)
+    if cached is not None:
+        return cached[0]
+    try:
+        nb = json.loads(payload.decode("utf-8", errors="replace"))
+    except (ValueError, RecursionError):
+        nb = None
+    if len(_LOAD_MEMO) >= 2:
+        _LOAD_MEMO.clear()
+    _LOAD_MEMO[payload] = (nb,)
+    return nb
+
+
+_LOAD_MEMO: dict[bytes, tuple] = {}
+
+
 def is_ipynb(payload: bytes) -> bool:
     """True iff the payload parses as a notebook-shaped JSON object:
     a dict with an integer ``nbformat`` and a ``cells`` list."""
     if not _jsonish(payload):
         return False
-    try:
-        nb = json.loads(payload.decode("utf-8", errors="replace"))
-    except (ValueError, RecursionError):
-        return False
+    nb = _load(payload)
     return (
         isinstance(nb, dict)
         and isinstance(nb.get("nbformat"), int)
@@ -97,10 +115,9 @@ def _output_text(out) -> str | None:
 
 def extract_ipynb_text(payload: bytes) -> str:
     """Render a notebook payload to text. ValueError only."""
-    try:
-        nb = json.loads(payload.decode("utf-8", errors="replace"))
-    except (ValueError, RecursionError) as exc:
-        raise ValueError(f"notebook JSON parse failed: {exc}") from None
+    nb = _load(payload)
+    if nb is None:
+        raise ValueError("notebook JSON parse failed")
     cells = nb.get("cells") if isinstance(nb, dict) else None
     if not isinstance(cells, list):
         raise ValueError("notebook has no cells list")

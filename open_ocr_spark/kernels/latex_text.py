@@ -192,6 +192,10 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
                 env, i = _brace_group(s, i)
                 env = (env or "").strip()
                 i = _skip_opt(s, i)
+                if env == "tabular*":
+                    # tabular* takes a width group BEFORE the column
+                    # spec; both are layout, not content
+                    _, i = _brace_group(s, i)
                 if env in ("tabular", "tabular*"):
                     # mandatory column-spec group ({ll} etc.) is layout,
                     # not content
@@ -203,7 +207,7 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
                 elif env in _MATH_ENVS:
                     raw.append(" ".join(body.split()))
                     out.append(f"\n\n\x00{len(raw) - 1}\x00\n\n")
-                elif env == "tabular":
+                elif env in ("tabular", "tabular*"):
                     cells = _render(body, depth + 1, raw)
                     cells = cells.replace("&", " ")
                     out.append("\n\n" + cells + "\n\n")
@@ -283,12 +287,29 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
 def extract_latex_text(payload: bytes) -> str:
     """Render a LaTeX payload to text. ValueError only."""
     src = payload.decode("utf-8", errors="replace")
+    # NUL never occurs in legitimate TeX source and is the sentinel
+    # alphabet below — strip it FIRST so a crafted \x00<idx>\x00 in the
+    # input can neither crash the un-parking nor substitute parked
+    # content (hostile-input hardening, pinned by test)
+    src = src.replace("\x00", "")
+    raw: list[str] = []
+
+    def _park_verbatim(m: re.Match) -> str:
+        raw.append(m.group(1).strip("\n"))
+        return f"\n\n\x00{len(raw) - 1}\x00\n\n"
+
+    # park verbatim bodies BEFORE the comment strip: '%' inside
+    # verbatim is content, and the byte-verbatim promise must survive
+    # the global comment pass (pinned by test)
+    src = re.sub(
+        r"\\begin\{verbatim\}(.*?)(?:\\end\{verbatim\}|\Z)",
+        _park_verbatim, src, flags=re.S,
+    )
     src = _strip_comments(src)
     m = re.search(r"\\begin\{document\}", src)
     if not m:
         raise ValueError("no \\begin{document} body")
     body, _ = _find_env_end(src, m.end(), "document")
-    raw: list[str] = []
     text = _collapse(_render(body, 0, raw))
     # un-park verbatim/math blocks after whitespace normalization
     return re.sub(r"\x00(\d+)\x00", lambda mm: raw[int(mm.group(1))], text)

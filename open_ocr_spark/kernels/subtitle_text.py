@@ -16,10 +16,12 @@ rendering rules, pinned by the writer twins + unit fixtures:
   lines are machinery, not content — dropped;
 - WebVTT NOTE / STYLE / REGION blocks and the header block are
   dropped;
-- inline markup is stripped: ``<i>``/``<b>``/``<v Speaker>``/``<c>``
-  voice/class spans and mid-cue ``<00:01:02.000>`` karaoke timestamps
-  all reduce to their text (one tag regex — a cue's angle-bracket
-  payload is markup by grammar, unlike HTML prose);
+- inline markup is stripped: in WebVTT every ``<...>`` span is markup
+  by grammar (a literal ``<`` must be ``&lt;``), so voice/class spans
+  and mid-cue ``<00:01:02.000>`` karaoke timestamps all reduce to
+  their text; SubRip has NO escaping mechanism, so only the de-facto
+  formatting tags (``<i> <b> <u> <s> <font>``) strip there and
+  angle-bracket prose ("x < y") survives;
 - the three WebVTT character references that survive tag stripping
   unescape (``&amp;`` ``&lt;`` ``&gt;``), ``&nbsp;`` becomes a plain
   space.
@@ -42,6 +44,10 @@ _VTT_TS = re.compile(
     r"^\s*(?:\d{1,2}:)?\d{2}:\d{2}\.\d{3}\s*-->\s*(?:\d{1,2}:)?\d{2}:\d{2}\.\d{3}"
 )
 _TAG = re.compile(r"<[^>\n]*>")
+# SubRip has NO escaping mechanism, so a bare '<' can be prose ("x < y")
+# — only the de-facto formatting tags strip there, unlike WebVTT where
+# the grammar requires '&lt;' for a literal '<'
+_SRT_TAG = re.compile(r"</?(?:i|b|u|s|font)\b[^>\n]*>", re.IGNORECASE)
 
 
 def _decode(payload: bytes) -> str:
@@ -68,8 +74,8 @@ def is_webvtt(payload: bytes) -> bool:
     return head[:6] == "WEBVTT" and head[6:7] in ("", "\n", " ", "\t")
 
 
-def _clean(line: str) -> str:
-    line = _TAG.sub("", line)
+def _clean(line: str, tag: re.Pattern = _TAG) -> str:
+    line = tag.sub("", line)
     return (
         line.replace("&nbsp;", " ")
         .replace("&lt;", "<")
@@ -85,15 +91,23 @@ def extract_srt_text(payload: bytes) -> str:
         raise ValueError(f"srt cue count exceeds {_MAX_CUES}")
     cues: list[str] = []
     for block in blocks:
-        lines = [ln for ln in block.split("\n")]
-        # drop leading index and timestamp lines, keep the text
-        while lines and (
-            not lines[0].strip()
-            or lines[0].strip().isdigit()
-            or _SRT_TS.match(lines[0])
+        lines = block.split("\n")
+        # machinery = leading blanks, at most ONE index line directly
+        # before the timestamp line, and the timestamp line itself —
+        # a digit-only line AFTER the timestamps is cue text ("2024")
+        while lines and not lines[0].strip():
+            lines.pop(0)
+        if (
+            len(lines) >= 2
+            and lines[0].strip().isdigit()
+            and _SRT_TS.match(lines[1])
         ):
             lines.pop(0)
-        text = "\n".join(_clean(ln).rstrip() for ln in lines).strip("\n")
+        if lines and _SRT_TS.match(lines[0]):
+            lines.pop(0)
+        text = "\n".join(
+            _clean(ln, _SRT_TAG).rstrip() for ln in lines
+        ).strip("\n")
         if text.strip():
             cues.append(text)
     if not cues:

@@ -250,16 +250,10 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split a training pipeline must be able to reproduce on any engine,
     at any parallelism, forever. md5 of the doc id (not xxhash64: that's
     engine-specific) ⇒ the oracle reproduces the exact assignment."""
+    from open_ocr_spark.dataops.corpus import train_test_split_col
+
     docs = _t(spark, sf_dir, "documents").orderBy("doc_id")  # sort-early
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
-    return docs.select(
-        "doc_id",
-        F.when(bucket % 10 < 8, F.lit("train")).otherwise(F.lit("test")).alias(
-            "split"
-        ),
-    )
+    return docs.select("doc_id", train_test_split_col())
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

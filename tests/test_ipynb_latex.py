@@ -220,3 +220,36 @@ def test_dispatch_total_on_notebook_and_tex_prefixes(payload):
         text, status, _ = extract_document(prefix + payload)
         assert isinstance(text, str)
         assert status == "ok" or status.startswith("error:")
+
+
+# --- post-review hardening regressions ---------------------------------------
+
+
+def test_latex_nul_sentinel_injection_is_inert():
+    # a crafted \x00<idx>\x00 in the INPUT must neither crash the
+    # un-parking nor substitute parked content
+    doc = (b"\\documentclass{article}\n\\begin{document}\n"
+           b"A \x000\x00 B\n\\end{document}")
+    assert extract_latex_text(doc) == "A 0 B"
+    doc2 = (b"\\documentclass{article}\n\\begin{document}\n"
+            b"\\begin{verbatim}\nSECRET\n\\end{verbatim}\n"
+            b"X \x000\x00 Y\n\\end{document}")
+    out = extract_latex_text(doc2)
+    assert out.count("SECRET") == 1
+    assert "X 0 Y" in out
+
+
+def test_latex_percent_inside_verbatim_is_content():
+    doc = (b"\\documentclass{article}\n\\begin{document}\n"
+           b"\\begin{verbatim}\nprintf(\"100%d done\");\nnext line\n"
+           b"\\end{verbatim}\n\\end{document}")
+    assert extract_latex_text(doc) == 'printf("100%d done");\nnext line'
+
+
+def test_latex_tabular_star_width_and_spec_are_layout():
+    doc = (b"\\documentclass{article}\n\\begin{document}\n"
+           b"\\begin{tabular*}{10cm}{ll} a & b \\\\ c & d \\end{tabular*}\n"
+           b"\\end{document}")
+    out = extract_latex_text(doc)
+    assert "10cm" not in out and "ll" not in out
+    assert "a b c d" in out

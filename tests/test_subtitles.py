@@ -87,3 +87,25 @@ def test_dispatch_total_on_subtitle_prefixes(payload):
         text, status, _ = extract_document(prefix + payload)
         assert isinstance(text, str)
         assert status == "ok" or status.startswith("error:")
+
+
+# --- post-review hardening regressions ---------------------------------------
+
+
+def test_bom_prefixed_payloads_route_through_dispatch():
+    bom = "\ufeff".encode("utf-8")
+    vtt = bom + b"WEBVTT\n\n00:00.000 --> 00:01.000\nHello world\n"
+    assert extract_document(vtt) == ("Hello world", "ok", "")
+    srt = bom + build_srt([(0, 1000, "BOM cue.")])
+    assert extract_document(srt) == ("BOM cue.", "ok", "")
+
+
+def test_srt_numeric_cue_text_survives():
+    raw = build_srt([(0, 1000, "2024"), (2000, 3000, "was a year")])
+    assert extract_srt_text(raw) == "2024\n\nwas a year"
+
+
+def test_srt_angle_bracket_prose_survives():
+    raw = build_srt([(0, 1000, "5 < x and y > 2"),
+                     (2000, 3000, "<i>styled</i> <font color=red>red</font>")])
+    assert extract_srt_text(raw) == "5 < x and y > 2\n\nstyled red"

@@ -127,6 +127,18 @@ def main():
             "the refresh-edge filter cannot re-substitute the extraction "
             "chain; the chain-final join is the only join family."
         ),
+        "host_hits": (
+            "Each half-step: equi-join on the node key + partial/final "
+            "HashAggregate + the 1-row divisor broadcast; ExistingRDD "
+            "leaves (localCheckpoint pins) keep the plan O(1) deep across "
+            "iterations; the only nested-loop join is the 1-row divisor."
+        ),
+        "clean_web_corpus": (
+            "Repair and reflow fuse into codegen projections; the "
+            "template verdict and repair-flag joins broadcast; at most 6 "
+            "shuffle exchanges (two countDistinct aggregates, per-doc "
+            "reassembly, output sort); no Python node anywhere."
+        ),
     }
     for name, expect in checks.items():
         sections.append((name, expect, QUERIES[name](spark, SF)))

@@ -215,3 +215,78 @@ def parse_robots_meta(robots: DataFrame, agent: str = "*") -> DataFrame:
     return robots.select("host", "robots_txt").mapInPandas(
         kernel, META_SCHEMA
     )
+
+
+# --- page-level indexing directives (r5) ------------------------------------
+#
+# robots.txt governs CRAWLING; whether a fetched page may be INDEXED is
+# declared per page, in two places a pipeline must honor together
+# (Google's robots-meta documentation; the de-facto standard every
+# engine implements): a <meta name="robots" content="..."> tag in the
+# HTML head, and an X-Robots-Tag HTTP response header.  Directives from
+# both sources UNION (the most restrictive wins per directive), and
+# "none" is shorthand for "noindex, nofollow".
+#
+# Pure Catalyst: regexp_extract_all in the shared Java-regex/RE2 subset
+# (no lookbehind, inline (?i) case folding), so the gate is a
+# shuffle-free projection that scales as a map over the corpus.
+
+_META_ROBOTS_NAME_FIRST = (
+    r'(?i)<meta\s+name\s*=\s*["\']?robots["\']?\s+'
+    r'content\s*=\s*["\']([^"\'>]*)["\']'
+)
+_META_ROBOTS_CONTENT_FIRST = (
+    r'(?i)<meta\s+content\s*=\s*["\']([^"\'>]*)["\']\s+'
+    r'name\s*=\s*["\']?robots["\']?'
+)
+_X_ROBOTS_HEADER = r"(?i)x-robots-tag:\s*([^\r\n]+)"
+
+
+def index_directives(
+    pages: DataFrame,
+    html_col: str = "html",
+    headers_col: str = "headers",
+) -> DataFrame:
+    """All original columns plus the combined per-page indexing
+    verdict: ``noindex`` / ``nofollow`` / ``noarchive`` booleans and
+    ``from_meta`` / ``from_header`` provenance flags.  A directive
+    counts when it appears, comma-separated, in any robots meta tag
+    (either attribute order) or any X-Robots-Tag header line; ``none``
+    implies noindex AND nofollow."""
+    html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    headers = F.coalesce(F.col(headers_col), F.lit(""))
+    metas = F.concat(
+        F.regexp_extract_all(html, F.lit(_META_ROBOTS_NAME_FIRST), F.lit(1)),
+        F.regexp_extract_all(
+            html, F.lit(_META_ROBOTS_CONTENT_FIRST), F.lit(1)
+        ),
+    )
+    hdrs = F.regexp_extract_all(headers, F.lit(_X_ROBOTS_HEADER), F.lit(1))
+
+    def _tokens(sources):
+        # each source string is a comma-separated directive list; trim +
+        # lowercase each token into one flat array
+        return F.flatten(
+            F.transform(
+                sources,
+                lambda s: F.transform(
+                    F.split(s, ","), lambda t: F.lower(F.trim(t))
+                ),
+            )
+        )
+
+    toks = F.array_union(_tokens(metas), _tokens(hdrs))
+
+    def _has(directive: str):
+        return F.array_contains(toks, directive) | F.array_contains(
+            toks, "none"
+        )
+
+    return pages.select(
+        "*",
+        _has("noindex").alias("noindex"),
+        _has("nofollow").alias("nofollow"),
+        F.array_contains(toks, "noarchive").alias("noarchive"),
+        (F.size(metas) > 0).alias("from_meta"),
+        (F.size(hdrs) > 0).alias("from_header"),
+    )

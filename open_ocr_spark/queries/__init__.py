@@ -87,7 +87,7 @@ from open_ocr_spark.queries.webops import (
     q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
     q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
-    q_robots_gate,
+    q_noindex_gate, q_robots_gate,
     q_robots_meta,
     q_sitemap_discovery, q_soft_404_gate, q_url_features,
     q_warc_charset_extract, q_warc_http,
@@ -261,6 +261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_web_corpus": q_clean_web_corpus,
     "extract_srt_text": q_extract_srt_text,
     "extract_vtt_text": q_extract_vtt_text,
+    "noindex_gate": q_noindex_gate,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -2946,3 +2946,52 @@ ORACLES["host_hits"] = """
         FROM h3 JOIN a3 ON a3.n = h3.n
         ORDER BY host
     """
+
+
+def q_noindex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level indexing directives (r5, dataops/robots.py
+    index_directives): six fixture classes cover both meta attribute
+    orders, case folding, the X-Robots-Tag header, meta+header union,
+    the ``none`` shorthand, and the no-directive default — the oracle
+    states the expected verdict per class in closed form while the
+    Spark side parses real HTML/header text."""
+    from open_ocr_spark.dataops.robots import index_directives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.when(m == 0, F.lit(
+            '<meta name="robots" content="noindex, nofollow">'))
+        .when(m == 1, F.lit("<meta content='NOINDEX' name=robots>"))
+        .when(m == 3, F.lit('<meta name=robots content="noindex">'))
+        .otherwise(F.lit("<meta name=viewport content=width-device>")),
+        F.lit("</head><body>p</body></html>"),
+    )
+    headers = F.when(
+        m == 2, F.lit("Content-Type: text/html\r\n"
+                      "X-Robots-Tag: noarchive, nofollow\r\n")
+    ).when(m == 3, F.lit("X-Robots-Tag: NOFOLLOW\r\n")) \
+     .when(m == 4, F.lit("x-robots-tag: none\r\n")) \
+     .otherwise(F.lit("Content-Type: text/html\r\n"))
+    pages = docs.select(
+        "doc_id", html.alias("html"), headers.alias("headers")
+    )
+    return (
+        index_directives(pages)
+        .select("doc_id", "noindex", "nofollow", "noarchive",
+                "from_meta", "from_header")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["noindex_gate"] = """
+        SELECT doc_id,
+               (doc_id % 6) IN (0, 1, 3, 4) AS noindex,
+               (doc_id % 6) IN (0, 2, 3, 4) AS nofollow,
+               (doc_id % 6) = 2 AS noarchive,
+               (doc_id % 6) IN (0, 1, 3) AS from_meta,
+               (doc_id % 6) IN (2, 3, 4) AS from_header
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -154,3 +154,44 @@ def test_meta_spark_kernel(spark):
            for r in parse_robots_meta(robots).collect()}
     assert got == {"a.com": (1000, ["https://a.com/s.xml"]),
                    "b.com": (None, [])}
+
+
+# --- page-level indexing directives (r5) ------------------------------------
+
+
+def test_index_directives_union_and_none(spark):
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.robots import index_directives
+
+    rows = [
+        (0, '<meta name="robots" content="noindex">', "X-Robots-Tag: nofollow\r\n"),
+        (1, "<meta content='NONE' name=robots>", ""),
+        (2, "<meta name=viewport content=x>", "Content-Type: text/html\r\n"),
+        (3, "", "x-robots-tag: NOARCHIVE\r\nX-Robots-Tag: nofollow\r\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, headers string")
+    got = {
+        r["doc_id"]: (r["noindex"], r["nofollow"], r["noarchive"],
+                      r["from_meta"], r["from_header"])
+        for r in index_directives(df).collect()
+    }
+    assert got[0] == (True, True, False, True, True)    # union of sources
+    assert got[1] == (True, True, False, True, False)   # none shorthand
+    assert got[2] == (False, False, False, False, False)
+    assert got[3] == (False, True, True, False, True)   # two header lines
+
+
+def test_index_directives_is_shuffle_free(spark):
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.robots import index_directives
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", F.col("text").alias("html"), F.lit("").alias("headers"))
+    plan = index_directives(docs)._sc._jvm.PythonSQLUtils.explainString(
+        index_directives(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

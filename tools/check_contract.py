@@ -117,6 +117,7 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "clean_web_corpus",
         "extract_srt_text",
         "extract_vtt_text",
+        "noindex_gate",
     ],
 }
 

@@ -200,6 +200,8 @@ HEADLINE = [
     "ngram_containment_pairs",  # (r5 late) prefix-filtered subset pairs
     "extraction_eval",  # (r5 late) token-multiset full-outer scoring
     "extract_zip_text",  # (r5 late) archive-member dispatch recursion
+    "extract_latex_text",  # (r5 final) markup-resolving conversion branch
+    "clean_web_corpus",  # (r5 final) composed repair->strip->reflow chain
 ]
 
 

@@ -231,15 +231,25 @@ def parse_robots_meta(robots: DataFrame, agent: str = "*") -> DataFrame:
 # (no lookbehind, inline (?i) case folding), so the gate is a
 # shuffle-free projection that scales as a map over the corpus.
 
-_META_ROBOTS_NAME_FIRST = (
-    r'(?i)<meta\s+name\s*=\s*["\']?robots["\']?\s+'
-    r'content\s*=\s*["\']([^"\'>]*)["\']'
+# Attribute order and quoting both vary in the wild: other attributes
+# may sit between name and content, and content may be unquoted — four
+# patterns (name-first/content-first x quoted/unquoted) cover the
+# combinations; \b after "robots" rejects name="robotsx".
+_META_ROBOTS = (
+    r'(?i)<meta\b[^>]*\bname\s*=\s*["\']?robots\b["\']?[^>]*'
+    r'\bcontent\s*=\s*["\']([^"\'>]*)["\']',
+    r'(?i)<meta\b[^>]*\bname\s*=\s*["\']?robots\b["\']?[^>]*'
+    r'\bcontent\s*=\s*([^\s"\'>]+)',
+    r'(?i)<meta\b[^>]*\bcontent\s*=\s*["\']([^"\'>]*)["\'][^>]*'
+    r'\bname\s*=\s*["\']?robots\b["\']?',
+    r'(?i)<meta\b[^>]*\bcontent\s*=\s*([^\s"\'>]+)[^>]*'
+    r'\bname\s*=\s*["\']?robots\b["\']?',
 )
-_META_ROBOTS_CONTENT_FIRST = (
-    r'(?i)<meta\s+content\s*=\s*["\']([^"\'>]*)["\']\s+'
-    r'name\s*=\s*["\']?robots["\']?'
-)
-_X_ROBOTS_HEADER = r"(?i)x-robots-tag:\s*([^\r\n]+)"
+# Line-anchored so 'My-X-Robots-Tag:' or the literal text inside a
+# header VALUE cannot fabricate directives. Agent-scoped forms
+# ("X-Robots-Tag: googlebot: noindex") tokenize to directives that
+# match nothing — out of scope, documented.
+_X_ROBOTS_HEADER = r"(?im)^x-robots-tag:\s*([^\r\n]+)"
 
 
 def index_directives(
@@ -256,10 +266,8 @@ def index_directives(
     html = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
     headers = F.coalesce(F.col(headers_col), F.lit(""))
     metas = F.concat(
-        F.regexp_extract_all(html, F.lit(_META_ROBOTS_NAME_FIRST), F.lit(1)),
-        F.regexp_extract_all(
-            html, F.lit(_META_ROBOTS_CONTENT_FIRST), F.lit(1)
-        ),
+        *[F.regexp_extract_all(html, F.lit(p), F.lit(1))
+          for p in _META_ROBOTS]
     )
     hdrs = F.regexp_extract_all(headers, F.lit(_X_ROBOTS_HEADER), F.lit(1))
 

@@ -155,6 +155,16 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
     out: list[str] = []
     i, n = 0, len(s)
     size = 0
+
+    def emit(piece: str) -> None:
+        # single append point so the output cap counts exactly what was
+        # produced — no per-iteration re-adds, no uncounted branches
+        nonlocal size
+        size += len(piece)
+        if size > _MAX_TEXT:
+            raise ValueError(f"rendered latex text exceeds {_MAX_TEXT}")
+        out.append(piece)
+
     while i < n:
         c = s[i]
         if c == "\\":
@@ -162,23 +172,23 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
             if nxt == "\\":
                 # line break; swallow an optional [4pt]-style length
                 i = _skip_opt(s, i + 2)
-                out.append("\n")
+                emit("\n")
                 continue
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
+                emit(_ESCAPES[nxt])
                 i += 2
                 continue
             if nxt == "(":
                 j = s.find("\\)", i + 2)
                 j = n if j < 0 else j
-                out.append(s[i + 2:j])
+                emit(s[i + 2:j])
                 i = min(j + 2, n)
                 continue
             if nxt == "[":
                 j = s.find("\\]", i + 2)
                 j = n if j < 0 else j
                 raw.append(" ".join(s[i + 2:j].split()))
-                out.append(f"\n\n\x00{len(raw) - 1}\x00\n\n")
+                emit(f"\n\n\x00{len(raw) - 1}\x00\n\n")
                 i = min(j + 2, n)
                 continue
             m = _CMD_RE.match(s, i + 1)
@@ -201,34 +211,31 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
                     # not content
                     _, i = _brace_group(s, i)
                 body, i = _find_env_end(s, i, env)
-                if env == "verbatim":
-                    raw.append(body.strip("\n"))
-                    out.append(f"\n\n\x00{len(raw) - 1}\x00\n\n")
-                elif env in _MATH_ENVS:
+                if env in _MATH_ENVS:
                     raw.append(" ".join(body.split()))
-                    out.append(f"\n\n\x00{len(raw) - 1}\x00\n\n")
+                    emit(f"\n\n\x00{len(raw) - 1}\x00\n\n")
                 elif env in ("tabular", "tabular*"):
                     cells = _render(body, depth + 1, raw)
                     cells = cells.replace("&", " ")
-                    out.append("\n\n" + cells + "\n\n")
+                    emit("\n\n" + cells + "\n\n")
                 else:
                     # list/quote/figure/unknown: contents render,
                     # paragraph-separated from the surroundings
-                    out.append("\n\n" + _render(body, depth + 1, raw)
+                    emit("\n\n" + _render(body, depth + 1, raw)
                                + "\n\n")
             elif base == "end":
                 _, i = _brace_group(s, i)  # unbalanced \end: drop
             elif base == "item":
                 i = _skip_opt(s, i)
-                out.append("\n\n")
+                emit("\n\n")
             elif base in _SECTIONING:
                 i = _skip_opt(s, i)
                 arg, i = _brace_group(s, i)
-                out.append("\n\n" + _render(arg or "", depth + 1, raw)
+                emit("\n\n" + _render(arg or "", depth + 1, raw)
                            + "\n\n")
             elif base in _KEEP_INNER:
                 arg, i = _brace_group(s, i)
-                out.append(_render(arg or "", depth + 1, raw))
+                emit(_render(arg or "", depth + 1, raw))
             elif base in _DROP_WITH_ARGS:
                 while True:
                     j = _skip_opt(s, i)
@@ -251,36 +258,33 @@ def _render(s: str, depth: int, raw: list[str]) -> str:
             body = s[i + open_len:j]
             if dbl:
                 raw.append(" ".join(body.split()))
-                out.append(f"\n\n\x00{len(raw) - 1}\x00\n\n")
+                emit(f"\n\n\x00{len(raw) - 1}\x00\n\n")
             else:
-                out.append(body)
+                emit(body)
             i = min(j + open_len, n)
         elif c == "{":
             arg, i = _brace_group(s, i)
-            out.append(_render(arg or "", depth + 1, raw))
+            emit(_render(arg or "", depth + 1, raw))
         elif c == "}":
             i += 1  # stray close brace: drop
         elif c == "~":
-            out.append(" ")
+            emit(" ")
             i += 1
         elif c == "-" and s[i:i + 3] == "---":
-            out.append("\u2014")
+            emit("\u2014")
             i += 3
         elif c == "-" and s[i:i + 2] == "--":
-            out.append("\u2013")
+            emit("\u2013")
             i += 2
         elif c == "`" and s[i:i + 2] == "``":
-            out.append("\u201c")
+            emit("\u201c")
             i += 2
         elif c == "'" and s[i:i + 2] == "''":
-            out.append("\u201d")
+            emit("\u201d")
             i += 2
         else:
-            out.append(c)
+            emit(c)
             i += 1
-        size += len(out[-1]) if out else 0
-        if size > _MAX_TEXT:
-            raise ValueError(f"rendered latex text exceeds {_MAX_TEXT}")
     return "".join(out)
 
 

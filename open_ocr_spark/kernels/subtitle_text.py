@@ -37,11 +37,13 @@ import re
 
 _MAX_CUES = 100_000  # hostile-input cap
 
+# hours take "two or more digits" in WebVTT (and long SRT streams pass
+# 99h), so the hour field is \d+ rather than \d{1,2}
 _SRT_TS = re.compile(
-    r"^\s*\d{1,2}:\d{2}:\d{2}[,.]\d{3}\s*-->\s*\d{1,2}:\d{2}:\d{2}[,.]\d{3}"
+    r"^\s*\d+:\d{2}:\d{2}[,.]\d{3}\s*-->\s*\d+:\d{2}:\d{2}[,.]\d{3}"
 )
 _VTT_TS = re.compile(
-    r"^\s*(?:\d{1,2}:)?\d{2}:\d{2}\.\d{3}\s*-->\s*(?:\d{1,2}:)?\d{2}:\d{2}\.\d{3}"
+    r"^\s*(?:\d+:)?\d{2}:\d{2}\.\d{3}\s*-->\s*(?:\d+:)?\d{2}:\d{2}\.\d{3}"
 )
 _TAG = re.compile(r"<[^>\n]*>")
 # SubRip has NO escaping mechanism, so a bare '<' can be prose ("x < y")
@@ -75,6 +77,9 @@ def is_webvtt(payload: bytes) -> bool:
 
 
 def _clean(line: str, tag: re.Pattern = _TAG) -> str:
+    """WebVTT cleaning: strip markup spans, then unescape the character
+    references the grammar defines. SRT cues use _clean_srt — SubRip
+    has no escaping, so its bytes are content and never unescape."""
     line = tag.sub("", line)
     return (
         line.replace("&nbsp;", " ")
@@ -82,6 +87,10 @@ def _clean(line: str, tag: re.Pattern = _TAG) -> str:
         .replace("&gt;", ">")
         .replace("&amp;", "&")
     )
+
+
+def _clean_srt(line: str) -> str:
+    return _SRT_TAG.sub("", line)
 
 
 def extract_srt_text(payload: bytes) -> str:
@@ -106,7 +115,7 @@ def extract_srt_text(payload: bytes) -> str:
         if lines and _SRT_TS.match(lines[0]):
             lines.pop(0)
         text = "\n".join(
-            _clean(ln, _SRT_TAG).rstrip() for ln in lines
+            _clean_srt(ln).rstrip() for ln in lines
         ).strip("\n")
         if text.strip():
             cues.append(text)
@@ -125,10 +134,16 @@ def extract_webvtt_text(payload: bytes) -> str:
     if len(blocks) > _MAX_CUES:
         raise ValueError(f"vtt cue count exceeds {_MAX_CUES}")
     cues: list[str] = []
-    for block in blocks[1:]:  # block 0 is the header
+    for bi, block in enumerate(blocks):
         lines = block.split("\n")
+        if bi == 0:
+            # the header block: drop the WEBVTT line; if a cue follows
+            # WITHOUT a blank separator (malformed but common), the
+            # remaining lines flow through the normal cue path, and a
+            # pure header (metadata, no -->) falls out naturally
+            lines = lines[1:]
         first = lines[0].strip() if lines else ""
-        if first.startswith(("NOTE", "STYLE", "REGION")):
+        if re.match(r"(?:NOTE|STYLE|REGION)(?:\s|$)", first):
             continue
         # optional cue identifier (a line without -->) then timestamps
         while lines and "-->" not in lines[0]:

@@ -195,3 +195,25 @@ def test_index_directives_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_index_directives_attribute_variants(spark):
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.robots import index_directives
+
+    rows = [
+        # unquoted content value
+        (0, '<meta name="robots" content=noindex>', ""),
+        # attribute between name and content
+        (1, '<meta name="robots" id="m" content="noindex">', ""),
+        # name=robotsx must NOT match
+        (2, '<meta name="robotsx" content="noindex">', ""),
+        # X-Robots-Tag as a substring of another header name: no match
+        (3, "", "My-X-Robots-Tag: noindex\r\n"),
+        # first header line (no preceding newline) still anchors
+        (4, "", "X-Robots-Tag: noindex\r\nContent-Type: text/html\r\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, headers string")
+    got = {r["doc_id"]: r["noindex"] for r in index_directives(df).collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False, 4: True}

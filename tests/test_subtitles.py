@@ -109,3 +109,30 @@ def test_srt_angle_bracket_prose_survives():
     raw = build_srt([(0, 1000, "5 < x and y > 2"),
                      (2000, 3000, "<i>styled</i> <font color=red>red</font>")])
     assert extract_srt_text(raw) == "5 < x and y > 2\n\nstyled red"
+
+
+def test_vtt_headerless_first_cue_and_pure_header():
+    raw = b"WEBVTT\n00:00:01.000 --> 00:00:02.000\nHello"
+    assert extract_webvtt_text(raw) == "Hello"
+    # a real header block (metadata, no -->) still drops cleanly
+    raw2 = (b"WEBVTT\nKind: captions\nLanguage: en\n\n"
+            b"00:00:01.000 --> 00:00:02.000\nBody")
+    assert extract_webvtt_text(raw2) == "Body"
+
+
+def test_hours_over_99_are_machinery_not_content():
+    vtt = (b"WEBVTT\n\n100:00:01.000 --> 100:00:04.000\nLate cue\n")
+    assert extract_webvtt_text(vtt) == "Late cue"
+    srt = b"1\n100:00:00,000 --> 100:00:01,000\nLong stream\n"
+    assert extract_srt_text(srt) == "Long stream"
+
+
+def test_vtt_cue_identifier_starting_with_note_is_a_cue():
+    raw = (b"WEBVTT\n\nNOTES on the intro\n"
+           b"00:00:01.000 --> 00:00:03.000\nActual dialogue\n")
+    assert extract_webvtt_text(raw) == "Actual dialogue"
+
+
+def test_srt_character_references_are_literal_bytes():
+    raw = build_srt([(0, 1000, "use &lt;tag&gt; here & now")])
+    assert extract_srt_text(raw) == "use &lt;tag&gt; here & now"

@@ -254,6 +254,14 @@ def generate_pages(n_rows: int = 500, seed: int = SEED):
             )
             expected = f"{prose}\n\ny = {i}\nprint(y)\n\n{i}"
             status = "ok"
+        elif kind == 1:
+            # PostScript payload (r5): moveto/show lines + escaped parens
+            from open_ocr_spark.kernels.ps_text import build_ps
+
+            l1 = _paragraph(rng, 6) + " (quoted)."
+            l2 = _paragraph(rng, 5)
+            html = build_ps([[l1, l2]])
+            expected, status = f"{l1}\n{l2}", "ok"
         elif kind == 2:
             # subtitle payload (r5): SRT and WebVTT alternate by row.
             # NOT kind 3/13: i % 10 == 3 rows are re-crawled below and

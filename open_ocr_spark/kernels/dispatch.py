@@ -464,6 +464,16 @@ def extract_document(
                     text = extract_latex_text(payload)
                 except ValueError as exc:
                     return "", "error:latex-unsupported", str(exc)
+            elif payload[:4] == b"%!PS":
+                # PostScript routes by DSC magic like PDF (r5,
+                # kernels/ps_text.py): scan-based text-show recovery,
+                # the pre-PDF sibling of the convert-pdf branch
+                from open_ocr_spark.kernels.ps_text import extract_ps_text
+
+                try:
+                    text = extract_ps_text(payload)
+                except ValueError as exc:
+                    return "", "error:ps-unsupported", str(exc)
             elif _vtt_sniff(payload):
                 # WebVTT subtitles (r5, kernels/subtitle_text.py): cue
                 # text in cue order, timing/markup machinery dropped

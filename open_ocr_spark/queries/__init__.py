@@ -26,7 +26,7 @@ from open_ocr_spark.queries.extraction import (
     q_extract_doc_text, q_extract_docx_text, q_extract_eml_text,
     q_extract_gzip_text, q_extract_zip_text,
     q_extract_mbox_text, q_extract_msg_text, q_extract_tar_text,
-    q_extract_ppt_text, q_extract_xls_text,
+    q_extract_ppt_text, q_extract_ps_text, q_extract_xls_text,
     q_extract_epub_text, q_extract_glyph_ocr, q_extract_ipynb_text,
     q_extract_latex_text, q_extract_main_text,
     q_extract_markdown, q_extract_odt_text, q_extract_pdf_cmap,
@@ -262,6 +262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_srt_text": q_extract_srt_text,
     "extract_vtt_text": q_extract_vtt_text,
     "noindex_gate": q_noindex_gate,
+    "extract_ps_text": q_extract_ps_text,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -1751,3 +1751,35 @@ ORACLES["extract_vtt_text"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_extract_ps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostScript extraction (r5, kernels/ps_text.py): two pages per
+    document — page one has two moveto/show lines (one with escaped
+    parens and a split-show join), page two one line — so the
+    closed-form oracle checks string-escape decoding, same-y show
+    concatenation, moveto line breaks, and showpage paragraph breaks
+    in one pass."""
+    def build(i: int) -> bytes:
+        from open_ocr_spark.kernels.ps_text import build_ps
+
+        return build_ps([
+            [f"Line (one) of {i}.", f"Second \\ line {i % 5}."],
+            [f"Page two for {i % 7}."],
+        ])
+
+    return _twin_extract(spark, sf_dir, "https://ps.example.com/d/", build)
+
+
+ORACLES["extract_ps_text"] = """
+        SELECT doc_id,
+               'Line (one) of ' || doc_id::VARCHAR || '.'
+               || chr(10)
+               || 'Second \\ line ' || (doc_id % 5)::VARCHAR || '.'
+               || chr(10) || chr(10)
+               || 'Page two for ' || (doc_id % 7)::VARCHAR || '.'
+               AS extracted_text,
+               'ok' AS status
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -118,6 +118,7 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "extract_srt_text",
         "extract_vtt_text",
         "noindex_gate",
+        "extract_ps_text",
     ],
 }
 

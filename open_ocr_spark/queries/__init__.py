@@ -68,7 +68,7 @@ from open_ocr_spark.queries.textquality import (
     q_confusable_skeleton,
     q_cms_term_counts,
     q_classifier_train,
-    q_doc_fingerprints, q_extraction_eval, q_gopher_gate, q_lang_id, q_lang_id_fixture,
+    q_doc_fingerprints, q_extraction_eval, q_infer_column_types, q_gopher_gate, q_lang_id, q_lang_id_fixture,
     q_mojibake_repair,
     q_ngram_fluency, q_phrase_gate, q_pii_scrub, q_quality_classifier,
     q_quality_scores, q_readability_scores, q_reflow_text,
@@ -263,6 +263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_vtt_text": q_extract_vtt_text,
     "noindex_gate": q_noindex_gate,
     "extract_ps_text": q_extract_ps_text,
+    "infer_column_types": q_infer_column_types,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

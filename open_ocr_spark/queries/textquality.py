@@ -1526,3 +1526,68 @@ ORACLES["mojibake_repair"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_infer_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV schema inference (r5, dataops/schema_infer.py) over the real
+    parse path: each doc is a 6-column CSV written by the stdlib csv
+    twin — int, float, ISO-date, boolean, string, and a trap column
+    that is numeric except one value (falls to varchar) and carries
+    one empty cell (counted as a null, ignored by inference). The
+    closed-form oracle pins the specificity lattice, the header row
+    exemption, and the null accounting."""
+    import pandas as pd
+
+    def _wrap(batches):
+        from open_ocr_spark.kernels.csv_text import build_csv
+
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rows = [["id", "price", "day", "flag", "name", "mixed"]]
+                for r in range(1, 5):
+                    rows.append([
+                        str(i * 10 + r),
+                        f"{r}.{i % 9}5",
+                        f"2024-01-{r:02d}",
+                        "true" if r % 2 else "FALSE",
+                        f"item {r} of {i % 7}",
+                        "" if r == 2 else (
+                            f"12x{i % 3}" if r == 3 else str(r)
+                        ),
+                    ])
+                out.append((i, bytearray(build_csv(rows))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    from open_ocr_spark.dataops.schema_infer import infer_column_types
+    from open_ocr_spark.kernels.csv_text import csv_cells
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.mapInPandas(_wrap, "doc_id long, payload binary")
+    return (
+        infer_column_types(csv_cells(raw, payload_col="payload"))
+        .orderBy("doc_id", "col_idx")
+    )
+
+
+ORACLES["infer_column_types"] = """
+        WITH expect AS (
+            SELECT * FROM (VALUES
+                (0, 'id',    'bigint',  CAST(0 AS BIGINT)),
+                (1, 'price', 'double',  0),
+                (2, 'day',   'date',    0),
+                (3, 'flag',  'boolean', 0),
+                (4, 'name',  'varchar', 0),
+                (5, 'mixed', 'varchar', 1)
+            ) AS t(col_idx, header, sql_type, n_nulls)
+        )
+        SELECT d.doc_id,
+               e.col_idx,
+               e.header,
+               e.sql_type,
+               CAST(4 AS BIGINT) AS n_rows,
+               e.n_nulls
+        FROM documents d, expect e
+        ORDER BY d.doc_id, e.col_idx
+    """

@@ -71,3 +71,56 @@ def test_differential_against_stdlib(rows):
 def test_utf8_bom_stripped():
     assert parse_csv("﻿a,b".encode("utf-8")) == [(0, 0, "a"),
                                                       (0, 1, "b")]
+
+
+# --- schema inference (r5, dataops/schema_infer.py) --------------------------
+
+
+def test_infer_column_types_lattice(spark):
+    from open_ocr_spark.dataops.schema_infer import infer_column_types
+
+    cells = []
+    # col 0: ints; col 1: int+float mix -> double; col 2: all empty ->
+    # varchar with nulls; col 3: bools incl case; col 4: 19-digit
+    # overflow -> falls past bigint to double
+    grid = [
+        ["h0", "h1", "h2", "h3", "h4"],          # header row, never typed
+        ["1", "1", "", "true", "1234567890123456789"],
+        ["-2", "2.5", "", "FALSE", "2"],
+    ]
+    for r, row in enumerate(grid):
+        for c, f in enumerate(row):
+            cells.append((7, r, c, f))
+    df = spark.createDataFrame(
+        cells, "doc_id long, row_idx int, col_idx int, field string"
+    )
+    got = {r["col_idx"]: (r["sql_type"], r["n_rows"], r["n_nulls"])
+           for r in infer_column_types(df).collect()}
+    assert got[0] == ("bigint", 2, 0)
+    assert got[1] == ("double", 2, 0)
+    assert got[2] == ("varchar", 2, 2)
+    assert got[3] == ("boolean", 2, 0)
+    assert got[4] == ("double", 2, 0)
+
+
+def test_infer_column_types_single_aggregate_plan(spark):
+    from open_ocr_spark.dataops.schema_infer import infer_column_types
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, "h"), (1, 1, 0, "2")],
+        "doc_id long, row_idx int, col_idx int, field string",
+    )
+    out = infer_column_types(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # one partial+final aggregate pair around ONE exchange, no Python
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and line.strip().endswith("Exchange")
+    )
+    assert n_exchanges == 1, plan
+    # no Python evaluator NODES (the createDataFrame test input's scan
+    # mentions "applySchemaToPythonRDD", which is not an evaluator)
+    for node in ("EvalPython", "MapInPandas", "MapInArrow", "PythonUDF"):
+        assert node not in plan

@@ -119,6 +119,7 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "extract_vtt_text",
         "noindex_gate",
         "extract_ps_text",
+        "infer_column_types",
     ],
 }
 

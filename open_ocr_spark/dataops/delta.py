@@ -106,3 +106,68 @@ def crawl_delta_near(
         .alias("status"),
         F.when(changed, hamming).alias("hamming"),
     )
+
+
+def recrawl_schedule(
+    delta: DataFrame,
+    *,
+    prev_interval_col: str = "prev_interval_h",
+    base_interval_h: int = 24,
+    min_interval_h: int = 6,
+    max_interval_h: int = 720,
+) -> DataFrame:
+    """Adaptive revisit policy over a crawl delta: (url, status,
+    next_interval_h, priority) — the per-URL schedule an incremental
+    crawler feeds back into its frontier.
+
+    The classic multiplicative rule (Cho & Garcia-Molina, "Effective
+    page refresh policies" shape, reduced to its deterministic integer
+    core — the same backoff discipline TCP and cache revalidation use):
+
+    - ``changed``: the page moves — halve the interval (integer DIV,
+      floor ``min_interval_h``);
+    - ``unchanged``: the page is stable — double it (cap
+      ``max_interval_h``);
+    - ``added``: no history — start at ``base_interval_h``;
+    - ``removed``: tombstone, ``next_interval_h`` NULL so the frontier
+      drops the URL.
+
+    ``priority`` ranks the fetch queue: shorter next interval = hotter
+    page, with the integer rank ``max_interval_h DIV next_interval_h``
+    (1 for the coldest, large for the hottest) so downstream ORDER BY
+    needs no floats; tombstones rank 0.
+
+    All-integer arithmetic, so the schedule is identical on any engine
+    at any parallelism; the whole operator is two stacked projections
+    over the delta — no shuffle beyond the delta's own join."""
+    staged = delta.select(
+        "url",
+        "status",
+        F.coalesce(F.col(prev_interval_col), F.lit(int(base_interval_h)))
+        .cast("long")
+        .alias("_prev"),
+    )
+    nxt = (
+        F.when(F.col("status") == "removed", F.lit(None).cast("long"))
+        .when(
+            F.col("status") == "changed",
+            F.greatest(F.lit(int(min_interval_h)).cast("long"),
+                       F.expr("_prev DIV 2")),
+        )
+        .when(
+            F.col("status") == "unchanged",
+            F.least(F.lit(int(max_interval_h)).cast("long"),
+                    F.col("_prev") * 2),
+        )
+        .otherwise(F.lit(int(base_interval_h)).cast("long"))
+    )
+    return staged.select(
+        "url", "status", nxt.alias("next_interval_h")
+    ).select(
+        "url",
+        "status",
+        "next_interval_h",
+        F.when(F.col("next_interval_h").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.expr(f"{int(max_interval_h)}L DIV next_interval_h"))
+        .alias("priority"),
+    )

@@ -86,7 +86,8 @@ from open_ocr_spark.queries.webops import (
     q_hreflang_clusters, q_html_meta, q_html_tables,
     q_json_ld, q_microdata_items, q_mime_sniff, q_pagination_chains, q_publish_dates,
     q_registrable_domain,
-    q_redirect_chains, q_resolve_relative_urls, q_resolved_link_graph,
+    q_recrawl_schedule, q_redirect_chains, q_resolve_relative_urls,
+    q_resolved_link_graph,
     q_noindex_gate, q_robots_gate,
     q_robots_meta,
     q_sitemap_discovery, q_soft_404_gate, q_url_features,
@@ -264,6 +265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "noindex_gate": q_noindex_gate,
     "extract_ps_text": q_extract_ps_text,
     "infer_column_types": q_infer_column_types,
+    "recrawl_schedule": q_recrawl_schedule,
     "media_resize_jpeg_arith": q_media_resize_jpeg_arith,
     "pack_multimodal": q_pack_multimodal,
     "feed_discovery": q_feed_discovery,

@@ -2995,3 +2995,72 @@ ORACLES["noindex_gate"] = """
         FROM documents
         ORDER BY doc_id
     """
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling (r5, dataops/delta.py
+    recrawl_schedule) composed over the crawl_delta fixture: the same
+    two synthetic snapshots, plus a per-URL previous interval
+    (12/24/48/96 h by doc_id%4, NULL history for doc_id%11==0 rows so
+    the base-interval fallback fires) — the oracle replays the
+    multiplicative halve/double rule, its floor/cap clamps, the
+    tombstone NULL, and the integer priority rank in closed form."""
+    from open_ocr_spark.dataops.delta import crawl_delta, recrawl_schedule
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("v1-"), F.col("doc_id").cast("string")))
+        .alias("content_md5"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 3).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(F.col("doc_id") % 7 == 0, F.lit("v2-"))
+                .otherwise(F.lit("v1-")),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("content_md5"),
+    )
+    history = docs.select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("shiftleft(12L, CAST(doc_id % 4 AS INT))"))
+        .alias("prev_interval_h"),
+    )
+    delta = crawl_delta(old, new).join(history, "url", "left")
+    return recrawl_schedule(delta, min_interval_h=12).orderBy("url")
+
+
+ORACLES["recrawl_schedule"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'https://h' || (doc_id % 20)::VARCHAR
+                       || '.example.com/p/' || doc_id::VARCHAR AS url,
+                   CASE WHEN doc_id % 5 = 4 THEN 'added'
+                        WHEN doc_id % 5 = 3 THEN 'removed'
+                        WHEN doc_id % 7 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN doc_id % 11 = 0 THEN 24
+                        ELSE 12 * (1 << (doc_id % 4)::INT) END AS prev
+            FROM documents
+        )
+        SELECT url,
+               status,
+               CAST(CASE status
+                   WHEN 'removed' THEN NULL
+                   WHEN 'changed' THEN greatest(12, prev // 2)
+                   WHEN 'unchanged' THEN least(720, prev * 2)
+                   ELSE 24 END AS BIGINT) AS next_interval_h,
+               CAST(CASE WHEN status = 'removed' THEN 0
+                    ELSE 720 // (CASE status
+                        WHEN 'changed' THEN greatest(12, prev // 2)
+                        WHEN 'unchanged' THEN least(720, prev * 2)
+                        ELSE 24 END)
+               END AS BIGINT) AS priority
+        FROM d
+        ORDER BY url
+    """

@@ -109,3 +109,46 @@ def test_date_tiebreak_is_url(spark):
     out = {r["url"]: r for r in classify_captures(_caps(spark, rows)).collect()}
     assert out["https://ex.com/a"]["warc_type"] == "response"
     assert out["https://ex.com/z"]["refers_to_uri"] == "https://ex.com/a"
+
+
+# --- adaptive recrawl scheduling (r5, dataops/delta.py) ----------------------
+
+
+def test_recrawl_schedule_rule_and_clamps(spark):
+    from open_ocr_spark.dataops.delta import recrawl_schedule
+
+    rows = [
+        ("a", "changed", 48),     # halve -> 24
+        ("b", "changed", 8),      # halve 4, floor -> 6
+        ("c", "unchanged", 48),   # double -> 96
+        ("d", "unchanged", 700),  # double 1400, cap -> 720
+        ("e", "added", None),     # base -> 24
+        ("f", "removed", 96),     # tombstone -> NULL, priority 0
+        ("g", "changed", None),   # no history: base 24 -> halve -> 12
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status string, prev_interval_h long"
+    )
+    got = {r["url"]: (r["next_interval_h"], r["priority"])
+           for r in recrawl_schedule(df).collect()}
+    assert got["a"] == (24, 30)
+    assert got["b"] == (6, 120)
+    assert got["c"] == (96, 7)
+    assert got["d"] == (720, 1)
+    assert got["e"] == (24, 30)
+    assert got["f"] == (None, 0)
+    assert got["g"] == (12, 60)
+
+
+def test_recrawl_schedule_is_projection_only(spark):
+    from open_ocr_spark.dataops.delta import recrawl_schedule
+
+    df = spark.createDataFrame(
+        [("a", "changed", 48)],
+        "url string, status string, prev_interval_h long",
+    )
+    out = recrawl_schedule(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

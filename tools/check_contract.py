@@ -120,6 +120,7 @@ OVERFLOW_OK: dict[int, list[str]] = {
         "noindex_gate",
         "extract_ps_text",
         "infer_column_types",
+        "recrawl_schedule",
     ],
 }
 

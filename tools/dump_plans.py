@@ -133,6 +133,16 @@ def main():
             "leaves (localCheckpoint pins) keep the plan O(1) deep across "
             "iterations; the only nested-loop join is the 1-row divisor."
         ),
+        "infer_column_types": (
+            "One partial+final aggregate pair around ONE exchange on the "
+            "uniform (doc_id, col_idx) key; all type-match flags are "
+            "codegen'd projections; no Python evaluator."
+        ),
+        "recrawl_schedule": (
+            "The schedule is stacked projections over the delta's one "
+            "full-outer join — no exchange of its own, no Python; "
+            "priorities are integer DIV, no floats."
+        ),
         "clean_web_corpus": (
             "Repair and reflow fuse into codegen projections; the "
             "template verdict and repair-flag joins broadcast; at most 6 "

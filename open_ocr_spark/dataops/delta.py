@@ -143,9 +143,18 @@ def recrawl_schedule(
     staged = delta.select(
         "url",
         "status",
-        F.coalesce(F.col(prev_interval_col), F.lit(int(base_interval_h)))
-        .cast("long")
-        .alias("_prev"),
+        # clamp history into [min, max] FIRST: an out-of-range or zero
+        # previous interval (corrupt frontier state) must not produce a
+        # NULL/zero priority that collides with the tombstone rank
+        F.least(
+            F.lit(int(max_interval_h)).cast("long"),
+            F.greatest(
+                F.lit(int(min_interval_h)).cast("long"),
+                F.coalesce(
+                    F.col(prev_interval_col), F.lit(int(base_interval_h))
+                ).cast("long"),
+            ),
+        ).alias("_prev"),
     )
     nxt = (
         F.when(F.col("status") == "removed", F.lit(None).cast("long"))

@@ -236,14 +236,14 @@ def parse_robots_meta(robots: DataFrame, agent: str = "*") -> DataFrame:
 # patterns (name-first/content-first x quoted/unquoted) cover the
 # combinations; \b after "robots" rejects name="robotsx".
 _META_ROBOTS = (
-    r'(?i)<meta\b[^>]*\bname\s*=\s*["\']?robots\b["\']?[^>]*'
+    r'(?i)<meta\b[^>]*\bname\s*=\s*["\']?robots["\']?[\s/][^>]*'
     r'\bcontent\s*=\s*["\']([^"\'>]*)["\']',
-    r'(?i)<meta\b[^>]*\bname\s*=\s*["\']?robots\b["\']?[^>]*'
+    r'(?i)<meta\b[^>]*\bname\s*=\s*["\']?robots["\']?[\s/][^>]*'
     r'\bcontent\s*=\s*([^\s"\'>]+)',
     r'(?i)<meta\b[^>]*\bcontent\s*=\s*["\']([^"\'>]*)["\'][^>]*'
-    r'\bname\s*=\s*["\']?robots\b["\']?',
+    r'\bname\s*=\s*["\']?robots["\']?(?:[\s/>]|$)',
     r'(?i)<meta\b[^>]*\bcontent\s*=\s*([^\s"\'>]+)[^>]*'
-    r'\bname\s*=\s*["\']?robots\b["\']?',
+    r'\bname\s*=\s*["\']?robots["\']?(?:[\s/>]|$)',
 )
 # Line-anchored so 'My-X-Robots-Tag:' or the literal text inside a
 # header VALUE cannot fabricate directives. Agent-scoped forms

@@ -40,7 +40,13 @@ _MAX_SHOWS = 200_000       # hostile-input cap
 _MAX_TEXT = 20 * 1 << 20   # rendered-text cap, mirrors MAX_DOC_BYTES
 
 _SHOW_OPS = {"show", "ashow", "widthshow", "awidthshow"}
-_NUM_RE = re.compile(r"^-?\d+(?:\.\d+)?$")
+# PLRM number forms: integers, reals with either side of the point
+# empty, exponents, and radix numbers (16#FF) — a mis-classified number
+# would clear the moveto operand window and silently merge text lines
+_NUM_RE = re.compile(
+    r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$"
+    r"|^\d+#[0-9A-Za-z]+$"
+)
 _ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
         "(": "(", ")": ")", "\\": "\\"}
 
@@ -66,16 +72,22 @@ def _read_string(s: str, i: int) -> tuple[str, int]:
             if nxt in _ESC:
                 out.append(_ESC[nxt])
                 i += 2
-            elif nxt.isdigit():
+            elif "0" <= nxt <= "7":
+                # octal escape: 1-3 OCTAL digits only ('\8' is an
+                # undefined escape, not an empty octal literal)
                 j = i + 1
-                while j < min(i + 4, n) and s[j].isdigit() and s[j] < "8":
+                while j < min(i + 4, n) and "0" <= s[j] <= "7":
                     j += 1
                 out.append(chr(int(s[i + 1:j], 8) & 0xFF))
                 i = j
             elif nxt == "\n":
                 i += 2  # line continuation: both chars vanish
+            elif nxt == "\r":
+                # PLRM: \<CR> and \<CRLF> are continuations too
+                i += 3 if s[i + 2:i + 3] == "\n" else 2
             else:
-                i += 1  # lone backslash: dropped per PLRM
+                # undefined escape: backslash drops, the char stays
+                i += 1
         elif c == "(":
             depth += 1
             out.append(c)

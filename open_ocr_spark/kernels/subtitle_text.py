@@ -76,11 +76,11 @@ def is_webvtt(payload: bytes) -> bool:
     return head[:6] == "WEBVTT" and head[6:7] in ("", "\n", " ", "\t")
 
 
-def _clean(line: str, tag: re.Pattern = _TAG) -> str:
+def _clean(line: str) -> str:
     """WebVTT cleaning: strip markup spans, then unescape the character
     references the grammar defines. SRT cues use _clean_srt — SubRip
     has no escaping, so its bytes are content and never unescape."""
-    line = tag.sub("", line)
+    line = _TAG.sub("", line)
     return (
         line.replace("&nbsp;", " ")
         .replace("&lt;", "<")

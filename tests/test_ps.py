@@ -89,3 +89,19 @@ def test_dispatch_total_on_ps_prefix(payload):
     text, status, _ = extract_document(b"%!PS\n" + payload)
     assert isinstance(text, str)
     assert status == "ok" or status.startswith("error:")
+
+
+def test_undefined_escapes_and_crlf_continuation():
+    # \8 is an undefined escape: backslash drops, char stays (PLRM)
+    doc = b"%!PS\n72 700 moveto (a\\8b \\9 \\xc) show\nshowpage\n"
+    assert extract_ps_text(doc) == "a8b 9 xc"
+    # \<CRLF> and \<CR> are line continuations that vanish entirely
+    doc2 = b"%!PS\n72 700 moveto (split\\\r\njoined\\\rtail) show\nshowpage\n"
+    assert extract_ps_text(doc2) == "splitjoinedtail"
+
+
+def test_real_and_radix_movetos_track_lines():
+    doc = (b"%!PS\n72 700.5 moveto (a) show\n"
+           b"72. 686. moveto (b) show\n"
+           b"16#48 16#10 moveto (c) show\nshowpage\n")
+    assert extract_ps_text(doc) == "a\nb\nc"

@@ -152,3 +152,23 @@ def test_recrawl_schedule_is_projection_only(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_recrawl_schedule_clamps_corrupt_history(spark):
+    from open_ocr_spark.dataops.delta import recrawl_schedule
+
+    rows = [
+        ("h", "changed", 2000),   # clamp prev to 720 -> halve -> 360
+        ("i", "unchanged", 0),    # clamp prev to 6 -> double -> 12
+        ("j", "unchanged", -5),   # clamp prev to 6 -> double -> 12
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status string, prev_interval_h long"
+    )
+    got = {r["url"]: (r["next_interval_h"], r["priority"])
+           for r in recrawl_schedule(df).collect()}
+    assert got["h"] == (360, 2)
+    assert got["i"] == (12, 60)
+    assert got["j"] == (12, 60)
+    # no live row can collide with the tombstone rank 0
+    assert all(p > 0 for _, p in got.values())

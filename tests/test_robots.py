@@ -217,3 +217,21 @@ def test_index_directives_attribute_variants(spark):
     df = spark.createDataFrame(rows, "doc_id long, html string, headers string")
     got = {r["doc_id"]: r["noindex"] for r in index_directives(df).collect()}
     assert got == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_index_directives_name_boundary_and_cross_tag(spark):
+    import pyspark.sql.functions as F
+
+    from open_ocr_spark.dataops.robots import index_directives
+
+    rows = [
+        # name that merely STARTS with robots must not match
+        (0, '<meta name="robots-custom" content="noindex">', ""),
+        # a closed robots tag must not borrow content from a LATER tag
+        (1, '<meta name="robots"><meta content="noindex" name="other">', ""),
+        # name as the final attribute before > (content-first order)
+        (2, '<meta content="noindex" name="robots">', ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, headers string")
+    got = {r["doc_id"]: r["noindex"] for r in index_directives(df).collect()}
+    assert got == {0: False, 1: False, 2: True}
